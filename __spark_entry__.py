@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over ``big_data_exercise_spark.plans.registry``: every
+implemented operator from SURVEY.md §2 (plus the training-data
+extensions) is one registry entry carrying both the Spark builder and
+the DuckDB oracle SQL. Entries with ``oracle=None`` are the genuinely
+non-SQL-expressible operators (heuristic language-ID, xxhash-based
+SimHash) and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +14,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from big_data_exercise_spark.plans.registry import all_queries
+from big_data_exercise_spark.session import tune_session
+from big_data_exercise_spark.tables import load_table
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q1-shaped
+    pricing summary (scan → pushed filter → partial+final hash agg →
+    tiny sort)."""
+    from big_data_exercise_spark.operators.aggregations import pricing_summary
+
+    tune_session(spark)
+    return pricing_summary(load_table(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.build for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,49 @@
+"""N-gram shingle Jaccard similarity — the exact (quadratic-in-bucket)
+baseline the approximate dedup methods are validated against.
+
+Shingles are built relationally: ``F.sequence`` over token positions +
+``F.transform`` concatenation — no UDF, no driver loop. The all-pairs
+verification is restricted to an explicit doc_id window (or to LSH
+candidates via ``dedup.minhash``); never run unblocked at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from big_data_exercise_spark.functions.text import tokens
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def pairwise_jaccard(
+    documents: DataFrame, n: int = 3, max_doc_id: int = 30, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact shingle-Jaccard over all pairs within a bounded doc_id
+    window (the verification kernel; blocking comes from LSH or an
+    explicit window)."""
+    docs = documents.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id", shingles(F.col("text"), n).alias("sh")
+    )
+    a = docs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    b = docs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    uni = F.size(F.array_union("sh1", "sh2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(inter / uni, 4).alias("jaccard"))
+        .filter(F.col("jaccard") > F.lit(min_jaccard))
+    )

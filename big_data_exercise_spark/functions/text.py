@@ -1,0 +1,131 @@
+"""Text-analysis functions for the documents corpus.
+
+These are the training-data-pipeline operators layered on top of the
+reference's text surface (free-text review column, A1 fixture):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Everything except language-ID is pure built-in Column
+expressions (codegen, no Python); language-ID is an Arrow pandas UDF
+because its per-language profile lookup is clearer in Python — with a
+fully deterministic rule set so it is testable without models
+(mirroring the reference's deterministic fallback design,
+consumer_postgres_streaming.py:329-368).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# Small deterministic stopword set used for quality scoring.
+STOPWORDS = ("the", "a", "and", "of")
+
+WORD_SPLIT = " "
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(col, WORD_SPLIT), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: Column) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*STOPWORDS)))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. The exact-dedup key."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under a BPE-ish regex segmentation: splits on word
+    boundaries, keeping punctuation runs and number runs as separate
+    tokens — a cheap, deterministic proxy for subword tokenizers."""
+    pieces = F.split(F.trim(col), r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+")
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != F.lit("")))
+
+
+def quality_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality scoring: token counts, lexical diversity,
+    stopword ratio, mean token length. One codegen stage, no shuffle.
+    """
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_distinct_tokens"),
+        F.round(n_uniq / n_tok, 4).alias("lexical_diversity"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(total_tok_chars / n_tok, 4).alias("mean_token_len"),
+    )
+
+
+def corpus_language_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus stats (docs, chars, tokens) — the A4-style
+    rollup over the text table."""
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+# --- language ID (deterministic n-gram/stopword heuristic, pandas UDF) ---
+
+# Character/stopword profiles per language. Deterministic and tiny on
+# purpose: the goal is the operator shape (Arrow-batched scoring of a
+# text column), not linguistic accuracy.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "los", "que", "de"),
+    "zh": (),  # falls through to CJK codepoint test
+}
+
+
+def _langid_batch(texts: pd.Series) -> pd.Series:
+    def score(text: str) -> str:
+        if not isinstance(text, str) or not text:
+            return "und"
+        if any("一" <= ch <= "鿿" for ch in text):
+            return "zh"
+        words = text.lower().split()
+        best, best_hits = "und", 0
+        for lang, stops in _LANG_PROFILES.items():
+            if not stops:
+                continue
+            hits = sum(1 for w in words if w in stops)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    return texts.map(score)
+
+
+langid_udf = F.pandas_udf(_langid_batch, T.StringType())
+
+
+def detect_language(documents: DataFrame) -> DataFrame:
+    """Language-ID over the text column (Arrow pandas UDF). Returns
+    doc_id, the heuristic's guess, and the corpus label for accuracy
+    checks."""
+    return documents.select(
+        "doc_id", "lang", langid_udf(F.col("text")).alias("lang_pred")
+    )

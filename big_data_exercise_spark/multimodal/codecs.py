@@ -1,0 +1,177 @@
+"""Binary media columns: synthesize, decode metadata, transform.
+
+The reference's frame pipeline (P10/U3/U4): base64 JPEG string →
+b64decode → cv2.imdecode → model → cv2.imencode → b64encode
+(vehicle_consumer.py:94-96, fire_consumer_streaming.py:166-206). Our
+engine's version:
+
+* frames are ``binary`` columns (no base64 inflation inside the plan;
+  base64 only at the string edges via F.base64/F.unbase64);
+* metadata (width/height/codec) is a typed struct column, so filters
+  like ``width >= 640`` prune BEFORE any Python decode runs;
+* decode / resize / frame-sample are ``mapInPandas`` operators —
+  iterator-of-batches signature, so a real codec (cv2/PIL) would be
+  loaded once per worker (the reference's lazy-singleton pattern,
+  consumer_postgres_streaming.py:259-266), never per row.
+
+Container has no image libs → ``REAL_CODECS`` is False and the decode
+kernel operates on the deterministic FAKE format below; the real-codec
+branch raises NotImplementedError where cv2 would be called.
+
+FAKE frame format (deterministic, self-describing):
+    b"FAKEIMG0" | width:4 BE | height:4 BE | seed:8 BE | payload
+payload = (seed * 2654435761 mod 2^32) repeating bytes, length
+width*height//64 — enough to exercise real Arrow batch transfer
+without real pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MAGIC = b"FAKEIMG0"
+HEADER = struct.Struct(">4x4xIIQ")  # we slice MAGIC separately
+
+try:  # pragma: no cover - container has no codec libs
+    import cv2  # noqa: F401
+
+    REAL_CODECS = True
+except Exception:
+    REAL_CODECS = False
+
+
+def _fake_payload_len(width: int, height: int) -> int:
+    return max(16, (width * height) // 64)
+
+
+def encode_fake_frame(width: int, height: int, seed: int) -> bytes:
+    fill = ((seed * 2654435761) % 4294967296).to_bytes(4, "big")
+    n = _fake_payload_len(width, height)
+    payload = (fill * (n // 4 + 1))[:n]
+    return MAGIC + struct.pack(">IIQ", width, height, seed) + payload
+
+
+FRAME_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_frames(events: DataFrame) -> DataFrame:
+    """Deterministic frame table from events: one binary frame per
+    event (camera=user, frame_number=event_id). The producer analog of
+    video_producer.py:49-126, as a vectorized pandas UDF."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_frame(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_fake_frame(640, 360 + int(u % 4) * 90, int(e))
+                for e, u in zip(event_id, user_id)
+            ]
+        )
+
+    return events.select(
+        F.col("user_id").alias("camera_id"),
+        F.col("event_id").alias("frame_number"),
+        F.col("ts"),
+        make_frame("event_id", "user_id").alias("frame"),
+    )
+
+
+def decode_frame_meta(frames: DataFrame) -> DataFrame:
+    """mapInPandas metadata decode: binary frame → typed meta struct.
+
+    Iterator signature = per-worker setup happens once (a real decoder
+    would be constructed here, not per row)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("camera_id", T.LongType()),
+            T.StructField("frame_number", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("n_bytes", T.IntegerType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # real-codec branch would initialize cv2 here, once per worker
+        for pdf in batches:
+            metas = []
+            for buf in pdf["frame"]:
+                b = bytes(buf)
+                if b.startswith(MAGIC):
+                    w, h, _seed = struct.unpack(">IIQ", b[8:24])
+                    metas.append((w, h, "fakeimg", len(b)))
+                elif REAL_CODECS:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real JPEG metadata decode requires cv2.imdecode; "
+                        "enable when codec libs are installed"
+                    )
+                else:
+                    metas.append((None, None, "unknown", len(b)))
+            meta_df = pd.DataFrame(
+                metas, columns=["width", "height", "codec", "n_bytes"]
+            )
+            yield pd.concat(
+                [pdf[["camera_id", "frame_number"]].reset_index(drop=True), meta_df],
+                axis=1,
+            )
+
+    return frames.select("camera_id", "frame_number", "frame").mapInPandas(
+        decode, out_schema
+    )
+
+
+def resize_frames(frames: DataFrame, width: int = 320) -> DataFrame:
+    """Resize operator. Fake path: re-encode header with scaled dims
+    (payload scales accordingly) — exercises binary-in/binary-out
+    Arrow transfer. Real path: NotImplementedError until codec libs
+    exist."""
+
+    @F.pandas_udf(T.BinaryType())
+    def resize(frame: pd.Series) -> pd.Series:
+        def one(buf: bytes) -> bytes:
+            b = bytes(buf)
+            if not b.startswith(MAGIC):
+                if REAL_CODECS:  # pragma: no cover
+                    raise NotImplementedError("real resize requires cv2.resize")
+                return b
+            w, h, seed = struct.unpack(">IIQ", b[8:24])
+            new_h = max(1, int(h * width / w))
+            return encode_fake_frame(width, new_h, seed)
+
+        return frame.map(one)
+
+    return frames.withColumn("frame", resize(F.col("frame")))
+
+
+def sample_frames(frames: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame sampling: keep every Nth frame per camera — the
+    reference's 'store every 5th frame' policy
+    (fire_consumer_streaming.py:159,205). Pure filter → pushed down,
+    no Python."""
+    return frames.filter(F.col("frame_number") % every_n == 0)
+
+
+def base64_roundtrip(frames: DataFrame) -> DataFrame:
+    """String-edge codec (P10): binary → base64 string → binary,
+    verifying lossless transport through string sinks (Kafka JSON,
+    JDBC text columns)."""
+    return frames.select(
+        "camera_id",
+        "frame_number",
+        F.base64(F.col("frame")).alias("frame_b64"),
+        F.unbase64(F.base64(F.col("frame"))).alias("frame_back"),
+        (F.unbase64(F.base64(F.col("frame"))) == F.col("frame")).alias("lossless"),
+    )

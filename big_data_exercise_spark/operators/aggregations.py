@@ -1,0 +1,145 @@
+"""Aggregation operators (SURVEY.md §2.3, A1-A9).
+
+The reference performs all real aggregation in dashboard SQL against
+PostgreSQL (e.g. grouped SUM at vehicle_counting_app.py:38-47,
+multi-agg at fire_detection_app.py:64-74, time-bucket agg at
+fire_detection_app.py:91-102). Our engine moves them into Spark where
+they run as partial (map-side) + final hash aggregates — the shape
+that scales: the shuffle carries one row per (partition, group), not
+per input row.
+
+Scale notes:
+* All aggregates here are algebraic (sum/count/avg/max) → map-side
+  partial aggregation is automatic; no shuffle blow-up at 100 TB.
+* ``count_distinct_users`` offers an exact and an approximate
+  (HyperLogLog++) variant; at 100 TB the exact form shuffles every
+  distinct (group, user) pair, so prefer the approx form for
+  dashboards.
+* Double-typed aggregates are rounded at the edge (2 decimals) purely
+  for oracle-stable output; rounding is a final projection, not part
+  of the aggregation tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate: the reference's A1/A2 patterns
+    (grouped SUM + multi-agg per group) on the lineitem fact table.
+
+    Scan → filter (pushed to parquet) → partial agg → shuffle on the
+    2-column group key (tiny domain) → final agg. At 100 TB the shuffle
+    carries ~#partitions × ~6 group rows — negligible.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue(events: DataFrame, k: int = 50) -> DataFrame:
+    """Grouped SUM + ORDER BY DESC + LIMIT (reference A1/O1:
+    vehicle_counting_app.py:38-47 'top vehicle counts per camera').
+
+    Top-k over an aggregate is cheap at any scale: the agg output is
+    one row per (user, type) and Spark's TakeOrderedAndProject keeps
+    only k rows per partition before the final merge.
+    Ties are broken deterministically by (user_id, event_type).
+    """
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.desc("total_value"), "user_id", "event_type")
+        .limit(k)
+    )
+
+
+def conditional_agg(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Multi-agg with CASE WHEN inside SUM (reference A2/P9:
+    fire_detection_app.py:64-74 — fire stats per camera)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("value") > threshold, 1).otherwise(0)).alias("n_high"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+        )
+    )
+
+
+def time_bucket(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Tumbling time-bucket aggregation (reference A3:
+    fire_detection_app.py:91-102 — DATE_TRUNC('minute', …) GROUP BY).
+
+    Batch analog of a streaming tumbling window; the streaming twin is
+    ``streaming.pipelines.tumbling_counts`` and both must agree.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def count_distinct_users(events: DataFrame, approx: bool = False) -> DataFrame:
+    """COUNT DISTINCT per group (reference A6:
+    vehicle_counting_app.py:113-114 — nunique over cameras/types).
+
+    ``approx=True`` switches to HyperLogLog++ (constant memory per
+    group, single shuffle) — the 100 TB-friendly variant; exact
+    count-distinct expands to a two-phase shuffle on (group, user).
+    """
+    agg = (
+        F.approx_count_distinct("user_id").alias("n_users")
+        if approx
+        else F.countDistinct("user_id").alias("n_users")
+    )
+    return events.groupBy("event_type").agg(agg)
+
+
+def histogram_with_domain(
+    events: DataFrame,
+    domain: list[str],
+) -> DataFrame:
+    """Value histogram with domain fill (reference A5:
+    streamlit_app.py:76-81 — value_counts().reindex(domain, fill_value=0)).
+
+    Relational form: aggregate, then LEFT JOIN the label domain so
+    absent labels appear with count 0. The domain is a literal local
+    relation → Catalyst broadcasts it; no extra shuffle.
+    """
+    spark = events.sparkSession
+    domain_df = spark.createDataFrame([(d,) for d in domain], ["event_type"])
+    counts = events.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return (
+        domain_df.join(counts, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Join operators (SURVEY.md §2.4).
+
+The reference implements **no joins at all** — it pivots to wide
+columns (consumer_postgres_streaming.py:391-393) and filters in pandas
+instead. This module is the capability gap filled with the full Spark
+join surface, each function choosing the join strategy that survives a
+100×-scale-up:
+
+* tiny dims (region=5, nation=25 rows, fixed size at any SF) →
+  explicit ``F.broadcast`` — zero shuffle of the fact side;
+* fact ⋈ fact (lineitem ⋈ orders) → sort-merge on the join key; AQE
+  converts to shuffled-hash / handles skew at runtime;
+* existence checks → ``left_semi`` / ``left_anti`` (no row
+  multiplication, no wide row payload through the shuffle);
+* temporal proximity (the as-of analog) → bounded range self-join with
+  an equi-key component so Spark can still hash-partition on user_id —
+  never a pure theta cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def regional_customer_stats(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Customers per region via a two-hop broadcast dimension join.
+
+    nation and region are size-invariant tiny dims → broadcast both;
+    the customer scan never shuffles for the join (only the final
+    5-group aggregation does, post map-side combine).
+    """
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def order_revenue_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Fact ⋈ fact equi-join (sort-merge / AQE-chosen) + aggregation.
+
+    Pre-aggregating lineitem to one row per orderkey BEFORE the join
+    keeps the shuffled payload minimal — at 100 TB this cuts the join
+    input by the lineitem:orders fan-in (~4×) and makes the join key
+    unique on both sides.
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI join (EXISTS): segment counts of customers that placed
+    at least one high-value order. Semi join never duplicates the left
+    side and drops the right payload before the shuffle."""
+    big_orders = orders.filter(F.col("o_totalprice") > 100.0)
+    return (
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def parts_never_ordered(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): parts that never appear in any
+    lineitem. Returns the part rows themselves (projected)."""
+    return (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def prior_events_within(
+    events: DataFrame,
+    anchor_type: str = "error",
+    prior_type: str = "click",
+    minutes: int = 10,
+) -> DataFrame:
+    """Bounded range self-join — the as-of/temporal-proximity analog.
+
+    For each ``anchor_type`` event, count ``prior_type`` events by the
+    same user in the preceding ``minutes``. The equi-component
+    (user_id) lets Spark hash-partition both sides; the range predicate
+    is evaluated post-shuffle within each user's partition, so the cost
+    is bounded by per-user event counts, not |events|² — the property
+    that keeps this viable at 100 TB (plus AQE skew-split for hot
+    users).
+    """
+    anchors = events.filter(F.col("event_type") == anchor_type).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    priors = events.filter(F.col("event_type") == prior_type).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    window_lo = F.col("a_ts") - F.expr(f"INTERVAL {minutes} MINUTES")
+    joined = anchors.join(
+        priors,
+        (F.col("a_user") == F.col("p_user"))
+        & (F.col("p_ts") >= window_lo)
+        & (F.col("p_ts") < F.col("a_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("anchor_id", "a_user")
+        .agg(F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias("n_prior"))
+        .select(
+            F.col("anchor_id").alias("event_id"),
+            F.col("a_user").alias("user_id"),
+            F.col("n_prior").cast("long").alias("n_prior"),
+        )
+    )

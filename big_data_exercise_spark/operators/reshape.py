@@ -1,0 +1,59 @@
+"""Reshaping operators: explode / pivot / melt (SURVEY.md §2.8).
+
+Reference occurrences:
+* D1 explode — vehicle_consumer.py:171-176 (one row per detected
+  vehicle type per frame);
+* D2 long→wide pivot — consumer_postgres_streaming.py:391-393 does it
+  manually with 8 regexp withColumns; we use the relational
+  ``pivot`` with an explicit value list (explicit list = single pass,
+  no extra job to discover pivot values — required at scale);
+* D3 wide→long melt — streamlit_app.py:75-82 loops in pandas; we use
+  the ``stack`` expression (no shuffle at all — melt is a projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def explode_words(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Tokenize + explode + count: the D1 explode pattern applied to
+    the documents corpus (word frequency top-k).
+
+    explode is a narrow transformation (no shuffle); the only shuffle
+    is the final word-count aggregation, which is map-side combined —
+    at 100 TB the shuffle volume is |vocabulary| per input partition.
+    """
+    words = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+    )
+
+
+def pivot_event_counts(events: DataFrame, types: list[str]) -> DataFrame:
+    """Long→wide pivot with explicit value list (D2). One shuffle on
+    user_id; the pivot itself is a projection over the grouped map."""
+    wide = events.groupBy("user_id").pivot("event_type", types).count()
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types
+    ]
+    return wide.select(*cols)
+
+
+def melt_pricing(lineitem: DataFrame) -> DataFrame:
+    """Wide→long melt via the stack() expression (D3): per returnflag,
+    unpivot two aggregate measures into (measure, value) rows.
+    stack is a pure projection — zero shuffle beyond the agg."""
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (measure, value)",
+    )

@@ -1,0 +1,91 @@
+"""Scalar expression operators: projections, casts, JSON, regex,
+conditionals, sampling (SURVEY.md §2.2, §2.6, §2.9).
+
+Reference occurrences re-expressed here:
+* P2 from_json with explicit schema — consumer_postgres_streaming.py:400,
+  vehicle_consumer.py:59;
+* P5 regexp_extract — consumer_postgres_streaming.py:392-393;
+* P7 epoch→timestamp — vehicle_consumer.py:179;
+* P8/P9 round/length/CASE WHEN — fire_detection_app.py:40-41,67,128;
+* O2 sampling — streamlit_app.py:42 (ORDER BY RANDOM() LIMIT 300); the
+  engine's deterministic, cluster-reproducible form is systematic
+  (key-modulo) sampling, plus seeded F.rand for statistical sampling.
+
+All expressions are built-in Column functions → whole-stage codegen,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Parse the JSON ``props`` payload with an explicit schema (the
+    reference's from_json pattern, P2) and aggregate the extracted
+    field. Explicit schema = no sampling pass, vectorized JSON parse.
+    """
+    parsed = events.select(
+        "event_type", F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg("k"), 2).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.col("k")).alias("n_k"),
+    )
+
+
+def regex_keyword_hits(documents: DataFrame) -> DataFrame:
+    """regexp_extract keyword tagging (P5): first engine keyword in
+    each doc; counts per (lang, keyword)."""
+    kw = F.regexp_extract(F.col("text"), r"\b(spark|join|merge|stream)\b", 1)
+    return (
+        documents.select("lang", kw.alias("keyword"))
+        .filter(F.col("keyword") != "")
+        .groupBy("lang", "keyword")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def scalar_projection(documents: DataFrame) -> DataFrame:
+    """Per-row scalar expression suite: length / round / upper /
+    substring / CASE WHEN (P8, P9) in one codegen stage."""
+    return documents.select(
+        "doc_id",
+        F.length(F.col("text")).alias("len_chars"),
+        F.round(F.col("n_chars") / 100.0, 2).alias("hecto_chars"),
+        F.upper(F.col("lang")).alias("lang_uc"),
+        F.substring(F.col("text"), 1, 10).alias("prefix10"),
+        F.when(F.col("n_chars") > 300, F.lit("long")).otherwise(F.lit("short")).alias("size_class"),
+    )
+
+
+def epoch_roundtrip(events: DataFrame) -> DataFrame:
+    """Epoch↔timestamp conversion (P7): to epoch ms and back, plus
+    date_trunc — exact integer round-trip, engine-independent."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    return events.select(
+        "event_id",
+        ts_ms.alias("epoch_ms"),
+        F.timestamp_millis(ts_ms).alias("ts_roundtrip"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+
+
+def systematic_sample(events: DataFrame, modulus: int = 37) -> DataFrame:
+    """Deterministic systematic sample: key-modulo filter. Unlike
+    ORDER BY RANDOM() LIMIT n (O2), this is reproducible across
+    engines, scales without a global sort, and pushes down to the
+    scan."""
+    return events.filter(F.col("event_id") % modulus == 0).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+def seeded_sample(events: DataFrame, fraction: float = 0.1, seed: int = 42) -> DataFrame:
+    """Seeded Bernoulli sample — Spark-deterministic (same seed, same
+    partitioning → same rows) but not oracle-comparable row-for-row;
+    verified by statistical bounds in tests."""
+    return events.sample(fraction=fraction, seed=seed)

@@ -1,0 +1,75 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Absent from the reference (no OVER(...) anywhere); its nearest analogs
+are ORDER BY + LIMIT "most recent N" dashboard queries
+(fire_detection_app.py:43-44) and post-hoc time bucketing. These
+functions expose the idiomatic window surface.
+
+Scale notes: a window partitioned by a key shuffles once on that key
+and sorts within partitions — same cost envelope as a groupBy on the
+key. Never use a global (unpartitioned) ORDER BY window at scale; all
+functions here partition by user/key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """row_number() latest-row-per-key — 'latest frame per camera'
+    re-expressed properly (the reference approximates this with
+    ORDER BY detection_time DESC LIMIT n per dashboard refresh).
+
+    Deterministic tie-break on event_id desc.
+    """
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def running_total_per_user(events: DataFrame) -> DataFrame:
+    """Running SUM per user ordered by event time (rowsBetween
+    unboundedPreceding..current) — running vehicle-count totals
+    analog."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def inter_event_gap_ms(events: DataFrame) -> DataFrame:
+    """lag() delta: milliseconds since the user's previous event.
+
+    Millisecond epochs (unix_millis) rather than second-truncation so
+    the value is exact and engine-independent.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis(F.col("ts"))
+    return events.select(
+        "user_id",
+        "event_id",
+        (ts_ms - F.lag(ts_ms).over(w)).alias("gap_ms"),
+    )
+
+
+def top_k_per_group(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k rows per group via rank over a partitioned window — the
+    scalable form of 'top 50 counts per camera'
+    (VEHICLE_COUNTING_GUIDE.md:85-95): one shuffle on the group key,
+    no global sort."""
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "rk", "event_id", "user_id", F.round("value", 2).alias("value"))
+    )

@@ -1,0 +1,843 @@
+"""Registry of named queries: Spark builder + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 (and every
+training-data extension) appears here twice: once as an idiomatic
+DataFrame build and once as ANSI SQL for the DuckDB oracle. Column
+names and types are aligned pairwise (the driver's compare sorts
+columns by name and hashes values).
+
+Determinism rules (SURVEY.md §7.3):
+* session timezone pinned to UTC before building any plan;
+* double aggregates rounded at the edge (2-4 decimals);
+* every LIMIT has a total deterministic ORDER BY (value, then keys);
+* integer-type width mismatches resolved by explicit CASTs in the
+  oracle (DuckDB's len()/row_number()/SUM(int) default to
+  BIGINT/HUGEINT where Spark produces int/long).
+* oracle float math mirrors Spark's: cast float32 → double before
+  any fold, same accumulation order.
+
+Queries whose Spark implementation is NOT SQL-expressible (xxhash64
+SimHash, heuristic language-ID, streaming-internal plumbing) carry
+``oracle=None`` → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_exercise_spark.session import tune_session
+from big_data_exercise_spark.tables import load_table
+from big_data_exercise_spark.operators import (
+    aggregations as agg,
+    joins,
+    reshape,
+    scalars,
+    sets,
+    windows,
+)
+from big_data_exercise_spark.functions import arrays, sentiment, text
+from big_data_exercise_spark.dedup import exact as dedup_exact_mod
+from big_data_exercise_spark.dedup import minhash, ngram, simhash
+from big_data_exercise_spark.similarity import knn
+from big_data_exercise_spark.multimodal import codecs
+from big_data_exercise_spark.streaming import pipelines as streams
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+EVENT_DOMAIN = EVENT_TYPES + ["refund"]  # 'refund' never occurs → fill 0
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+    description: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- helpers
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two list<float> expressions, mirroring
+    functions.arrays.cosine exactly: per-element cast to DOUBLE, then
+    an in-order sum (list_sum folds sequentially, as F.aggregate
+    does)."""
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+# ---------------------------------------------------------------- specs
+def _specs() -> list[QuerySpec]:
+    s: list[QuerySpec] = []
+
+    # ---- aggregations (SURVEY §2.3) ------------------------------------
+    s.append(QuerySpec(
+        "pricing_summary",
+        lambda sp, d: agg.pricing_summary(_t(sp, d, "lineitem")),
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
+               ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
+               ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+               COUNT(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        ("agg", "flagship"),
+        "TPC-H Q1-shaped multi-aggregate (reference A1/A2 pattern)",
+    ))
+    s.append(QuerySpec(
+        "top_revenue",
+        lambda sp, d: agg.top_revenue(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_type, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id, event_type
+        ORDER BY total_value DESC, user_id, event_type LIMIT 50
+        """,
+        ("agg", "topk"),
+        "grouped SUM + ORDER BY DESC LIMIT (vehicle_counting_app.py:38-47)",
+    ))
+    s.append(QuerySpec(
+        "conditional_agg",
+        lambda sp, d: agg.conditional_agg(_t(sp, d, "events")),
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               ROUND(AVG(value), 2) AS avg_value,
+               ROUND(MAX(value), 2) AS max_value,
+               ROUND(MIN(value), 2) AS min_value
+        FROM events GROUP BY event_type
+        """,
+        ("agg",),
+        "multi-agg with SUM(CASE WHEN) (fire_detection_app.py:64-74)",
+    ))
+    s.append(QuerySpec(
+        "time_bucket",
+        lambda sp, d: agg.time_bucket(_t(sp, d, "events")),
+        """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n_events, ROUND(AVG(value), 2) AS avg_value,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        ("agg", "time"),
+        "tumbling time-bucket agg (fire_detection_app.py:91-102)",
+    ))
+    s.append(QuerySpec(
+        "count_distinct_users",
+        lambda sp, d: agg.count_distinct_users(_t(sp, d, "events")),
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+        """,
+        ("agg",),
+        "COUNT DISTINCT per group (vehicle_counting_app.py:113-114)",
+    ))
+    s.append(QuerySpec(
+        "histogram_domain_fill",
+        lambda sp, d: agg.histogram_with_domain(_t(sp, d, "events"), EVENT_DOMAIN),
+        """
+        WITH domain(event_type) AS (
+          VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error'), ('refund')),
+        counts AS (
+          SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+          FROM events GROUP BY event_type)
+        SELECT d.event_type, COALESCE(c.n, 0) AS n,
+               COALESCE(c.total_value, 0.0) AS total_value
+        FROM domain d LEFT JOIN counts c USING (event_type)
+        """,
+        ("agg",),
+        "value histogram with domain fill (streamlit_app.py:76-81)",
+    ))
+
+    # ---- joins (SURVEY §2.4 — the reference's biggest gap) -------------
+    s.append(QuerySpec(
+        "regional_customers",
+        lambda sp, d: joins.regional_customer_stats(
+            _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")),
+        """
+        SELECT r_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+               ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """,
+        ("join", "broadcast"),
+        "two-hop broadcast dimension join",
+    ))
+    s.append(QuerySpec(
+        "order_revenue_by_priority",
+        lambda sp, d: joins.order_revenue_by_priority(
+            _t(sp, d, "lineitem"), _t(sp, d, "orders")),
+        """
+        WITH per_order AS (
+          SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderpriority, ROUND(SUM(rev), 2) AS revenue, COUNT(*) AS n_orders
+        FROM per_order JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """,
+        ("join",),
+        "fact⋈fact equi-join with pre-aggregation",
+    ))
+    s.append(QuerySpec(
+        "customers_with_orders",
+        lambda sp, d: joins.customers_with_orders(
+            _t(sp, d, "customer"), _t(sp, d, "orders")),
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100.0)
+        GROUP BY c_mktsegment
+        """,
+        ("join", "semi"),
+        "LEFT SEMI (EXISTS) join",
+    ))
+    s.append(QuerySpec(
+        "parts_never_ordered",
+        lambda sp, d: joins.parts_never_ordered(
+            _t(sp, d, "part"), _t(sp, d, "lineitem")),
+        """
+        SELECT p_partkey, p_name, p_brand FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        ("join", "anti"),
+        "LEFT ANTI (NOT EXISTS) join",
+    ))
+    s.append(QuerySpec(
+        "prior_events_within",
+        lambda sp, d: joins.prior_events_within(_t(sp, d, "events")),
+        """
+        SELECT a.event_id, a.user_id,
+               (SELECT COUNT(*) FROM events p
+                WHERE p.event_type = 'click' AND p.user_id = a.user_id
+                  AND p.ts >= a.ts - INTERVAL 10 MINUTE AND p.ts < a.ts) AS n_prior
+        FROM events a WHERE a.event_type = 'error'
+        """,
+        ("join", "range"),
+        "bounded range self-join (as-of analog)",
+    ))
+
+    # ---- windows (SURVEY §2.5) -----------------------------------------
+    s.append(QuerySpec(
+        "latest_event_per_user",
+        lambda sp, d: windows.latest_event_per_user(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_id, event_type, value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
+        """,
+        ("window",),
+        "row_number latest-per-key",
+    ))
+    s.append(QuerySpec(
+        "running_total_per_user",
+        lambda sp, d: windows.running_total_per_user(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_id,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        FROM events
+        """,
+        ("window",),
+        "running SUM per key",
+    ))
+    s.append(QuerySpec(
+        "inter_event_gap_ms",
+        lambda sp, d: windows.inter_event_gap_ms(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_id,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events
+        """,
+        ("window",),
+        "lag() inter-event gap in ms",
+    ))
+    s.append(QuerySpec(
+        "top_k_per_group",
+        lambda sp, d: windows.top_k_per_group(_t(sp, d, "events")),
+        """
+        SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, user_id,
+               ROUND(value, 2) AS value FROM (
+          SELECT event_type, event_id, user_id, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+          FROM events) t
+        WHERE rk <= 3
+        """,
+        ("window", "topk"),
+        "top-k per group via partitioned window",
+    ))
+
+    # ---- reshape (SURVEY §2.8) -----------------------------------------
+    s.append(QuerySpec(
+        "explode_words",
+        lambda sp, d: reshape.explode_words(_t(sp, d, "documents")),
+        """
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        ("reshape", "explode"),
+        "explode + word count (D1, vehicle_consumer.py:171-176)",
+    ))
+    s.append(QuerySpec(
+        "pivot_event_counts",
+        lambda sp, d: reshape.pivot_event_counts(_t(sp, d, "events"), EVENT_TYPES),
+        """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+               COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+               COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error
+        FROM events GROUP BY user_id
+        """,
+        ("reshape", "pivot"),
+        "long→wide pivot, explicit value list (D2)",
+    ))
+    s.append(QuerySpec(
+        "melt_pricing",
+        lambda sp, d: reshape.melt_pricing(_t(sp, d, "lineitem")),
+        """
+        WITH agg AS (
+          SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                 ROUND(SUM(l_extendedprice), 2) AS sum_price
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+        """,
+        ("reshape", "melt"),
+        "wide→long melt via stack() (D3)",
+    ))
+
+    # ---- scalars / projections / sampling (SURVEY §2.2, §2.6, §2.9) ----
+    s.append(QuerySpec(
+        "json_props_stats",
+        lambda sp, d: scalars.json_props_stats(_t(sp, d, "events")),
+        """
+        SELECT event_type, ROUND(AVG(k), 2) AS avg_k, MAX(k) AS max_k,
+               COUNT(k) AS n_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events) t
+        GROUP BY event_type
+        """,
+        ("scalar", "json"),
+        "from_json with explicit schema (P2)",
+    ))
+    s.append(QuerySpec(
+        "regex_keyword_hits",
+        lambda sp, d: scalars.regex_keyword_hits(_t(sp, d, "documents")),
+        r"""
+        SELECT lang, keyword, COUNT(*) AS n FROM (
+          SELECT lang,
+                 regexp_extract(text, '\b(spark|join|merge|stream)\b', 1) AS keyword
+          FROM documents) t
+        WHERE keyword <> '' GROUP BY lang, keyword
+        """,
+        ("scalar", "regex"),
+        "regexp_extract tagging (P5)",
+    ))
+    s.append(QuerySpec(
+        "scalar_projection",
+        lambda sp, d: scalars.scalar_projection(_t(sp, d, "documents")),
+        """
+        SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS len_chars,
+               ROUND(n_chars / 100.0, 2) AS hecto_chars,
+               UPPER(lang) AS lang_uc,
+               SUBSTRING(text, 1, 10) AS prefix10,
+               CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
+        FROM documents
+        """,
+        ("scalar",),
+        "length/round/upper/substring/CASE (P8, P9)",
+    ))
+    s.append(QuerySpec(
+        "epoch_roundtrip",
+        lambda sp, d: scalars.epoch_roundtrip(_t(sp, d, "events")),
+        """
+        SELECT event_id, epoch_ms(ts) AS epoch_ms,
+               make_timestamp(epoch_ms(ts) * 1000) AS ts_roundtrip,
+               date_trunc('day', ts) AS day
+        FROM events
+        """,
+        ("scalar", "time"),
+        "epoch↔timestamp conversion (P7)",
+    ))
+    s.append(QuerySpec(
+        "systematic_sample",
+        lambda sp, d: scalars.systematic_sample(_t(sp, d, "events")),
+        """
+        SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+        FROM events WHERE event_id % 37 = 0
+        """,
+        ("sample",),
+        "deterministic systematic sample (O2 analog)",
+    ))
+
+    # ---- set operations (SURVEY §2.7) ----------------------------------
+    s.append(QuerySpec(
+        "users_intersect",
+        lambda sp, d: sets.users_intersect(_t(sp, d, "events"), "purchase", "error"),
+        """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        ("set",),
+        "INTERSECT",
+    ))
+    s.append(QuerySpec(
+        "users_except",
+        lambda sp, d: sets.users_except(_t(sp, d, "events"), "click", "purchase"),
+        """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        ("set",),
+        "EXCEPT",
+    ))
+    s.append(QuerySpec(
+        "distinct_user_type_pairs",
+        lambda sp, d: sets.all_user_type_pairs(_t(sp, d, "events")),
+        "SELECT DISTINCT user_id, event_type FROM events",
+        ("set", "dedup"),
+        "dropDuplicates on projection",
+    ))
+
+    # ---- text analysis (north star) ------------------------------------
+    s.append(QuerySpec(
+        "text_quality_stats",
+        lambda sp, d: text.quality_stats(_t(sp, d, "documents")),
+        f"""
+        SELECT doc_id, lang,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+               ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS lexical_diversity,
+               ROUND(len(list_filter(toks, t -> t IN ('the','a','and','of'))) * 1.0
+                     / len(toks), 4) AS stopword_ratio,
+               ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0
+                     / len(toks), 4) AS mean_token_len
+        FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents) t
+        """,
+        ("text",),
+        "per-doc quality scoring (token/diversity/stopword stats)",
+    ))
+    s.append(QuerySpec(
+        "corpus_language_stats",
+        lambda sp, d: text.corpus_language_stats(_t(sp, d, "documents")),
+        f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+               ROUND(AVG(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang
+        """,
+        ("text", "agg"),
+        "per-language corpus rollup",
+    ))
+    s.append(QuerySpec(
+        "doc_sentiment_scores",
+        lambda sp, d: sentiment.score_documents(_t(sp, d, "documents")),
+        f"""
+        SELECT doc_id,
+               CAST(len(list_filter({_TOKS}, t -> t IN ('fast','small'))) AS INTEGER) AS n_pos,
+               CAST(len(list_filter({_TOKS}, t -> t IN ('slow','big'))) AS INTEGER) AS n_neg,
+               CASE WHEN len(list_filter({_TOKS}, t -> t IN ('fast','small')))
+                       > len(list_filter({_TOKS}, t -> t IN ('slow','big'))) THEN 'POS'
+                    WHEN len(list_filter({_TOKS}, t -> t IN ('slow','big')))
+                       > len(list_filter({_TOKS}, t -> t IN ('fast','small'))) THEN 'NEG'
+                    ELSE 'NEU' END AS label
+        FROM documents
+        """,
+        ("text", "udf"),
+        "pandas_udf keyword sentiment (U1/U2 analog) vs pure-SQL oracle",
+    ))
+    s.append(QuerySpec(
+        "sentiment_distribution",
+        lambda sp, d: sentiment.sentiment_distribution(_t(sp, d, "documents")),
+        f"""
+        SELECT lang, label, COUNT(*) AS n FROM (
+          SELECT lang,
+                 CASE WHEN len(list_filter({_TOKS}, t -> t IN ('fast','small')))
+                         > len(list_filter({_TOKS}, t -> t IN ('slow','big'))) THEN 'POS'
+                      WHEN len(list_filter({_TOKS}, t -> t IN ('slow','big')))
+                         > len(list_filter({_TOKS}, t -> t IN ('fast','small'))) THEN 'NEG'
+                      ELSE 'NEU' END AS label
+          FROM documents) t
+        GROUP BY lang, label
+        """,
+        ("text", "udf", "agg"),
+        "sentiment histogram per language (streamlit_app.py:76-81 analog)",
+    ))
+    s.append(QuerySpec(
+        "language_id",
+        lambda sp, d: text.detect_language(_t(sp, d, "documents")),
+        None,  # heuristic n-gram scorer — not SQL-expressible; rows-only
+        ("text", "udf"),
+        "language-ID heuristic over text column",
+    ))
+
+    # ---- dedup (north star) ---------------------------------------------
+    s.append(QuerySpec(
+        "dedup_exact",
+        lambda sp, d: dedup_exact_mod.dedup_exact(_t(sp, d, "documents")),
+        f"""
+        SELECT MIN(doc_id) AS doc_id, {_FP} AS fp, COUNT(*) AS n_copies
+        FROM documents GROUP BY fp
+        """,
+        ("dedup",),
+        "exact dedup by md5 fingerprint of normalized text",
+    ))
+    s.append(QuerySpec(
+        "dedup_stats_by_lang",
+        lambda sp, d: dedup_exact_mod.dedup_stats_by_lang(_t(sp, d, "documents")),
+        f"""
+        SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT {_FP}) AS n_unique,
+               ROUND(1 - COUNT(DISTINCT {_FP}) * 1.0 / COUNT(*), 4) AS dup_rate
+        FROM documents GROUP BY lang
+        """,
+        ("dedup", "agg"),
+        "dedup-rate rollup per language",
+    ))
+    s.append(QuerySpec(
+        "minhash_near_duplicates",
+        lambda sp, d: minhash.near_duplicates(_t(sp, d, "documents")),
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+        vocab AS (
+          SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
+          FROM (SELECT DISTINCT tok FROM toks) v),
+        tt AS (SELECT doc_id, tok_id FROM toks JOIN vocab USING (tok)),
+        sigs AS (
+          SELECT doc_id,
+                 MIN((3*tok_id+1)%8191)    AS h0,  MIN((5*tok_id+2)%8191)    AS h1,
+                 MIN((7*tok_id+4)%8191)    AS h2,  MIN((11*tok_id+8)%8191)   AS h3,
+                 MIN((13*tok_id+16)%8191)  AS h4,  MIN((17*tok_id+32)%8191)  AS h5,
+                 MIN((19*tok_id+64)%8191)  AS h6,  MIN((23*tok_id+128)%8191) AS h7,
+                 MIN((29*tok_id+256)%8191) AS h8,  MIN((31*tok_id+512)%8191) AS h9,
+                 MIN((37*tok_id+1024)%8191) AS h10, MIN((41*tok_id+2048)%8191) AS h11
+          FROM tt GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat_ws('_', h0, h1, h2, h3) AS sig FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, concat_ws('_', h4, h5, h6, h7) FROM sigs
+          UNION ALL
+          SELECT doc_id, 2, concat_ws('_', h8, h9, h10, h11) FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                   AND a.doc_id < b.doc_id),
+        isz AS (
+          SELECT c.id1, c.id2, COUNT(*) AS n
+          FROM cand c
+          JOIN tt t1 ON t1.doc_id = c.id1
+          JOIN tt t2 ON t2.doc_id = c.id2 AND t2.tok_id = t1.tok_id
+          GROUP BY c.id1, c.id2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id)
+        SELECT id1, id2,
+               ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) AS jaccard
+        FROM isz
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) >= 0.8
+        """,
+        ("dedup", "lsh"),
+        "MinHash+LSH near-dup: banding candidates, exact-Jaccard verify",
+    ))
+    s.append(QuerySpec(
+        "ngram_jaccard_pairs",
+        lambda sp, d: ngram.pairwise_jaccard(_t(sp, d, "documents")),
+        f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 30),
+        sh AS (
+          SELECT doc_id, list_distinct(
+            [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             for i in range(1, len(toks) - 1)]) AS gs
+          FROM t),
+        tt AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n
+          FROM tt a JOIN tt b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2, ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) > 0.0
+        """,
+        ("dedup", "ngram"),
+        "exact n-gram shingle Jaccard (bounded verification kernel)",
+    ))
+    s.append(QuerySpec(
+        "simhash_near_duplicates",
+        lambda sp, d: simhash.near_duplicates(_t(sp, d, "documents")),
+        None,  # xxhash64-based — Spark-internal hash; property-tested instead
+        ("dedup", "simhash"),
+        "banded 64-bit SimHash near-dup pairs",
+    ))
+
+    # ---- similarity search (north star) ---------------------------------
+    cos_e_q = _cos_sql("embedding", "qe")
+    s.append(QuerySpec(
+        "knn_cosine_topk",
+        lambda sp, d: knn.cosine_topk(_t(sp, d, "embeddings")),
+        f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, ROUND({cos_e_q}, 4) AS cos_sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        ("similarity", "knn"),
+        "brute-force cosine top-k (broadcast query vector)",
+    ))
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
+    s.append(QuerySpec(
+        "embedding_near_duplicates",
+        lambda sp, d: knn.blocked_near_duplicates(_t(sp, d, "embeddings")),
+        f"""
+        SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
+               ROUND({cos_ab}, 4) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({cos_ab}, 4) >= 0.35
+        """,
+        ("similarity", "dedup"),
+        "label-blocked embedding-cosine near-dup pairs",
+    ))
+    cos_e_c = _cos_sql("e.embedding", "c.c")
+    cos_c_q = _cos_sql("c.c", "qe")
+    s.append(QuerySpec(
+        "ivf_topk",
+        lambda sp, d: knn.ivf_topk(_t(sp, d, "embeddings")),
+        f"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+          WHERE vec_id < 8),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        ac AS (
+          SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+                 {cos_e_c} AS cos_c
+          FROM embeddings e, cent c),
+        assigned AS (
+          SELECT vec_id, label, embedding, centroid_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id) AS rn
+            FROM ac) t WHERE rn = 1),
+        probe AS (
+          SELECT centroid_id FROM (
+            SELECT c.centroid_id, {cos_c_q} AS cos_q FROM cent c, q) t
+          ORDER BY cos_q DESC, centroid_id LIMIT 2)
+        SELECT vec_id, label, centroid_id,
+               ROUND({cos_e_q}, 4) AS cos_sim
+        FROM assigned JOIN probe USING (centroid_id), q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        ("similarity", "knn", "ivf"),
+        "IVF top-k: nearest-centroid partitions, nprobe=2",
+    ))
+    s.append(QuerySpec(
+        "embedding_stats",
+        lambda sp, d: arrays.embedding_stats(_t(sp, d, "embeddings")),
+        """
+        SELECT vec_id, label,
+               CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+                    AS INTEGER) AS argmax_pos,
+               ROUND(list_sum(list_transform(embedding[1:8],
+                     x -> CAST(x AS DOUBLE))), 4) AS head8_sum,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        FROM embeddings
+        """,
+        ("similarity", "array"),
+        "array slice/argmax/norm (§2.9 array surface)",
+    ))
+
+    # ---- streaming (SURVEY §2.10) ----------------------------------------
+    def _stream_tumbling(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.tumbling_counts(streams.stream_events(sp, d)), "complete"
+        )
+
+    s.append(QuerySpec(
+        "stream_tumbling_counts",
+        _stream_tumbling,
+        """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        ("streaming", "window"),
+        "streaming tumbling window == batch time-bucket (A3 twin)",
+    ))
+
+    def _stream_dedup(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.streaming_dedup(streams.stream_events(sp, d)), "append"
+        )
+
+    s.append(QuerySpec(
+        "stream_dedup_pairs",
+        _stream_dedup,
+        "SELECT DISTINCT user_id, event_type FROM events",
+        ("streaming", "dedup"),
+        "streaming dropDuplicates == batch DISTINCT",
+    ))
+
+    def _stream_sink(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        from pyspark.sql import functions as F
+        filtered = streams.stream_events(sp, d).filter(F.col("value") > 150).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        out = streams.run_foreach_batch_to_parquet(filtered)
+        return sp.read.parquet(out).drop("_batch_id")
+
+    s.append(QuerySpec(
+        "stream_foreach_batch_sink",
+        _stream_sink,
+        """
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE value > 150
+        """,
+        ("streaming", "sink"),
+        "foreachBatch append sink round-trip (S5/S6 analog)",
+    ))
+
+    def _batch_sessions(sp: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        ev = _t(sp, d, "events")
+        return (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    s.append(QuerySpec(
+        "session_windows",
+        _batch_sessions,
+        """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM s GROUP BY user_id, sid
+        """,
+        ("streaming", "session"),
+        "gap-based session windows (session_window vs lag/cumsum oracle)",
+    ))
+
+    def _batch_sliding(sp: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        ev = _t(sp, d, "events")
+        return (
+            ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    s.append(QuerySpec(
+        "sliding_windows",
+        _batch_sliding,
+        """
+        WITH w AS (
+          SELECT date_trunc('hour', ts) AS w_start, event_type FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+        SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type,
+               COUNT(*) AS n_events
+        FROM w GROUP BY 1, 2, 3
+        """,
+        ("streaming", "window"),
+        "sliding windows (each event in width/slide buckets)",
+    ))
+
+    # ---- multimodal plumbing (north star; deterministic fake codec) -----
+    def _frame_meta(sp: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        tune_session(sp)
+        ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
+        frames = codecs.synthesize_frames(ev)
+        return codecs.decode_frame_meta(frames)
+
+    s.append(QuerySpec(
+        "frame_metadata",
+        _frame_meta,
+        """
+        SELECT user_id AS camera_id, event_id AS frame_number,
+               CAST(640 AS INTEGER) AS width,
+               CAST(360 + (user_id % 4) * 90 AS INTEGER) AS height,
+               'fakeimg' AS codec,
+               CAST(24 + GREATEST(16, (640 * (360 + (user_id % 4) * 90)) // 64)
+                    AS INTEGER) AS n_bytes
+        FROM events WHERE event_id % 101 = 0
+        """,
+        ("multimodal", "udf"),
+        "binary frame synth → mapInPandas metadata decode round-trip",
+    ))
+
+    return s
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return {spec.name: spec for spec in _specs()}

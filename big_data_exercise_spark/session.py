@@ -1,0 +1,98 @@
+"""SparkSession factory and runtime tuning.
+
+The reference builds its sessions ad hoc per consumer with Arrow
+*disabled* and a fixed ``shuffle.partitions=4``
+(reference: projects/absa_streaming/scripts/consumer_postgres_streaming.py:198-215,
+projects/vehicle_counting/scripts/vehicle_consumer.py:24-35). We invert
+both decisions: Arrow on (vectorized JVM↔Python transfer for every
+pandas UDF) and AQE on (runtime shuffle-partition coalescing, skew-join
+splitting) — see SURVEY.md §4.
+
+Scale notes (100 TB / 1000-executor target):
+
+* AQE handles post-shuffle partition sizing at any scale, so we do not
+  hardcode a small partition count; the static ``shuffle.partitions``
+  is just the pre-AQE upper bound and should be ~2-3× total cores on a
+  real cluster.
+* ``session.timeZone=UTC`` pins timestamp semantics so event-time
+  operators (windows, date_trunc) are cluster-placement independent —
+  and match the DuckDB oracle.
+* ``files.maxPartitionBytes`` stays at the 128 MB default: at 100 TB
+  that yields ~800k input splits, which Spark's driver handles fine and
+  keeps per-task memory bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session (including one handed to
+# us by an external driver). Keep to confs that are safe post-startup.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The synthetic events table stores TIMESTAMP(NANOS) parquet, which
+    # Spark refuses by default; read as long and convert in tables.py
+    # (ns → µs integer division, matching DuckDB's truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ANSI off: the reference's semantics are permissive (NULL on bad
+    # cast, e.g. CAST(value AS STRING) chains) and the DuckDB oracle
+    # comparison only exercises well-typed data anyway.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent).
+
+    Used both by our own factory and on sessions created by the test
+    driver, so oracle-critical settings (UTC, Arrow) always hold.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment; keep going
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(
+    app_name: str = "big-data-exercise-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    Local mode is a stand-in for the real cluster: one JVM, N threads.
+    All scale-relevant behavior (partitioning, shuffles, AQE, broadcast
+    thresholds) is configured identically to what a cluster deployment
+    would use, so plans observed locally are the plans we'd get at scale.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark, shuffle_partitions)

@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+The reference carries model-output float vectors through its pipeline
+(consumer_postgres_streaming.py:317-322) but never searches them; this
+module supplies the north-star similarity-search operators.
+
+* ``cosine_topk`` — brute-force: broadcast the query vector, one
+  codegen'd cosine per row, TakeOrderedAndProject top-k. Exact; O(N·d)
+  with NO shuffle of the embedding table (only k rows move). This is
+  already the right 100 TB plan for single-query search.
+* ``ivf_assignments`` / ``ivf_topk`` — IVF: deterministic centroid
+  set (first n_centroids vectors), assign every vector to its nearest
+  centroid once (broadcast centroids), then probe only the closest
+  ``nprobe`` centroid partitions per query. At scale the assignment
+  becomes a write-time partitioning (``partitionBy("centroid_id")``)
+  so a probe reads only matching parquet partitions — partition
+  pruning on the vector table.
+
+All cosine math uses functions.arrays (double-precision fold, no
+UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from big_data_exercise_spark.functions.arrays import cosine
+
+
+def _query_vector(embeddings: DataFrame, query_id: int) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact cosine top-k vs the embedding of ``query_id`` (excluded
+    from results). Deterministic tie-break on vec_id."""
+    q = _query_vector(embeddings, query_id)
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+def blocked_near_duplicates(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Blocking turns the all-pairs O(N²) comparison into
+    sum-over-blocks O(Σ|block|²): the join is an equi-join on label →
+    hash-partitioned, skew handled by AQE. At 100 TB the block key
+    would be an LSH bucket or IVF centroid instead of a given label —
+    same plan shape.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("label"), F.col("embedding").alias("e1")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("label"), F.col("embedding").alias("e2")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("label", "id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine).
+
+    Centroids are the first ``n_centroids`` vectors by vec_id —
+    deterministic 'training' so results are reproducible and
+    oracle-checkable. Broadcast centroids → narrow scan + small
+    row_number window per vector (partitioned by vec_id, width
+    n_centroids).
+    """
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("c")).alias("cos_c"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroids nearest the query,
+    brute-force only inside those partitions. Approximate (recall <
+    1.0 when true neighbors live in unprobed cells) — the scale path;
+    ``cosine_topk`` is the exact baseline."""
+    assigned = ivf_assignments(embeddings, n_centroids)
+    q = _query_vector(embeddings, query_id)
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", cosine(F.col("c"), F.col("q")).alias("cos_q"))
+        .orderBy(F.desc("cos_q"), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

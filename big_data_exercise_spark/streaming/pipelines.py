@@ -1,0 +1,159 @@
+"""Streaming pipelines over the events table.
+
+The reference's three pipelines are Kafka → parse → UDF → foreachBatch
+JDBC (SURVEY.md §2.1 S1-S7) with NO event-time semantics: no
+watermark, fixed processing-time triggers, post-hoc bucketing in
+Postgres (fire_detection_app.py:91-102). This module supplies the
+idiomatic versions:
+
+* file stream source standing in for Kafka (same micro-batch
+  DataFrame semantics; swap ``format("kafka")`` + ``from_json`` for
+  production — the parse stage is identical to
+  operators.scalars.json_props_stats);
+* event-time tumbling / sliding / session windows with watermarks;
+* streaming deduplication;
+* ``foreachBatch`` append sink to parquet (the JDBC-append analog,
+  consumer_postgres_streaming.py:427-440) with checkpointing.
+
+Every pipeline runs with ``availableNow`` + ``processAllAvailable``
+for deterministic batch-equivalence testing: stream result ==
+batch result on the same input (the DuckDB oracle checks the batch
+semantics).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from big_data_exercise_spark.tables import normalize_table, raw_schema, table_path
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events parquet — the test
+    stand-in for the Kafka source (S1). Schema is declared explicitly
+    (the reference's policy: explicit StructType for every stream,
+    SURVEY.md §1.2); the ns→µs timestamp normalization is applied on
+    the stream exactly as in batch."""
+    schema = raw_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # micro-batch rate limiting (S2 analog)
+        .parquet(table_path(sf_dir, "events"))
+    )
+    return normalize_table("events", stream)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregation with watermark — the
+    streaming twin of operators.aggregations.time_bucket (A3)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding window counts (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "event_type", "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) — new capability, semantics
+    defined by us (SURVEY.md §2.10)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) — first
+    occurrence wins, emitted immediately in append mode."""
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(
+    result: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow semantics
+    via processAllAvailable) into a memory sink; return the final
+    table as a batch DataFrame.
+
+    ``complete`` mode for windowed aggregations so trailing windows
+    (which the watermark never closes on a finite input) are included
+    — this is what makes stream results comparable to the batch
+    oracle. Append-safe plans (dedup, projections) pass
+    ``output_mode="append"``.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdes_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    spark = result.sparkSession
+    # Materialize: the memory table dies with the query registry churn.
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def run_foreach_batch_to_parquet(
+    result: DataFrame, out_dir: str | None = None
+) -> str:
+    """foreachBatch append sink (S5/S6 analog): each micro-batch is
+    appended to a parquet table — the JDBC-append pattern of the
+    reference (consumer_postgres_streaming.py:427-440) with a durable
+    checkpoint (we keep checkpoints; the reference wiped them per
+    Airflow cycle, making delivery at-least-once — SURVEY.md §2.10).
+    Returns the output directory."""
+    out = out_dir or tempfile.mkdtemp(prefix="bdes_sink_")
+    ckpt = tempfile.mkdtemp(prefix="bdes_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent-append improvement over the reference: tag rows
+        # with the batch id so replays are identifiable/dedupable.
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
