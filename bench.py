@@ -6,9 +6,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = total wall-clock seconds across headline queries (lower is
-better). Each query is fully executed (count() after a no-op cache
-bypass) so the measured time covers scan → shuffle → result, not plan
-construction.
+better). Each query is fully executed through a noop sink (every
+column materialized — count() would let Catalyst prune computed
+columns) so the measured time covers scan → shuffle → result, not plan
+construction. A failing query contributes its elapsed-at-failure time
+and is reported under "errors" — one bad query can't zero the round's
+perf signal.
 """
 
 from __future__ import annotations
@@ -52,27 +55,39 @@ def main() -> None:
     spark.range(1).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs[name]
         t0 = time.perf_counter()
-        df = spec.build(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            df = spec.build(spark, sf_dir)
+            # noop sink materializes EVERY column (count() lets Catalyst
+            # prune computed columns out of projection-only queries).
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — keep the bench alive
+            timings[name] = round(time.perf_counter() - t0, 3)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED after {timings[name]:.3f}s: {errors[name]}",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    sf_txt = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_txt)
+    except ValueError:
+        sf = None
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -38,7 +38,11 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     sums = toks.groupBy("doc_id").agg(*bit_sums)
     sim = F.lit(0).cast("long")
     for i in range(BITS):
-        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+        # shiftleft (not Python <<, undefined on Column); JVM-side shift
+        # wraps bit 63 into the sign bit, which is fine for a bit pattern.
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return sums.select("doc_id", sim.alias("simhash"))
 
 

@@ -1,13 +1,19 @@
 """Deterministic numeric aggregation helpers.
 
-Floating-point SUM/AVG are accumulation-order dependent; Spark's
-partial aggregation order differs run-to-run and engine-to-engine, so
-``ROUND(SUM(double), 2)`` can flip at a .xx5 boundary vs the DuckDB
-oracle. Fix: accumulate in DECIMAL(30,8) — exact, order-independent —
-and cast back to DOUBLE at the end. The per-row arithmetic feeding the
-cast (e.g. price*(1-discount)) is a single IEEE operation, identical
-on any engine; only the reduction order varied, and decimal removes
-that.
+Two distinct sources of cross-engine drift, both fixed here:
+
+1. **Accumulation order.** Floating-point SUM/AVG are order dependent;
+   Spark's partial aggregation order differs run-to-run and
+   engine-to-engine. Fix: accumulate in DECIMAL(30,8) — exact,
+   order-independent — and cast back to DOUBLE at the end.
+
+2. **Rounding rule.** Engines disagree on ROUND(double) ties: Spark
+   rounds the shortest decimal representation HALF_UP (BigDecimal), so
+   a stored 20.274999…=="20.275" rounds to 20.28, while DuckDB rounds
+   the scaled binary value (20.275*100 = 2027.4999… → 20.27). Fix: an
+   explicit arithmetic rounding formula — floor(x·10^s + 0.5)/10^s for
+   x ≥ 0, ceil(x·10^s − 0.5)/10^s for x < 0 (half away from zero) —
+   built from IEEE ops both engines evaluate identically.
 
 Cost note: decimal aggregation is marginally slower than double
 (no SIMD), but the aggregate state is one 128-bit value per group —
@@ -22,27 +28,47 @@ from pyspark.sql import Column, functions as F
 DEC = "decimal(30,8)"
 
 
+def round_det(col: Column, scale: int = 2) -> Column:
+    """Engine-stable ROUND on a double: half away from zero, computed
+    with explicit floor/ceil so any engine running the same IEEE ops
+    gets the same bits."""
+    m = F.lit(float(10**scale))
+    scaled = col * m
+    return (
+        F.when(scaled >= 0, F.floor(scaled + F.lit(0.5)))
+        .otherwise(F.ceil(scaled - F.lit(0.5)))
+        .cast("double")
+        / m
+    )
+
+
+def round_det_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of round_det (same IEEE ops, same bits)."""
+    m = float(10**scale)
+    return (
+        f"(CAST(CASE WHEN ({expr}) * {m} >= 0 THEN FLOOR(({expr}) * {m} + 0.5) "
+        f"ELSE CEIL(({expr}) * {m} - 0.5) END AS DOUBLE) / {m})"
+    )
+
+
 def exact_sum(col: Column, scale: int = 2) -> Column:
-    """Order-independent rounded SUM of a double expression."""
-    return F.round(F.sum(col.cast(DEC)).cast("double"), scale)
+    """Order-independent, engine-stably-rounded SUM of a double expr."""
+    return round_det(F.sum(col.cast(DEC)).cast("double"), scale)
 
 
 def exact_avg(col: Column, scale: int = 2) -> Column:
     """Order-independent rounded AVG: exact decimal sum ÷ non-null
     count, divided in double (deterministic given exact inputs)."""
-    return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
+    return round_det(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
 
 
 def sum_sql(expr: str, alias: str, scale: int = 2) -> str:
     """DuckDB oracle twin of exact_sum."""
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {scale}) AS {alias}"
-    )
+    inner = f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+    return f"{round_det_sql(inner, scale)} AS {alias}"
 
 
 def avg_sql(expr: str, alias: str, scale: int = 2) -> str:
     """DuckDB oracle twin of exact_avg."""
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) "
-        f"/ COUNT({expr}), {scale}) AS {alias}"
-    )
+    inner = f"(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr}))"
+    return f"{round_det_sql(inner, scale)} AS {alias}"

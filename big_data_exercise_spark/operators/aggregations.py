@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_exercise_spark.functions.numeric import exact_avg, exact_sum
+
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped multi-aggregate: the reference's A1/A2 patterns
@@ -38,13 +40,13 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -62,7 +64,7 @@ def top_revenue(events: DataFrame, k: int = 50) -> DataFrame:
     """
     return (
         events.groupBy("user_id", "event_type")
-        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(exact_sum(F.col("value")).alias("total_value"))
         .orderBy(F.desc("total_value"), "user_id", "event_type")
         .limit(k)
     )
@@ -76,7 +78,7 @@ def conditional_agg(events: DataFrame, threshold: float = 100.0) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.when(F.col("value") > threshold, 1).otherwise(0)).alias("n_high"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            exact_avg(F.col("value")).alias("avg_value"),
             F.round(F.max("value"), 2).alias("max_value"),
             F.round(F.min("value"), 2).alias("min_value"),
         )
@@ -97,8 +99,8 @@ def time_bucket(events: DataFrame, unit: str = "hour") -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            exact_avg(F.col("value")).alias("avg_value"),
+            exact_sum(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -133,7 +135,7 @@ def histogram_with_domain(
     spark = events.sparkSession
     domain_df = spark.createDataFrame([(d,) for d in domain], ["event_type"])
     counts = events.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n"), exact_sum(F.col("value")).alias("total_value")
     )
     return (
         domain_df.join(counts, "event_type", "left")

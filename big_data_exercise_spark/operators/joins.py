@@ -21,6 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_exercise_spark.functions.numeric import (
+    DEC,
+    exact_avg,
+    exact_sum,
+    round_det,
+)
+
 
 def regional_customer_stats(
     customer: DataFrame, nation: DataFrame, region: DataFrame
@@ -37,8 +44,8 @@ def regional_customer_stats(
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            exact_sum(F.col("c_acctbal")).alias("total_acctbal"),
+            exact_avg(F.col("c_acctbal")).alias("avg_acctbal"),
         )
     )
 
@@ -51,14 +58,18 @@ def order_revenue_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFra
     input by the lineitem:orders fan-in (~4×) and makes the join key
     unique on both sides.
     """
+    # Both aggregation levels accumulate in exact decimal so the result
+    # is independent of partial-agg order (oracle-stable at any SF).
     per_order = lineitem.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("rev")
     )
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum("rev"), 2).alias("revenue"),
+            round_det(F.sum("rev").cast("double"), 2).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )

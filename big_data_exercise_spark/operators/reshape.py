@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_exercise_spark.functions.numeric import exact_sum
+
 
 def explode_words(documents: DataFrame, k: int = 20) -> DataFrame:
     """Tokenize + explode + count: the D1 explode pattern applied to
@@ -50,8 +52,8 @@ def melt_pricing(lineitem: DataFrame) -> DataFrame:
     unpivot two aggregate measures into (measure, value) rows.
     stack is a pure projection — zero shuffle beyond the agg."""
     agg = lineitem.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
     )
     return agg.selectExpr(
         "l_returnflag",

@@ -39,6 +39,7 @@ from big_data_exercise_spark.operators import (
     windows,
 )
 from big_data_exercise_spark.functions import arrays, sentiment, text
+from big_data_exercise_spark.functions.numeric import avg_sql, round_det_sql, sum_sql
 from big_data_exercise_spark.dedup import exact as dedup_exact_mod
 from big_data_exercise_spark.dedup import minhash, ngram, simhash
 from big_data_exercise_spark.similarity import knn
@@ -90,16 +91,16 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "pricing_summary",
         lambda sp, d: agg.pricing_summary(_t(sp, d, "lineitem")),
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
-               ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
-               ROUND(AVG(l_discount), 4)                                    AS avg_disc,
-               COUNT(*)                                                     AS count_order
+               {sum_sql("l_quantity", "sum_qty")},
+               {sum_sql("l_extendedprice", "sum_base_price")},
+               {sum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+               {avg_sql("l_quantity", "avg_qty")},
+               {avg_sql("l_extendedprice", "avg_price")},
+               {avg_sql("l_discount", "avg_disc", 4)},
+               COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -111,8 +112,8 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "top_revenue",
         lambda sp, d: agg.top_revenue(_t(sp, d, "events")),
-        """
-        SELECT user_id, event_type, ROUND(SUM(value), 2) AS total_value
+        f"""
+        SELECT user_id, event_type, {sum_sql("value", "total_value")}
         FROM events GROUP BY user_id, event_type
         ORDER BY total_value DESC, user_id, event_type LIMIT 50
         """,
@@ -122,10 +123,10 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "conditional_agg",
         lambda sp, d: agg.conditional_agg(_t(sp, d, "events")),
-        """
+        f"""
         SELECT event_type, COUNT(*) AS n_events,
                CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-               ROUND(AVG(value), 2) AS avg_value,
+               {avg_sql("value", "avg_value")},
                ROUND(MAX(value), 2) AS max_value,
                ROUND(MIN(value), 2) AS min_value
         FROM events GROUP BY event_type
@@ -136,10 +137,10 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "time_bucket",
         lambda sp, d: agg.time_bucket(_t(sp, d, "events")),
-        """
+        f"""
         SELECT date_trunc('hour', ts) AS bucket, event_type,
-               COUNT(*) AS n_events, ROUND(AVG(value), 2) AS avg_value,
-               ROUND(SUM(value), 2) AS sum_value
+               COUNT(*) AS n_events, {avg_sql("value", "avg_value")},
+               {sum_sql("value", "sum_value")}
         FROM events GROUP BY 1, 2
         """,
         ("agg", "time"),
@@ -158,11 +159,11 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "histogram_domain_fill",
         lambda sp, d: agg.histogram_with_domain(_t(sp, d, "events"), EVENT_DOMAIN),
-        """
+        f"""
         WITH domain(event_type) AS (
           VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error'), ('refund')),
         counts AS (
-          SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+          SELECT event_type, COUNT(*) AS n, {sum_sql("value", "total_value")}
           FROM events GROUP BY event_type)
         SELECT d.event_type, COALESCE(c.n, 0) AS n,
                COALESCE(c.total_value, 0.0) AS total_value
@@ -177,10 +178,10 @@ def _specs() -> list[QuerySpec]:
         "regional_customers",
         lambda sp, d: joins.regional_customer_stats(
             _t(sp, d, "customer"), _t(sp, d, "nation"), _t(sp, d, "region")),
-        """
+        f"""
         SELECT r_name, COUNT(*) AS n_customers,
-               ROUND(SUM(c_acctbal), 2) AS total_acctbal,
-               ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+               {sum_sql("c_acctbal", "total_acctbal")},
+               {avg_sql("c_acctbal", "avg_acctbal")}
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -193,11 +194,14 @@ def _specs() -> list[QuerySpec]:
         "order_revenue_by_priority",
         lambda sp, d: joins.order_revenue_by_priority(
             _t(sp, d, "lineitem"), _t(sp, d, "orders")),
-        """
+        f"""
         WITH per_order AS (
-          SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+          SELECT l_orderkey,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev
           FROM lineitem GROUP BY l_orderkey)
-        SELECT o_orderpriority, ROUND(SUM(rev), 2) AS revenue, COUNT(*) AS n_orders
+        SELECT o_orderpriority,
+               {round_det_sql("CAST(SUM(rev) AS DOUBLE)")} AS revenue,
+               COUNT(*) AS n_orders
         FROM per_order JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
         """,
@@ -327,10 +331,10 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "melt_pricing",
         lambda sp, d: reshape.melt_pricing(_t(sp, d, "lineitem")),
-        """
+        f"""
         WITH agg AS (
-          SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
-                 ROUND(SUM(l_extendedprice), 2) AS sum_price
+          SELECT l_returnflag, {sum_sql("l_quantity", "sum_qty")},
+                 {sum_sql("l_extendedprice", "sum_price")}
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
         UNION ALL
@@ -698,9 +702,9 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "stream_tumbling_counts",
         _stream_tumbling,
-        """
+        f"""
         SELECT date_trunc('hour', ts) AS bucket, event_type,
-               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+               COUNT(*) AS n_events, {sum_sql("value", "sum_value")}
         FROM events GROUP BY 1, 2
         """,
         ("streaming", "window"),
@@ -743,10 +747,11 @@ def _specs() -> list[QuerySpec]:
 
     def _batch_sessions(sp: SparkSession, d: str) -> DataFrame:
         from pyspark.sql import functions as F
+        from big_data_exercise_spark.functions.numeric import exact_sum
         ev = _t(sp, d, "events")
         return (
             ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .agg(F.count("*").alias("n_events"), exact_sum(F.col("value")).alias("sum_value"))
             .select(
                 F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"),
@@ -759,9 +764,9 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "session_windows",
         _batch_sessions,
-        """
+        f"""
         WITH o AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, event_id, ts, value,
                  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                            IS NULL
                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -775,7 +780,7 @@ def _specs() -> list[QuerySpec]:
           FROM o)
         SELECT MIN(ts) AS session_start,
                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-               user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+               user_id, COUNT(*) AS n_events, {sum_sql("value", "sum_value")}
         FROM s GROUP BY user_id, sid
         """,
         ("streaming", "session"),

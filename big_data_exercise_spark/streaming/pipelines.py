@@ -28,7 +28,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from big_data_exercise_spark.tables import normalize_table, raw_schema, table_path
+from big_data_exercise_spark.functions.numeric import exact_sum
+from big_data_exercise_spark.tables import normalize_table, raw_schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,10 +39,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §1.2); the ns→µs timestamp normalization is applied on
     the stream exactly as in batch."""
     schema = raw_schema(spark, sf_dir, "events")
+    # FileStreamSource requires a *directory*; the test data is a single
+    # parquet file inside a read-only dir, so stream the parent directory
+    # and glob down to just the events file.
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # micro-batch rate limiting (S2 analog)
-        .parquet(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return normalize_table("events", stream)
 
@@ -52,7 +57,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), exact_sum(F.col("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("bucket"),
             "event_type",
@@ -78,7 +83,7 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), exact_sum(F.col("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
