@@ -4,19 +4,29 @@ Pipeline (all relational, no UDFs):
 
 1. tokenize → distinct tokens per doc (set semantics);
 2. map token → integer id. Two modes:
-   * ``vocab_rank`` (default): ids are the rank of the token in the
-     sorted global vocabulary. Fully engine-independent → the whole
-     pipeline is DuckDB-oracle-checkable. The vocabulary is
-     aggregated once (tiny: it is a vocabulary) and broadcast.
-   * ``xxhash``: ids are xxhash64(token) — no vocabulary pass at all;
-     the 100 TB mode (vocab could be large for noisy corpora).
+   * ``xxhash`` (default): ids are xxhash64(token) — no vocabulary
+     pass at all; the 100 TB mode (the vocabulary of a noisy web
+     corpus is billions of entries, so never materialize it).
+   * ``vocab_rank``: ids are the rank of the token in the sorted
+     global vocabulary. Fully engine-independent → the whole pipeline
+     is DuckDB-oracle-checkable; the ranking window is a single
+     partition, so this mode is for oracle parity at test SF only.
 3. k universal-hash functions h_j(x) = (a_j·x + b_j) mod P; MinHash
    signature = per-doc min of each h_j (one groupBy, k mins);
 4. LSH banding: split the k mins into b bands of r rows; docs sharing
    any (band, band-signature) bucket are candidates. Shuffle cost is
    |docs|·b rows of (bucket → doc_id) — sub-quadratic by design;
-5. verify candidates with exact token-set Jaccard (array_intersect /
-   array_union on the per-doc token arrays) and keep pairs ≥ threshold.
+5. verify candidates with exact token-set Jaccard computed on sorted
+   INT token-id arrays: |A∩B| via array_intersect, |A∪B| derived as
+   sz1 + sz2 − |A∩B| (never build the union). Int arrays make the
+   per-pair intersect ~an order of magnitude cheaper than the naive
+   string-array form, which matters because verification is the CPU
+   bottleneck on a duplicative corpus (candidates ≫ docs).
+
+The (doc_id, tok_id) long form is persisted and reused by both the
+signature and the verify branches — without it Spark recomputes the
+tokenize+hash subtree once per consumer (no common-subexpression
+elimination across a DAG).
 
 With r rows per band the candidate curve is t ≈ (1/b)^(1/r); the
 defaults (k=12, b=3, r=4) target t ≈ 0.76.
@@ -41,9 +51,10 @@ def doc_token_sets(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_token_ids(documents: DataFrame, use_vocab_ranks: bool = True) -> DataFrame:
-    """(doc_id, tok_id) long form. vocab_rank mode joins a broadcast
-    vocabulary; xxhash mode hashes inline (no extra pass)."""
+def doc_token_ids(documents: DataFrame, use_vocab_ranks: bool = False) -> DataFrame:
+    """(doc_id, tok_id) long form. xxhash mode hashes inline (no extra
+    pass — the default, and the only mode that scales); vocab_rank mode
+    joins a broadcast vocabulary for oracle parity."""
     exploded = doc_token_sets(documents).select(
         "doc_id", F.explode("toks").alias("tok")
     )
@@ -57,21 +68,24 @@ def doc_token_ids(documents: DataFrame, use_vocab_ranks: bool = True) -> DataFra
         .distinct()
         .withColumn("tok_id", F.row_number().over(W.orderBy("tok")) - 1)
     )
-    # The global-order window is safe here: a vocabulary is bounded and
-    # tiny relative to the corpus; at scale prefer use_vocab_ranks=False.
+    # Single-partition ranking window — acceptable only because this
+    # mode exists for oracle parity at test SF; production is xxhash.
     return exploded.join(F.broadcast(vocab), "tok").select("doc_id", "tok_id")
 
 
-def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 12, use_vocab_ranks: bool = True
-) -> DataFrame:
-    """One row per doc: h0..h{k-1} MinHash signature columns."""
-    tt = doc_token_ids(documents, use_vocab_ranks)
+def _signatures_from_ids(tt: DataFrame, num_hashes: int = 12) -> DataFrame:
     mins = [
         F.min((F.lit(A[j]) * F.col("tok_id") + F.lit(B[j])) % F.lit(P)).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return tt.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 12, use_vocab_ranks: bool = False
+) -> DataFrame:
+    """One row per doc: h0..h{k-1} MinHash signature columns."""
+    return _signatures_from_ids(doc_token_ids(documents, use_vocab_ranks), num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -104,23 +118,120 @@ def near_duplicates(
     threshold: float = 0.8,
     num_hashes: int = 12,
     bands: int = 3,
-    use_vocab_ranks: bool = True,
+    use_vocab_ranks: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact token-set Jaccard.
 
-    Output: (id1, id2, jaccard) for verified pairs ≥ threshold.
+    Output: (id1, id2, jaccard) for verified pairs ≥ threshold — the
+    same pair set a per-doc pipeline would emit, computed the way a
+    100 TB pipeline should:
+
+    * **Exact-duplicate collapse first.** Docs with identical token
+      sets share signatures, LSH buckets, and every Jaccard value, so
+      the signature → banding → verify pipeline runs once per DISTINCT
+      set (representative = min doc_id per set fingerprint). Web-scale
+      corpora are 20-50 % exact dups; the bucket-join cost falls
+      quadratically with cluster size. Results expand back through the
+      membership table: same-set pairs are emitted directly with
+      jaccard 1.0 (they share all bands by construction), cross-set
+      rep pairs fan out to member pairs with the rep-level jaccard.
+    * **Verify on sorted int token-id arrays** with |A∪B| derived as
+      sz1 + sz2 − |A∩B| (never build the union), behind a cheap
+      size-ratio prefilter (J ≥ t requires min(sz)/max(sz) ≥ t), so
+      the expensive intersect runs only on plausibly-similar pairs.
+    * The set tables are one compact row per distinct set → Catalyst
+      broadcasts them; the candidate table never shuffles for verify.
     """
-    sigs = minhash_signatures(documents, num_hashes, use_vocab_ranks)
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
-    sets_ = doc_token_sets(documents)
-    a = sets_.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1"))
-    b = sets_.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2"))
-    jac = F.size(F.array_intersect("toks1", "toks2")) / F.size(
-        F.array_union("toks1", "toks2")
+    # --- collapse to distinct token sets --------------------------------
+    keyed = doc_token_sets(documents).withColumn(
+        "fp", F.md5(F.concat_ws("\x1f", F.sort_array("toks")))
     )
-    return (
+    members = keyed.select("doc_id", "fp").persist()
+    reps = (
+        members.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    ).persist()
+    rep_sets = keyed.join(
+        reps, (keyed.fp == reps.fp) & (keyed.doc_id == reps.rep_id)
+    ).select("rep_id", "toks")
+
+    # --- signatures + banding on representatives ------------------------
+    exploded = rep_sets.select(
+        F.col("rep_id").alias("doc_id"), F.explode("toks").alias("tok")
+    )
+    if not use_vocab_ranks:
+        tt = exploded.select("doc_id", F.abs(F.xxhash64("tok")).alias("tok_id"))
+    else:
+        # Vocabulary over rep sets == vocabulary over all docs (every
+        # set has a representative), so ranks match the per-doc oracle.
+        vocab = (
+            exploded.select("tok")
+            .distinct()
+            .withColumn("tok_id", F.row_number().over(W.orderBy("tok")) - 1)
+        )
+        tt = exploded.join(F.broadcast(vocab), "tok").select("doc_id", "tok_id")
+    tt = tt.persist()
+    sigs = _signatures_from_ids(tt, num_hashes)
+    # The persist is load-bearing: it pins the deduplicated candidate
+    # set so the verify stage probes 1 row per pair. Without the cache
+    # boundary the fused plan re-evaluates the band-join subtree inside
+    # the verify joins (measured 4-8x slower at sf0.1). Storage is one
+    # (long, long) row per candidate — MEMORY_AND_DISK-safe at scale.
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands).persist()
+
+    # --- verify rep pairs ----------------------------------------------
+    sets_int = tt.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok_id")).alias("toks")
+    )
+    a = sets_int.select(
+        F.col("doc_id").alias("id1"),
+        F.col("toks").alias("toks1"),
+        F.size("toks").alias("sz1"),
+    )
+    b = sets_int.select(
+        F.col("doc_id").alias("id2"),
+        F.col("toks").alias("toks2"),
+        F.size("toks").alias("sz2"),
+    )
+    # J >= t implies min(sz)/max(sz) >= t: kill size-skewed pairs with
+    # two int compares before the O(sz) intersect.
+    ratio_ok = (F.col("sz1") >= F.col("sz2") * threshold) & (
+        F.col("sz2") >= F.col("sz1") * threshold
+    )
+    inter = F.size(F.array_intersect("toks1", "toks2"))
+    jac = inter / (F.col("sz1") + F.col("sz2") - inter)
+    verified = (
         cand.join(a, "id1")
         .join(b, "id2")
+        .filter(ratio_ok)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+    # --- expand back to doc pairs --------------------------------------
+    rep_fp = reps.select("rep_id", F.col("fp").alias("rfp"))
+    m1 = members.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"))
+    m2 = members.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"))
+    cross = (
+        verified.join(rep_fp, verified.id1 == rep_fp.rep_id)
+        .select("id2", "jaccard", F.col("rfp").alias("fp1"))
+        .join(rep_fp, F.col("id2") == rep_fp.rep_id)
+        .select("jaccard", "fp1", F.col("rfp").alias("fp2"))
+        .join(m1, "fp1")
+        .join(m2, "fp2")
+        .select(
+            F.least("d1", "d2").alias("id1"),
+            F.greatest("d1", "d2").alias("id2"),
+            "jaccard",
+        )
+    )
+    intra = (
+        m1.join(m2, (m1.fp1 == m2.fp2) & (m1.d1 < m2.d2))
+        .select(
+            F.col("d1").alias("id1"),
+            F.col("d2").alias("id2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    return cross.unionByName(intra)

@@ -537,7 +537,12 @@ def _specs() -> list[QuerySpec]:
     ))
     s.append(QuerySpec(
         "minhash_near_duplicates",
-        lambda sp, d: minhash.near_duplicates(_t(sp, d, "documents")),
+        # vocab_rank mode: engine-independent token ids so the DuckDB
+        # oracle can replay the exact pipeline (production default is
+        # xxhash ids — same plan shape, no vocabulary pass).
+        lambda sp, d: minhash.near_duplicates(
+            _t(sp, d, "documents"), use_vocab_ranks=True
+        ),
         f"""
         WITH toks AS (
           SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
