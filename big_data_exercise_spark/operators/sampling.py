@@ -1,0 +1,52 @@
+"""Splits & probes (SURVEY.md §2.6 O4, §2.3 A8).
+
+* O4 — the reference's 80/20 train/val split is a positional slice
+  (train_absa_model.py:145-152); the engine uses ``randomSplit`` —
+  row-level Bernoulli assignment, distributed, no global order
+  dependency. Verified through the partition-and-reunion invariant:
+  the union of the splits must aggregate exactly like the source.
+* A8 — emptiness probes: the reference checks ``limit(1).take(1)``
+  to avoid a full count (consumer_postgres_streaming.py:406-409);
+  Spark ≥3.3 has ``df.isEmpty()`` which does exactly that probe.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from big_data_exercise_spark.functions.numeric import exact_sum
+
+
+def random_split_union(
+    events: DataFrame, weights: tuple[float, ...] = (0.8, 0.2), seed: int = 42
+) -> DataFrame:
+    """randomSplit + unionByName + aggregate: the split is real (each
+    row lands in exactly one tagged split), and the aggregate over the
+    reunion must equal the aggregate over the source — the invariant
+    an engine-independent oracle can check (split membership itself is
+    seed- and partitioning-dependent, so no oracle can predict it)."""
+    splits = events.randomSplit(list(weights), seed=seed)
+    tagged = [
+        s.withColumn("split_id", F.lit(i)) for i, s in enumerate(splits)
+    ]
+    reunion = reduce(lambda a, b: a.unionByName(b), tagged)
+    return reunion.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        exact_sum(F.col("value")).alias("total_value"),
+    )
+
+
+def emptiness_probes(events: DataFrame) -> DataFrame:
+    """isEmpty probes (A8) as a one-row relation: cheap existence
+    checks that scan at most one row per probe (limit-1 under the
+    hood), never a full count."""
+    spark = events.sparkSession
+    no_huge = events.filter(F.col("value") > 1_000_000.0).isEmpty()
+    has_clicks = not events.filter(F.col("event_type") == "click").isEmpty()
+    limit0_empty = events.limit(0).isEmpty()
+    return spark.createDataFrame(
+        [(no_huge, has_clicks, limit0_empty)],
+        "no_huge boolean, has_clicks boolean, limit0_empty boolean",
+    )

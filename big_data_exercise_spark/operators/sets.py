@@ -37,3 +37,24 @@ def all_user_type_pairs(events: DataFrame) -> DataFrame:
 def union_sources(a: DataFrame, b: DataFrame) -> DataFrame:
     """unionByName — schema-aligned append of two relations."""
     return a.unionByName(b)
+
+
+def union_click_purchase_stats(events: DataFrame) -> DataFrame:
+    """unionByName with allowMissingColumns (SET-u): click rows carry
+    ``value``, purchase rows don't — missing columns null-fill, the
+    union is by NAME (order-independent), and the aggregate skips the
+    nulls. Per-user rollup over the combined relation."""
+    from big_data_exercise_spark.functions.numeric import exact_sum
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    combined = clicks.unionByName(purchases, allowMissingColumns=True)
+    return combined.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_click_rows"),
+        exact_sum(F.col("value")).alias("click_value"),
+    )

@@ -23,10 +23,12 @@ SimHash, heuristic language-ID, streaming-internal plumbing) carry
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from big_data_exercise_spark.session import tune_session
 from big_data_exercise_spark.tables import load_table
@@ -34,16 +36,23 @@ from big_data_exercise_spark.operators import (
     aggregations as agg,
     joins,
     reshape,
+    sampling,
     scalars,
     sets,
     windows,
 )
 from big_data_exercise_spark.functions import arrays, sentiment, text
-from big_data_exercise_spark.functions.numeric import avg_sql, round_det_sql, sum_sql
+from big_data_exercise_spark.functions.numeric import (
+    avg_sql,
+    exact_sum,
+    round_det_sql,
+    sum_sql,
+)
 from big_data_exercise_spark.dedup import exact as dedup_exact_mod
 from big_data_exercise_spark.dedup import minhash, ngram, simhash
 from big_data_exercise_spark.similarity import knn
-from big_data_exercise_spark.multimodal import codecs
+from big_data_exercise_spark.multimodal import codecs, detections
+from big_data_exercise_spark.sources import csvio, jdbcio, jsonio
 from big_data_exercise_spark.streaming import pipelines as streams
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -508,7 +517,32 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "language_id",
         lambda sp, d: text.detect_language(_t(sp, d, "documents")),
-        None,  # heuristic n-gram scorer — not SQL-expressible; rows-only
+        # The heuristic is deterministic (stopword-hit counts, CJK
+        # codepoint test, profile-order tie-break) — fully replayable
+        # in SQL. CASE order == Python dict iteration order: a later
+        # language wins only on STRICTLY more hits.
+        """
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang, text,
+                 len(list_filter(ws, w -> w IN ('the','and','of','is','to'))) AS en,
+                 len(list_filter(ws, w -> w IN ('le','la','et','les','des'))) AS fr,
+                 len(list_filter(ws, w -> w IN ('der','die','und','das','ein'))) AS de,
+                 len(list_filter(ws, w -> w IN ('el','la','los','que','de'))) AS es
+          FROM t)
+        SELECT doc_id, lang,
+               CASE WHEN text IS NULL OR text = '' THEN 'und'
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN GREATEST(en, fr, de, es) = 0 THEN 'und'
+                    WHEN en = GREATEST(en, fr, de, es) THEN 'en'
+                    WHEN fr = GREATEST(en, fr, de, es) THEN 'fr'
+                    WHEN de = GREATEST(en, fr, de, es) THEN 'de'
+                    ELSE 'es' END AS lang_pred
+        FROM h
+        """,
         ("text", "udf"),
         "language-ID heuristic over text column",
     ))
@@ -829,6 +863,201 @@ def _specs() -> list[QuerySpec]:
         ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
         frames = codecs.synthesize_frames(ev)
         return codecs.decode_frame_meta(frames)
+
+    # ---- sources & sinks (SURVEY §2.1 S3/S4/S5, §2.8 D4) ----------------
+    def _csv_roundtrip(sp: SparkSession, d: str) -> DataFrame:
+        part = _t(sp, d, "part").select(
+            "p_partkey", "p_name", "p_brand", "p_retailprice"
+        )
+        out = tempfile.mkdtemp(prefix="bdes_csv_")
+        return csvio.roundtrip(part, out).groupBy("p_brand").agg(
+            F.count("*").alias("n_parts"),
+            exact_sum(F.col("p_retailprice")).alias("total_retail"),
+        )
+
+    s.append(QuerySpec(
+        "csv_roundtrip",
+        _csv_roundtrip,
+        f"""
+        SELECT p_brand, COUNT(*) AS n_parts,
+               {sum_sql("p_retailprice", "total_retail")}
+        FROM part GROUP BY p_brand
+        """,
+        ("source", "csv"),
+        "explicit-schema CSV write→read round-trip + rollup (S3, producer.py:44)",
+    ))
+
+    def _json_roundtrip(sp: SparkSession, d: str) -> DataFrame:
+        ev = _t(sp, d, "events")
+        return jsonio.roundtrip(ev, "event_id", "user_id", "event_type", "value")
+
+    s.append(QuerySpec(
+        "json_roundtrip",
+        _json_roundtrip,
+        "SELECT event_id, user_id, event_type, value FROM events",
+        ("source", "json"),
+        "to_json(struct(*)) → from_json Kafka-value round-trip (S4/D4, producer.py:40)",
+    ))
+
+    def _jdbc_roundtrip(sp: SparkSession, d: str) -> DataFrame:
+        cust = _t(sp, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+        db = os.path.join(tempfile.mkdtemp(prefix="bdes_derby_"), "db")
+        return jdbcio.roundtrip(cust, db, "customer_rt").groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_customers"),
+            exact_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+
+    s.append(QuerySpec(
+        "jdbc_roundtrip",
+        _jdbc_roundtrip,
+        f"""
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               {sum_sql("c_acctbal", "total_acctbal")}
+        FROM customer GROUP BY c_mktsegment
+        """,
+        ("source", "jdbc"),
+        "JDBC append-writer + scan vs embedded Derby (S5, consumer_postgres_streaming.py:427-440)",
+    ))
+
+    # ---- streaming joins / stateful dedup (SURVEY §2.4, §2.10) ----------
+    def _stream_static(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        ev = streams.stream_events(sp, d)
+        dim = _t(sp, d, "customer")
+        return streams.run_to_memory(
+            streams.stream_static_enrich(ev, dim), "append"
+        )
+
+    s.append(QuerySpec(
+        "stream_static_join",
+        _stream_static,
+        """
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        ("streaming", "join"),
+        "stream-static broadcast enrichment join == batch join",
+    ))
+
+    def _stream_wm_dedup(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.streaming_dedup_within_watermark(streams.stream_events(sp, d)),
+            "append",
+        )
+
+    s.append(QuerySpec(
+        "stream_watermark_dedup",
+        _stream_wm_dedup,
+        "SELECT DISTINCT user_id, event_type FROM events",
+        ("streaming", "dedup"),
+        "dropDuplicatesWithinWatermark (bounded state) == batch DISTINCT",
+    ))
+
+    # ---- splits / probes / unions (SURVEY §2.6 O4, §2.3 A8, §2.7) -------
+    s.append(QuerySpec(
+        "random_split_union",
+        lambda sp, d: sampling.random_split_union(_t(sp, d, "events")),
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {sum_sql("value", "total_value")}
+        FROM events GROUP BY event_type
+        """,
+        ("sample", "split", "set"),
+        "randomSplit 80/20 + reunion invariant (O4, train_absa_model.py:145-152)",
+    ))
+    s.append(QuerySpec(
+        "is_empty_probe",
+        lambda sp, d: sampling.emptiness_probes(_t(sp, d, "events")),
+        """
+        SELECT (SELECT COUNT(*) FROM events WHERE value > 1000000.0) = 0
+                 AS no_huge,
+               EXISTS(SELECT 1 FROM events WHERE event_type = 'click')
+                 AS has_clicks,
+               TRUE AS limit0_empty
+        """,
+        ("probe",),
+        "isEmpty probes (A8, consumer_postgres_streaming.py:406-409)",
+    ))
+    s.append(QuerySpec(
+        "union_missing_columns",
+        lambda sp, d: sets.union_click_purchase_stats(_t(sp, d, "events")),
+        f"""
+        SELECT user_id, COUNT(*) AS n_rows, COUNT(value) AS n_click_rows,
+               {sum_sql("value", "click_value")}
+        FROM (SELECT event_id, user_id, value FROM events
+              WHERE event_type = 'click'
+              UNION ALL
+              SELECT event_id, user_id, NULL AS value FROM events
+              WHERE event_type = 'purchase') t
+        GROUP BY user_id
+        """,
+        ("set", "union"),
+        "unionByName(allowMissingColumns) + null-skipping rollup (SET-u)",
+    ))
+
+    # ---- multimodal string edges + U3 chain -----------------------------
+    def _b64_roundtrip(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
+        rt = codecs.base64_roundtrip(codecs.synthesize_frames(ev))
+        return rt.select(
+            "camera_id",
+            "frame_number",
+            F.length("frame_back").alias("n_bytes"),
+            F.length("frame_b64").alias("b64_len"),
+            "lossless",
+        )
+
+    s.append(QuerySpec(
+        "base64_roundtrip",
+        _b64_roundtrip,
+        # Spark's base64() is MIME-chunked (Hive-compatible): a CRLF
+        # every 76 output chars → length = 4*ceil(n/3) + 2*((4*ceil(n/3)-1)//76).
+        """
+        WITH f AS (
+          SELECT user_id AS camera_id, event_id AS frame_number,
+                 24 + GREATEST(16, (640 * (360 + (user_id % 4) * 90)) // 64)
+                   AS n_bytes
+          FROM events WHERE event_id % 101 = 0),
+        b AS (SELECT *, 4 * CAST(CEIL(n_bytes / 3.0) AS BIGINT) AS raw_len FROM f)
+        SELECT camera_id, frame_number,
+               CAST(n_bytes AS INTEGER) AS n_bytes,
+               CAST(raw_len + 2 * ((raw_len - 1) // 76) AS INTEGER) AS b64_len,
+               TRUE AS lossless
+        FROM b
+        """,
+        ("multimodal", "codec"),
+        "binary → base64 → binary lossless round-trip (P10, fire_consumer_streaming.py:166-206)",
+    ))
+
+    def _vehicle_detections(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
+        return detections.vehicle_counts(codecs.synthesize_frames(ev))
+
+    s.append(QuerySpec(
+        "vehicle_detections",
+        _vehicle_detections,
+        f"""
+        WITH f AS (
+          SELECT event_id AS seed FROM events WHERE event_id % 101 = 0),
+        d AS (SELECT seed, unnest(range(seed % 3 + 1)) AS i FROM f),
+        dd AS (
+          SELECT ['car','truck','bus','bike'][CAST((seed + i) % 4 AS INT) + 1]
+                   AS vehicle_type,
+                 0.5 + ((seed * 7 + i * 13) % 50) / 100.0 AS confidence,
+                 CAST((seed + i) % 5 + 1 AS INTEGER) AS cnt
+          FROM d)
+        SELECT vehicle_type, COUNT(*) AS n_detections,
+               CAST(SUM(cnt) AS BIGINT) AS total_count,
+               {avg_sql("confidence", "avg_confidence", 4)}
+        FROM dd GROUP BY vehicle_type
+        """,
+        ("multimodal", "udf", "explode"),
+        "array<struct> detection UDF → explode → rollup (U3+D1+A7, vehicle_consumer.py:119-183)",
+    ))
 
     s.append(QuerySpec(
         "frame_metadata",

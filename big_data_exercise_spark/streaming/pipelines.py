@@ -102,6 +102,41 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark (SURVEY §2.10 stateful ops): like
+    streaming dedup, but state for a key is *dropped* once the
+    watermark passes it — bounded state at 100 TB, with the documented
+    relaxation that duplicates farther apart than the delay can both
+    be emitted. Keys projected after dedup so the batch-equivalence
+    oracle is a plain DISTINCT."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join (SURVEY §2.4): per micro-batch,
+    the stream side joins a static dimension snapshot — the idiomatic
+    replacement for the reference's wide-column pivot
+    (consumer_postgres_streaming.py:391-393). The static side is a
+    broadcast hash join per batch: the stream never shuffles, which is
+    the property that makes enrichment viable on an unbounded input.
+    """
+    lookup = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return events.join(lookup, "user_id").select(
+        "event_id", "user_id", "event_type", "segment"
+    )
+
+
 def run_to_memory(
     result: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
