@@ -50,7 +50,7 @@ from big_data_exercise_spark.functions.numeric import (
 )
 from big_data_exercise_spark.dedup import exact as dedup_exact_mod
 from big_data_exercise_spark.dedup import minhash, ngram, simhash
-from big_data_exercise_spark.similarity import knn
+from big_data_exercise_spark.similarity import knn, lsh
 from big_data_exercise_spark.multimodal import codecs, detections
 from big_data_exercise_spark.sources import csvio, jdbcio, jsonio
 from big_data_exercise_spark.streaming import pipelines as streams
@@ -715,6 +715,14 @@ def _specs() -> list[QuerySpec]:
         "IVF top-k: nearest-centroid partitions, nprobe=2",
     ))
     s.append(QuerySpec(
+        "embedding_lsh_near_duplicates",
+        lambda sp, d: lsh.near_duplicates(_t(sp, d, "embeddings")),
+        lsh.oracle_sql(),
+        ("similarity", "lsh", "dedup"),
+        "random-hyperplane LSH near-dup — label-free scale path; "
+        "deterministic hyperplanes replayed literally in the oracle",
+    ))
+    s.append(QuerySpec(
         "embedding_stats",
         lambda sp, d: arrays.embedding_stats(_t(sp, d, "embeddings")),
         """
@@ -785,20 +793,9 @@ def _specs() -> list[QuerySpec]:
     ))
 
     def _batch_sessions(sp: SparkSession, d: str) -> DataFrame:
-        from pyspark.sql import functions as F
-        from big_data_exercise_spark.functions.numeric import exact_sum
-        ev = _t(sp, d, "events")
-        return (
-            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(F.count("*").alias("n_events"), exact_sum(F.col("value")).alias("sum_value"))
-            .select(
-                F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"),
-                "user_id",
-                "n_events",
-                "sum_value",
-            )
-        )
+        # Same builder as the streaming pipeline, watermark off — the
+        # fold point that keeps stream/batch twins from drifting.
+        return streams.session_windows(_t(sp, d, "events"), watermark=None)
 
     s.append(QuerySpec(
         "session_windows",
@@ -827,18 +824,7 @@ def _specs() -> list[QuerySpec]:
     ))
 
     def _batch_sliding(sp: SparkSession, d: str) -> DataFrame:
-        from pyspark.sql import functions as F
-        ev = _t(sp, d, "events")
-        return (
-            ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n_events"))
-            .select(
-                F.col("w.start").alias("w_start"),
-                F.col("w.end").alias("w_end"),
-                "event_type",
-                "n_events",
-            )
-        )
+        return streams.sliding_counts(_t(sp, d, "events"), watermark=None)
 
     s.append(QuerySpec(
         "sliding_windows",
@@ -854,6 +840,28 @@ def _specs() -> list[QuerySpec]:
         """,
         ("streaming", "window"),
         "sliding windows (each event in width/slide buckets)",
+    ))
+
+    def _stream_sliding(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.sliding_counts(streams.stream_events(sp, d)), "complete"
+        )
+
+    s.append(QuerySpec(
+        "stream_sliding_counts",
+        _stream_sliding,
+        """
+        WITH w AS (
+          SELECT date_trunc('hour', ts) AS w_start, event_type FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+        SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type,
+               COUNT(*) AS n_events
+        FROM w GROUP BY 1, 2, 3
+        """,
+        ("streaming", "window"),
+        "streaming sliding window == batch sliding twin (ST-slide)",
     ))
 
     # ---- multimodal plumbing (north star; deterministic fake codec) -----
@@ -1073,6 +1081,34 @@ def _specs() -> list[QuerySpec]:
         """,
         ("multimodal", "udf"),
         "binary frame synth → mapInPandas metadata decode round-trip",
+    ))
+
+    def _resize_meta(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
+        frames = codecs.synthesize_frames(ev)
+        return codecs.decode_frame_meta(codecs.resize_frames(frames, 320))
+
+    s.append(QuerySpec(
+        "resize_frames_meta",
+        _resize_meta,
+        # new_h = max(1, trunc(h * 320 / 640)); payload scales with the
+        # fake format's width*height//64 rule (codecs.encode_fake_frame).
+        """
+        WITH f AS (
+          SELECT user_id AS camera_id, event_id AS frame_number,
+                 GREATEST(1, CAST(FLOOR((360 + (user_id % 4) * 90) * 320.0 / 640)
+                                  AS INTEGER)) AS new_h
+          FROM events WHERE event_id % 101 = 0)
+        SELECT camera_id, frame_number,
+               CAST(320 AS INTEGER) AS width,
+               CAST(new_h AS INTEGER) AS height,
+               'fakeimg' AS codec,
+               CAST(24 + GREATEST(16, (320 * new_h) // 64) AS INTEGER) AS n_bytes
+        FROM f
+        """,
+        ("multimodal", "udf"),
+        "resize UDF (binary→binary Arrow transfer) → metadata decode",
     ))
 
     return s

@@ -58,9 +58,16 @@ def blocked_near_duplicates(embeddings: DataFrame, threshold: float = 0.35) -> D
     would be an LSH bucket or IVF centroid instead of a given label —
     same plan shape.
     """
+    # The probe side is explicitly round-robin repartitioned: the
+    # vector table is bytes-tiny but the verify is CPU-heavy (O(d) per
+    # pair), and with a broadcast dim side Spark would otherwise run
+    # the whole pairwise loop in as few tasks as there are input
+    # splits (1 for a small parquet file). AQE coalesces by bytes and
+    # cannot see per-row cost — parallelism must be explicit here.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     a = embeddings.select(
         F.col("vec_id").alias("id1"), F.col("label").alias("label"), F.col("embedding").alias("e1")
-    )
+    ).repartition(par)
     b = embeddings.select(
         F.col("vec_id").alias("id2"), F.col("label").alias("label"), F.col("embedding").alias("e2")
     )

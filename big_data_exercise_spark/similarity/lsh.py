@@ -1,0 +1,152 @@
+"""Random-hyperplane LSH over embedding vectors (SimHash for vectors).
+
+The scale path promised by ``knn.blocked_near_duplicates``: at 100 TB
+there is no ``label`` column to block on — the block key must come
+from the vectors themselves. Charikar's construction: bit_j =
+sign(e · h_j) for fixed random hyperplanes h_j; P(bit_j agrees for a
+pair) = 1 − θ/π, so banded bit-keys bucket similar vectors together
+with tunable recall, and only same-bucket pairs are verified with the
+exact cosine. Cost: |N|·bands bucket rows instead of N² pairs.
+
+Determinism: hyperplanes derive from a pure-integer LCG formula
+(dyadic rationals → exactly representable doubles), generated ONCE in
+Python and embedded as literals into both the Spark plan and the
+DuckDB oracle SQL — so the oracle replays bit-for-bit, making an
+*approximate* algorithm hash-checkable.
+
+Recall (bits=16, bands=4, rows=4): pair at cos 0.35 → p_bit ≈ 0.614 →
+~0.46; at cos 0.9 → p_bit ≈ 0.857 → ~0.95. Tune bands/rows per
+threshold in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from big_data_exercise_spark.functions.arrays import cosine
+
+BITS = 16
+BANDS = 4
+ROWS = BITS // BANDS
+DIM = 64
+
+
+def hyperplane(j: int, dim: int = DIM) -> list[float]:
+    """LCG-derived pseudo-random hyperplane in [-0.5, 0.5)^dim. Every
+    value is k/2^31 − 0.5 — exactly representable, so any engine
+    parsing the literal gets identical bits."""
+    return [
+        (((1103515245 * (j * dim + i) + 12345) % 2**31) / 2**31) - 0.5
+        for i in range(dim)
+    ]
+
+
+def _dot_lit(vec_col: F.Column, values: list[float]) -> F.Column:
+    """Sequential-fold dot product against a literal vector — the same
+    shape (per-element double cast, in-order sum) as functions.arrays.
+    cosine, so the DuckDB list_sum twin folds identically."""
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, h: x.cast("double") * h),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def band_keys(embeddings: DataFrame, bits: int = BITS, bands: int = BANDS) -> DataFrame:
+    """(vec_id, band, key): one bucket row per band, key = the band's
+    sign-bit pattern as an int."""
+    rows = bits // bands
+    bit_cols = [
+        (_dot_lit(F.col("embedding"), hyperplane(j)) >= 0).cast("int").alias(f"b{j}")
+        for j in range(bits)
+    ]
+    with_bits = embeddings.select("vec_id", *bit_cols)
+    keys = [
+        sum(
+            (F.col(f"b{b * rows + r}") * (2**r) for r in range(rows)),
+            start=F.lit(0),
+        ).alias(f"k{b}")
+        for b in range(bands)
+    ]
+    keyed = with_bits.select("vec_id", *keys)
+    stacked = keyed.selectExpr(
+        "vec_id",
+        f"stack({bands}, "
+        + ", ".join(f"{b}, k{b}" for b in range(bands))
+        + ") AS (band, key)",
+    )
+    return stacked
+
+
+def near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.35, bits: int = BITS, bands: int = BANDS
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs verified with exact cosine ≥
+    threshold. Approximate by design (bucket recall < 1); the oracle
+    replays the identical construction. Same repartition rationale as
+    knn.blocked_near_duplicates: pair verification is CPU-bound on a
+    bytes-tiny table."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    buckets = band_keys(embeddings, bits, bands)
+    left = buckets.select(F.col("vec_id").alias("id1"), "band", "key")
+    right = buckets.select(F.col("vec_id").alias("id2"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .repartition(par)
+    )
+    a = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- oracle
+def _hp_sql(j: int) -> str:
+    return "[" + ", ".join(repr(v) for v in hyperplane(j)) + "]"
+
+
+def oracle_sql(threshold: float = 0.35, bits: int = BITS, bands: int = BANDS) -> str:
+    """DuckDB twin of near_duplicates, literal hyperplanes inlined."""
+    rows = bits // bands
+    bit_exprs = ", ".join(
+        f"CASE WHEN list_sum(list_transform(list_zip(embedding, {_hp_sql(j)}), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(bits)
+    )
+    key_exprs = ", ".join(
+        " + ".join(f"b{b * rows + r} * {2**r}" for r in range(rows)) + f" AS k{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(bands)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(e1.embedding, e2.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH bits AS (SELECT vec_id, embedding, {bit_exprs} FROM embeddings),
+    keys AS (SELECT vec_id, {key_exprs} FROM bits),
+    bands AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.vec_id < b.vec_id)
+    SELECT id1, id2, ROUND({cos}, 4) AS cos_sim
+    FROM cand
+    JOIN embeddings e1 ON e1.vec_id = id1
+    JOIN embeddings e2 ON e2.vec_id = id2
+    WHERE ROUND({cos}, 4) >= {threshold}
+    """

@@ -51,11 +51,21 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_table("events", stream)
 
 
-def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    """Watermark for streaming inputs; ``None`` gives the batch twin of
+    the same builder (fold point so stream/batch versions can't drift —
+    the DuckDB oracle checks the batch semantics, the streaming run
+    must match it)."""
+    return events.withWatermark("ts", watermark) if watermark else events
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = "10 minutes"
+) -> DataFrame:
     """Tumbling event-time window aggregation with watermark — the
     streaming twin of operators.aggregations.time_bucket (A3)."""
     return (
-        events.withWatermark("ts", "10 minutes")
+        _with_watermark(events, watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), exact_sum(F.col("value")).alias("sum_value"))
         .select(
@@ -67,21 +77,28 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
-def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+def sliding_counts(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
     """Sliding window counts (each event lands in width/slide windows)."""
     return (
-        events.withWatermark("ts", "10 minutes")
+        _with_watermark(events, watermark)
         .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "event_type", "n_events")
     )
 
 
-def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "10 minutes"
+) -> DataFrame:
     """Per-user session windows (gap-based) — new capability, semantics
     defined by us (SURVEY.md §2.10)."""
     return (
-        events.withWatermark("ts", "10 minutes")
+        _with_watermark(events, watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), exact_sum(F.col("value")).alias("sum_value"))
         .select(
