@@ -49,6 +49,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bdes-bench", cpus=cpus, shuffle_partitions=cpus)
+    # Local bench files are single-digit MB; the production 128 MB split
+    # size would scan each table in 1-3 tasks and serialize CPU-heavy
+    # stages (decimal aggregation, tokenization). 1 MB splits restore
+    # scan parallelism HERE ONLY — a real cluster keeps the default
+    # (at 100 TB, 128 MB splits ≈ 800k tasks, the right granularity).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     specs = all_queries()
 
     # warm the JVM/session with a trivial action so q1 doesn't pay startup

@@ -781,6 +781,30 @@ def _specs() -> list[QuerySpec]:
         out = streams.run_foreach_batch_to_parquet(filtered)
         return sp.read.parquet(out).drop("_batch_id")
 
+    def _stream_jdbc_sink(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        filtered = (
+            streams.stream_events(sp, d)
+            .filter(F.col("value") > 150)
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        db = os.path.join(tempfile.mkdtemp(prefix="bdes_derby_"), "db")
+        url = jdbcio.derby_url(db)
+        streams.run_foreach_batch_to_jdbc(filtered, url, "stream_sink")
+        return jdbcio.read_jdbc(sp, url, "stream_sink")
+
+    s.append(QuerySpec(
+        "stream_jdbc_sink",
+        _stream_jdbc_sink,
+        """
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE value > 150
+        """,
+        ("streaming", "sink", "jdbc"),
+        "foreachBatch -> JDBC append (the reference's actual sink, "
+        "consumer_postgres_streaming.py:403-450) vs embedded Derby",
+    ))
+
     s.append(QuerySpec(
         "stream_foreach_batch_sink",
         _stream_sink,

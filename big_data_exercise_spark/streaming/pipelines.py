@@ -186,6 +186,83 @@ def run_to_memory(
     return spark.table(name).localCheckpoint(eager=True)
 
 
+def run_foreach_batch_to_jdbc(
+    result: DataFrame, url: str, table: str, driver: str | None = None
+) -> None:
+    """foreachBatch → JDBC append: exactly the reference's sink
+    (consumer_postgres_streaming.py:403-450 — each micro-batch appended
+    to a Postgres table). Tested against embedded Derby; in production
+    only the url/driver change. Batches append under a durable
+    checkpoint → at-least-once into the table (the reference wiped
+    checkpoints per Airflow cycle and had the same semantics without
+    the durability)."""
+    from big_data_exercise_spark.sources import jdbcio
+
+    ckpt = tempfile.mkdtemp(prefix="bdes_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # A8 probe, not a count (cheap on big batches)
+            return
+        jdbcio.write_jdbc(
+            batch_df, url, table, driver=driver or jdbcio.DERBY_DRIVER
+        )
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema,
+    max_offsets_per_trigger: int = 1000,
+) -> DataFrame:
+    """Production Kafka source (S1/S2): subscribe → CAST value to
+    string → from_json with the explicit schema → flatten. This is the
+    reference's exact consume shape (consumer_postgres_streaming.py:
+    219-229 + vehicle_consumer.py:38-60); untestable in this container
+    (no broker, no kafka connector jar) but the plan construction is
+    the complete production path — swap stream_events() for this in
+    any pipeline above."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load()
+    )
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS value")
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+    )
+
+
+def kafka_sink(result: DataFrame, bootstrap_servers: str, topic: str, *cols: str):
+    """Production Kafka sink (S4): to_json(struct(*)) value payload —
+    the producer.py:40 serializer as a streaming writer. Returns the
+    started query."""
+    payload = result.select(
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    )
+    ckpt = tempfile.mkdtemp(prefix="bdes_ckpt_")
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
 def run_foreach_batch_to_parquet(
     result: DataFrame, out_dir: str | None = None
 ) -> str:
