@@ -142,6 +142,12 @@ def near_duplicates(
     * The set tables are one compact row per distinct set → Catalyst
       broadcasts them; the candidate table never shuffles for verify.
     """
+    from big_data_exercise_spark.tables import ensure_parallelism
+
+    # Tokenization is CPU-bound; spread it over the cluster even when
+    # the input is a single small split (no-op on real-scale inputs).
+    documents = ensure_parallelism(documents)
+
     # --- collapse to distinct token sets --------------------------------
     keyed = doc_token_sets(documents).withColumn(
         "fp", F.md5(F.concat_ws("\x1f", F.sort_array("toks")))

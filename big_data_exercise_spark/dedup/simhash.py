@@ -25,6 +25,9 @@ BAND_BITS = BITS // BANDS
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash long) — one shuffle."""
+    from big_data_exercise_spark.tables import ensure_parallelism
+
+    documents = ensure_parallelism(documents)  # tokenize+64 sums are CPU-bound
     toks = documents.select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),

@@ -105,6 +105,36 @@ def time_bucket(events: DataFrame, unit: str = "hour") -> DataFrame:
     )
 
 
+def rollup_pricing(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): detail rows + per-flag
+    subtotals + grand total in ONE pass (Spark expands the grouping
+    sets map-side; no extra scans). grouping_id disambiguates NULL-as-
+    subtotal from NULL-as-data — the declared-gap operator SURVEY §2.3
+    notes the reference lacks."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles per group (declared gap: quantiles). Exact
+    ``percentile`` is a full sort per group — at 100 TB switch to
+    ``percentile_approx`` (t-digest, mergeable, single pass); exact is
+    kept here because the oracle can replay it."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    return events.groupBy("event_type").agg(
+        round_det(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        round_det(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        round_det(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def count_distinct_users(events: DataFrame, approx: bool = False) -> DataFrame:
     """COUNT DISTINCT per group (reference A6:
     vehicle_counting_app.py:113-114 — nunique over cameras/types).

@@ -182,6 +182,33 @@ def _specs() -> list[QuerySpec]:
         "value histogram with domain fill (streamlit_app.py:76-81)",
     ))
 
+    s.append(QuerySpec(
+        "rollup_pricing",
+        lambda sp, d: agg.rollup_pricing(_t(sp, d, "lineitem")),
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               {sum_sql("l_quantity", "sum_qty")},
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        ("agg", "rollup"),
+        "ROLLUP subtotals + grouping_id (declared gap, SURVEY §2.3)",
+    ))
+    s.append(QuerySpec(
+        "value_percentiles",
+        lambda sp, d: agg.value_percentiles(_t(sp, d, "events")),
+        f"""
+        SELECT event_type,
+               {round_det_sql("quantile_cont(value, 0.5)", 4)} AS p50,
+               {round_det_sql("quantile_cont(value, 0.9)", 4)} AS p90,
+               {round_det_sql("quantile_cont(value, 0.99)", 4)} AS p99
+        FROM events GROUP BY event_type
+        """,
+        ("agg", "quantile"),
+        "exact percentiles per group (declared gap: quantiles)",
+    ))
+
     # ---- joins (SURVEY §2.4 — the reference's biggest gap) -------------
     s.append(QuerySpec(
         "regional_customers",
@@ -714,6 +741,44 @@ def _specs() -> list[QuerySpec]:
         ("similarity", "knn", "ivf"),
         "IVF top-k: nearest-centroid partitions, nprobe=2",
     ))
+    def _ivf_indexed(sp: SparkSession, d: str) -> DataFrame:
+        emb = _t(sp, d, "embeddings")
+        index_dir = os.path.join(tempfile.mkdtemp(prefix="bdes_ivf_"), "index")
+        knn.ivf_build(emb, index_dir)
+        return knn.ivf_topk_indexed(emb, index_dir)
+
+    s.append(QuerySpec(
+        "ivf_indexed_topk",
+        _ivf_indexed,
+        f"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+          WHERE vec_id < 8),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        ac AS (
+          SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+                 {_cos_sql("e.embedding", "c.c")} AS cos_c
+          FROM embeddings e, cent c),
+        assigned AS (
+          SELECT vec_id, label, embedding, centroid_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id) AS rn
+            FROM ac) t WHERE rn = 1),
+        probe AS (
+          SELECT centroid_id FROM (
+            SELECT c.centroid_id, {_cos_sql("c.c", "qe")} AS cos_q FROM cent c, q) t
+          ORDER BY cos_q DESC, centroid_id LIMIT 2)
+        SELECT vec_id, label, centroid_id,
+               ROUND({_cos_sql("embedding", "qe")}, 4) AS cos_sim
+        FROM assigned JOIN probe USING (centroid_id), q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        ("similarity", "knn", "ivf", "sink"),
+        "IVF with write-time partitionBy(centroid_id) index: probe reads "
+        "only matching partitions (PartitionFilters pruning)",
+    ))
+
     s.append(QuerySpec(
         "embedding_lsh_near_duplicates",
         lambda sp, d: lsh.near_duplicates(_t(sp, d, "embeddings")),

@@ -106,6 +106,66 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def ivf_build(
+    embeddings: DataFrame, index_dir: str, n_centroids: int = 8
+) -> str:
+    """Write-time IVF index: assign every vector to its centroid, then
+    ``partitionBy("centroid_id")`` parquet. This is the 100 TB layout
+    the assignment step exists for — a probe reads ONLY the matching
+    centroid directories (static partition pruning at the scan), so
+    search I/O is |probed cells| / |cells| of the table instead of a
+    full scan."""
+    ivf_assignments(embeddings, n_centroids).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(index_dir)
+    return index_dir
+
+
+def ivf_topk_indexed(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search against the partitioned on-disk index built by
+    ``ivf_build``. The nprobe centroid ids are resolved first (tiny
+    collect — nprobe values), then pushed into the scan as a partition
+    filter: ``.explain`` shows PartitionFilters on centroid_id and
+    only those directories are read. Same results as ``ivf_topk``."""
+    spark = embeddings.sparkSession
+    q = _query_vector(embeddings, query_id)
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
+    )
+    probe_ids = [
+        r.centroid_id
+        for r in (
+            centroids.crossJoin(F.broadcast(q))
+            .select("centroid_id", cosine(F.col("c"), F.col("q")).alias("cos_q"))
+            .orderBy(F.desc("cos_q"), "centroid_id")
+            .limit(nprobe)
+            .collect()
+        )
+    ]
+    index = spark.read.parquet(index_dir).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return (
+        index.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int = 0,

@@ -64,6 +64,18 @@ def raw_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType:
     return spark.read.parquet(table_path(sf_dir, name)).schema
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition UP to the cluster's parallelism — never
+    down. Byte-based input splitting under-partitions CPU-heavy work
+    (tokenization, per-pair verification) when files are small: a
+    650 KB parquet is 1 split no matter how expensive the downstream
+    expressions are. On a real cluster a 100 TB table already has more
+    splits than cores and this is a no-op."""
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    have = df.rdd.getNumPartitions()
+    return df.repartition(want) if have < want else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

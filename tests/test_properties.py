@@ -88,6 +88,23 @@ def test_random_split_partitions_rows(spark):
     assert a.select("event_id").intersect(b.select("event_id")).count() == 0
 
 
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The partitioned IVF index must actually prune: the probe scan's
+    plan carries a PartitionFilters entry on centroid_id and reads
+    only the probed directories."""
+    from big_data_exercise_spark.similarity import knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index_dir = str(tmp_path / "ivf")
+    knn.ivf_build(emb, index_dir)
+    result = knn.ivf_topk_indexed(emb, index_dir)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pruned = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pruned
+    assert result.count() == 10
+
+
 def test_kafka_plan_construction(spark):
     """The production Kafka source/sink builders must construct a plan
     (S1/S4 wiring); execution needs a broker, but plan analysis is the
