@@ -57,8 +57,16 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     specs = all_queries()
 
-    # warm the JVM/session with a trivial action so q1 doesn't pay startup
-    spark.range(1).count()
+    # Warm the JVM paths the queries actually use (parquet reader,
+    # whole-stage codegen, noop sink) on the smallest table so the
+    # first measured query doesn't absorb one-time session startup.
+    from pyspark.sql import functions as F
+    from big_data_exercise_spark.tables import load_table
+
+    warm = load_table(spark, sf_dir, "region").groupBy("r_name").agg(
+        F.count("*").alias("n")
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -78,6 +86,27 @@ def main() -> None:
             print(f"# {name}: FAILED after {timings[name]:.3f}s: {errors[name]}",
                   file=sys.stderr)
 
+    # Frame-pipeline throughput over the FULL events table — directly
+    # comparable to BASELINE.md's frames/min numbers (vehicle: ~600
+    # frames/min/camera with a mock detector, vehicle_consumer.py:69-116;
+    # ours is the same mock-detector pipeline shape: synthesize →
+    # pandas_udf detect → explode → aggregate).
+    frames_per_min = None
+    try:
+        from big_data_exercise_spark.multimodal import codecs, detections
+        from big_data_exercise_spark.tables import ensure_parallelism, load_table
+
+        ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+        n_frames = ev.count()
+        t0 = time.perf_counter()
+        detections.vehicle_counts(codecs.synthesize_frames(ev)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        frames_per_min = round(n_frames / (time.perf_counter() - t0) * 60)
+        print(f"# frame throughput: {frames_per_min:,} frames/min", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["frame_throughput"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(timings.values()), 3)
     sf_txt = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -90,6 +119,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "frames_per_min": frames_per_min,
     }
     if errors:
         out["errors"] = errors
