@@ -45,12 +45,29 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
 
 
+BPE_ISH_PATTERN = r"\w+|[^\w\s]+"
+
+
 def bpe_ish_token_count(col: Column) -> Column:
-    """Token count under a BPE-ish regex segmentation: splits on word
-    boundaries, keeping punctuation runs and number runs as separate
-    tokens — a cheap, deterministic proxy for subword tokenizers."""
-    pieces = F.split(F.trim(col), r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+")
-    return F.size(F.filter(pieces, lambda t: F.trim(t) != F.lit("")))
+    """Token count under a BPE-ish regex segmentation: maximal runs of
+    word characters, and runs of punctuation, as separate tokens — a
+    cheap, deterministic proxy for subword tokenizers. The pattern is
+    RE2-safe (no lookarounds) so any engine reproduces it."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Per-doc token counting under both segmentations (whitespace and
+    BPE-ish) plus the fingerprint — the token-accounting pass an LLM
+    data pipeline runs over every document. Pure codegen projection,
+    no shuffle."""
+    return documents.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        distinct_token_count(F.col("text")).alias("n_distinct_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
 
 
 def quality_stats(documents: DataFrame) -> DataFrame:

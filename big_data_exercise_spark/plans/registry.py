@@ -39,6 +39,7 @@ from big_data_exercise_spark.operators import (
     sampling,
     scalars,
     sets,
+    skew,
     windows,
 )
 from big_data_exercise_spark.functions import arrays, sentiment, text
@@ -207,6 +208,19 @@ def _specs() -> list[QuerySpec]:
         """,
         ("agg", "quantile"),
         "exact percentiles per group (declared gap: quantiles)",
+    ))
+
+    s.append(QuerySpec(
+        "salted_top_revenue",
+        lambda sp, d: skew.salted_revenue(_t(sp, d, "events")),
+        f"""
+        SELECT user_id, event_type, {sum_sql("value", "total_value")}
+        FROM events GROUP BY user_id, event_type
+        ORDER BY total_value DESC, user_id, event_type LIMIT 50
+        """,
+        ("agg", "topk", "skew"),
+        "salted two-phase aggregation == direct aggregation (hot-key "
+        "mitigation; identical results, skew-proof shuffle shape)",
     ))
 
     # ---- joins (SURVEY §2.4 — the reference's biggest gap) -------------
@@ -493,6 +507,21 @@ def _specs() -> list[QuerySpec]:
         """,
         ("text",),
         "per-doc quality scoring (token/diversity/stopword stats)",
+    ))
+    s.append(QuerySpec(
+        "token_counts",
+        lambda sp, d: text.token_counts(_t(sp, d, "documents")),
+        f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+               CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+               CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))
+                    AS INTEGER) AS n_bpe_tokens,
+               {_FP} AS fp
+        FROM documents
+        """,
+        ("text",),
+        "whitespace + BPE-ish token counting, doc fingerprint (RE2-safe regex)",
     ))
     s.append(QuerySpec(
         "corpus_language_stats",

@@ -25,6 +25,7 @@ Scale notes (100 TB / 1000-executor target):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -88,6 +89,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Static conf: saveAsTable targets (bucketed tables) land in a
+        # scratch warehouse, never in the repo working directory.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="bdes_wh_")
+            ),
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -1,0 +1,127 @@
+"""Streaming semantics the single-file oracle queries can't cover:
+real multi-micro-batch execution, checkpoint restart (exactly-once
+bookkeeping), and the bucketed shuffle-free join layout."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_exercise_spark.streaming import pipelines as streams
+from big_data_exercise_spark.tables import load_table, normalize_table
+from tests.conftest import SF_DIR
+
+
+def _staged_events_dir(spark, tmp_path, n_files=4) -> str:
+    """Stage events into n time-ordered parquet files so a
+    maxFilesPerTrigger=1 stream executes n real micro-batches with an
+    advancing watermark (files listed in name order)."""
+    # Stage from the RAW read (ts stays int64 nanos) so the staged
+    # files match the stream's declared schema; normalization happens
+    # on the stream exactly as in stream_events.
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    qs = ev.approxQuantile("event_id", [i / n_files for i in range(1, n_files)], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    out = str(tmp_path / "staged")
+    for i in range(n_files):
+        part = ev.filter(
+            (F.col("event_id") > bounds[i]) & (F.col("event_id") <= bounds[i + 1])
+        )
+        part.coalesce(1).write.parquet(os.path.join(out, f"f{i:02d}"))
+    return out
+
+
+def _stream_staged(spark, staged_dir):
+    schema = load_table(spark, SF_DIR, "events").schema
+    raw = spark.read.parquet(SF_DIR + "/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged_dir)
+    )
+    del schema
+    return normalize_table("events", stream)
+
+
+def test_multi_batch_stream_matches_batch(spark, tmp_path):
+    """4 files → ≥4 micro-batches; tumbling counts over the stream must
+    equal the batch aggregation (events are staged in key order, which
+    is uncorrelated with event time — so this also exercises watermark
+    advancement across batches in complete mode)."""
+    staged = _staged_events_dir(spark, tmp_path)
+    stream_result = streams.run_to_memory(
+        streams.tumbling_counts(_stream_staged(spark, staged)), "complete"
+    )
+    batch_result = streams.tumbling_counts(
+        load_table(spark, SF_DIR, "events"), watermark=None
+    )
+    a = {tuple(r) for r in stream_result.collect()}
+    b = {tuple(r) for r in batch_result.collect()}
+    assert a == b
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Re-running an availableNow foreachBatch sink with the SAME
+    checkpoint over the SAME input must append nothing: the checkpoint
+    records consumed files, so restart-after-success is a no-op (the
+    exactly-once bookkeeping the reference forfeited by wiping
+    checkpoints each Airflow cycle, SURVEY §2.10)."""
+    staged = _staged_events_dir(spark, tmp_path)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            _stream_staged(spark, staged)
+            .select("event_id", "user_id", "value")
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # restart with durable checkpoint: nothing new to do
+    n2 = spark.read.parquet(out).count()
+    assert n1 == load_table(spark, SF_DIR, "events").count()
+    assert n2 == n1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Write both fact tables bucketed on the join key → the join plan
+    contains no Exchange (co-located join — the 100 TB answer to
+    repeated fact⋈fact joins on a stable key)."""
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("orders_b")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("lineitem_b")
+    # Force the SMJ path: at test SF the dim side fits the broadcast
+    # threshold and the planner would bypass bucketing entirely.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
