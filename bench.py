@@ -39,9 +39,15 @@ HEADLINE = [
     "text_quality_stats",
     "dedup_exact",
     "minhash_near_duplicates",
+    "simhash_near_duplicates",
     "knn_cosine_topk",
     "embedding_near_duplicates",
+    "embedding_lsh_near_duplicates",
+    "vehicle_detections",
+    "session_windows",
+    "csv_roundtrip",
     "stream_tumbling_counts",
+    "stream_jdbc_sink",
 ]
 
 

@@ -60,7 +60,11 @@ def near_duplicates(documents: DataFrame, max_distance: int = 3) -> DataFrame:
     at least one exact band (pigeonhole) → no recall loss vs all-pairs
     at bucket-join cost.
     """
-    sigs = simhash_signatures(documents)
+    # Persist: the banded self-join consumes the signature table on
+    # BOTH sides; without the cache boundary Spark recomputes the
+    # tokenize + 64-conditional-sum subtree twice. One (doc_id, long)
+    # row per doc — trivially cacheable at any scale.
+    sigs = simhash_signatures(documents).persist()
     banded = None
     for b in range(BANDS):
         piece = sigs.select(

@@ -875,6 +875,24 @@ def _specs() -> list[QuerySpec]:
         out = streams.run_foreach_batch_to_parquet(filtered)
         return sp.read.parquet(out).drop("_batch_id")
 
+    def _stream_stateful(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.stateful_user_stats(streams.stream_events(sp, d)), "update"
+        )
+
+    s.append(QuerySpec(
+        "stream_stateful_user_stats",
+        _stream_stateful,
+        """
+        SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        FROM events GROUP BY user_id
+        """,
+        ("streaming", "stateful", "udf"),
+        "applyInPandasWithState custom stateful op == batch aggregate "
+        "(explicit per-key state, update mode)",
+    ))
+
     def _stream_jdbc_sink(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         filtered = (

@@ -154,6 +154,45 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY
+    §2.10 gap — the reference has no stateful ops at all): per-user
+    running (count, max) maintained in explicit group state across
+    micro-batches, emitted in update mode. The state is two scalars
+    per user — bounded, mergeable, exactly the shape that scales to
+    10⁹ keys with RocksDB state store. On a finite input the final
+    emission per key equals the batch aggregate, which is what the
+    oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def update_stats(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_stats,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     result: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
