@@ -59,16 +59,21 @@ def near_duplicates(documents: DataFrame, max_distance: int = 3) -> DataFrame:
     With 4 bands of 16 bits, any pair within Hamming distance 3 shares
     at least one exact band (pigeonhole) → no recall loss vs all-pairs
     at bucket-join cost.
+
+    Like minhash, the signature/banding/join runs once per DISTINCT
+    simhash value (docs with identical token sets — or merely
+    sign-identical bit sums — collapse), then pairs expand back
+    through the membership table: same-hash pairs at distance 0,
+    cross-hash pairs with the representative distance. On duplicative
+    corpora the bucket join shrinks quadratically with cluster size.
     """
-    # Persist: the banded self-join consumes the signature table on
-    # BOTH sides; without the cache boundary Spark recomputes the
-    # tokenize + 64-conditional-sum subtree twice. One (doc_id, long)
-    # row per doc — trivially cacheable at any scale.
+    # Persist: consumed by the groupBy AND the expansion joins.
     sigs = simhash_signatures(documents).persist()
+    reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id")).persist()
+
     banded = None
     for b in range(BANDS):
-        piece = sigs.select(
-            "doc_id",
+        piece = reps.select(
             "simhash",
             F.lit(b).alias("band"),
             F.shiftrightunsigned(F.col("simhash"), b * BAND_BITS)
@@ -76,18 +81,35 @@ def near_duplicates(documents: DataFrame, max_distance: int = 3) -> DataFrame:
             .alias("key"),
         )
         banded = piece if banded is None else banded.unionByName(piece)
-    left = banded.select(
-        F.col("doc_id").alias("id1"), F.col("simhash").alias("sh1"), "band", "key"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("id2"), F.col("simhash").alias("sh2"), "band", "key"
-    )
-    return (
+    left = banded.select(F.col("simhash").alias("sh1"), "band", "key")
+    right = banded.select(F.col("simhash").alias("sh2"), "band", "key")
+    hash_pairs = (
         left.join(right, ["band", "key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id1", "id2", hamming(F.col("sh1"), F.col("sh2")).alias("distance")
-        )
+        .filter(F.col("sh1") < F.col("sh2"))
+        .select("sh1", "sh2", hamming(F.col("sh1"), F.col("sh2")).alias("distance"))
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
+
+    m1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"))
+    m2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2"))
+    cross = (
+        hash_pairs.join(m1, "sh1")
+        .join(m2, "sh2")
+        .select(
+            F.least("d1", "d2").alias("id1"),
+            F.greatest("d1", "d2").alias("id2"),
+            "distance",
+        )
+    )
+    intra = (
+        m1.join(m2, (m1.sh1 == m2.sh2) & (m1.d1 < m2.d2))
+        .select(
+            F.col("d1").alias("id1"),
+            F.col("d2").alias("id2"),
+            F.lit(0).cast("integer").alias("distance"),
+        )
+    )
+    if max_distance < 0:
+        return cross
+    return cross.unionByName(intra)

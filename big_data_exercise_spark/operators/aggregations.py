@@ -121,6 +121,21 @@ def rollup_pricing(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def cube_event_stats(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping-set combinations
+    (detail, per-type, per-day, grand total) in one pass. Same
+    single-shuffle property as rollup — the grouping-set expansion is
+    map-side."""
+    return (
+        events.cube("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact percentiles per group (declared gap: quantiles). Exact
     ``percentile`` is a full sort per group — at 100 TB switch to

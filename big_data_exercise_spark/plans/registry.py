@@ -197,6 +197,19 @@ def _specs() -> list[QuerySpec]:
         "ROLLUP subtotals + grouping_id (declared gap, SURVEY §2.3)",
     ))
     s.append(QuerySpec(
+        "cube_event_stats",
+        lambda sp, d: agg.cube_event_stats(_t(sp, d, "events")),
+        f"""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events, {sum_sql("value", "total_value")},
+               CAST(GROUPING(event_type, date_trunc('day', ts)) AS INTEGER) AS gid
+        FROM events
+        GROUP BY CUBE (event_type, date_trunc('day', ts))
+        """,
+        ("agg", "cube"),
+        "CUBE grouping sets + grouping_id (declared gap, SURVEY §2.3)",
+    ))
+    s.append(QuerySpec(
         "value_percentiles",
         lambda sp, d: agg.value_percentiles(_t(sp, d, "events")),
         f"""
@@ -1217,6 +1230,29 @@ def _specs() -> list[QuerySpec]:
         """,
         ("multimodal", "udf"),
         "binary frame synth → mapInPandas metadata decode round-trip",
+    ))
+
+    def _sampled_frames(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
+        frames = codecs.sample_frames(codecs.synthesize_frames(ev), every_n=5)
+        return codecs.decode_frame_meta(frames)
+
+    s.append(QuerySpec(
+        "sampled_frame_metadata",
+        _sampled_frames,
+        """
+        SELECT user_id AS camera_id, event_id AS frame_number,
+               CAST(640 AS INTEGER) AS width,
+               CAST(360 + (user_id % 4) * 90 AS INTEGER) AS height,
+               'fakeimg' AS codec,
+               CAST(24 + GREATEST(16, (640 * (360 + (user_id % 4) * 90)) // 64)
+                    AS INTEGER) AS n_bytes
+        FROM events WHERE event_id % 101 = 0 AND event_id % 5 = 0
+        """,
+        ("multimodal", "sample"),
+        "every-Nth frame sampling (pushed filter) -> metadata decode "
+        "(fire_consumer_streaming.py:159,205 'store every 5th frame')",
     ))
 
     def _resize_meta(sp: SparkSession, d: str) -> DataFrame:

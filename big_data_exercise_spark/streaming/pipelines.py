@@ -302,6 +302,26 @@ def kafka_sink(result: DataFrame, bootstrap_servers: str, topic: str, *cols: str
     )
 
 
+def idempotent_batch_writer(out_dir: str):
+    """foreachBatch writer with replay-safe semantics: each micro-batch
+    lands in its own ``_batch_id=N`` partition via dynamic partition
+    overwrite, so a batch re-executed after a mid-write failure
+    REPLACES its partition instead of appending duplicates. This
+    upgrades the at-least-once append sink (the reference's semantics)
+    to effectively-once without a transactional store."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return write_batch
+
+
 def run_foreach_batch_to_parquet(
     result: DataFrame, out_dir: str | None = None
 ) -> str:

@@ -94,6 +94,67 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert n2 == n1
 
 
+def test_append_mode_emits_exactly_closed_windows(spark, tmp_path):
+    """Append-mode watermark contract, observed: the output is the
+    full aggregation restricted to CLOSED windows (window end ≤ final
+    watermark = max event time − delay); trailing windows are
+    withheld. Late rows (a whole hour staged as the SECOND file, far
+    behind the watermark) are NOT necessarily dropped — Spark 4
+    aggregates a never-seen window and flushes it on eviction; the
+    watermark guarantee is one-sided (on-time data is never dropped,
+    too-late data MAY be). This test pins the deterministic part and
+    documents the best-effort part."""
+    raw = spark.read.parquet(SF_DIR + "/events.parquet")
+    ev = normalize_table("events", raw)
+    min_ts, max_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = ev.select(
+        (F.date_trunc("hour", F.lit(min_ts)) + F.expr("INTERVAL 1 HOUR")).alias("c")
+    ).first().c
+    on_time_raw = raw.filter(F.timestamp_micros(F.expr("ts div 1000")) >= F.lit(cutoff))
+    late_raw = raw.filter(F.timestamp_micros(F.expr("ts div 1000")) < F.lit(cutoff))
+    assert late_raw.count() > 0 and on_time_raw.count() > 0
+    staged = str(tmp_path / "staged")
+    on_time_raw.coalesce(1).write.parquet(os.path.join(staged, "f00"))
+    late_raw.coalesce(1).write.parquet(os.path.join(staged, "f01"))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    result = streams.run_to_memory(
+        streams.tumbling_counts(normalize_table("events", stream)), "append"
+    )
+    got = {tuple(r) for r in result.collect()}
+
+    full_batch = streams.tumbling_counts(ev, watermark=None)
+    wm = F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    closed = full_batch.filter(F.col("bucket") + F.expr("INTERVAL 1 HOUR") <= wm)
+    trailing = full_batch.filter(F.col("bucket") + F.expr("INTERVAL 1 HOUR") > wm)
+    want = {tuple(r) for r in closed.collect()}
+    assert got == want
+    # the unclosed trailing window(s) exist in batch but not in append output
+    assert trailing.count() > 0
+    assert all(tuple(r) not in got for r in trailing.collect())
+
+
+def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
+    """Replaying a batch (mid-write failure recovery) must not
+    duplicate rows: the batch's partition is overwritten, not
+    appended."""
+    out = str(tmp_path / "sink")
+    writer = streams.idempotent_batch_writer(out)
+    df = load_table(spark, SF_DIR, "events").select("event_id", "user_id").limit(100)
+    writer(df, 7)
+    n1 = spark.read.parquet(out).count()
+    writer(df, 7)  # replay of the same batch id
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 100
+    writer(df, 8)  # a NEW batch id appends its own partition
+    assert spark.read.parquet(out).count() == 200
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Write both fact tables bucketed on the join key → the join plan
     contains no Exchange (co-located join — the 100 TB answer to
