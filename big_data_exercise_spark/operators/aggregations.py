@@ -190,3 +190,25 @@ def histogram_with_domain(
             F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+def value_dispersion(events: DataFrame) -> DataFrame:
+    """Moment statistics (mean / sample stddev) derived from EXACT
+    decimal sums of x and x², then finished in double — the only way
+    two engines agree bit-for-bit on stddev (their native
+    implementations differ: Welford vs naive accumulate, and both are
+    order-dependent in double). At 100 TB the same two decimal sums
+    are a single map-side-combined aggregation; Welford is only needed
+    when decimal moments would overflow (|x| > ~1e11 here)."""
+    from big_data_exercise_spark.functions.numeric import DEC, round_det
+
+    sx = F.sum(F.col("value").cast(DEC)).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double")
+    n = F.count("value")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - 1)
+    return events.groupBy("event_type").agg(
+        n.alias("n"),
+        round_det(mean, 4).alias("mean_value"),
+        round_det(F.sqrt(var), 4).alias("stddev_value"),
+    )

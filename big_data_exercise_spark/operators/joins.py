@@ -137,3 +137,49 @@ def prior_events_within(
             F.col("n_prior").cast("long").alias("n_prior"),
         )
     )
+
+
+def last_prior_event(
+    events: DataFrame, anchor_type: str = "error", prior_type: str = "click"
+) -> DataFrame:
+    """True as-of join: for each anchor event, the timestamp of the
+    most recent strictly-earlier prior-type event by the same user.
+
+    Implemented as a UNION + window (max of tagged ts over preceding
+    rows) instead of a range join: one shuffle on user_id, one sort —
+    the classic scalable as-of plan (a range join re-scans candidates
+    per anchor; the window pass is linear per user)."""
+    from pyspark.sql import Window as W
+
+    tagged = events.filter(
+        F.col("event_type").isin(anchor_type, prior_type)
+    ).select("event_id", "user_id", "ts", "event_type")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_prior = F.max(
+        F.when(F.col("event_type") == prior_type, F.col("ts"))
+    ).over(w)
+    return (
+        tagged.withColumn("last_prior_ts", last_prior)
+        .filter(F.col("event_type") == anchor_type)
+        .select("event_id", "user_id", "last_prior_ts")
+    )
+
+
+def user_segment_coverage(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """FULL OUTER join: active event users vs the customer dimension,
+    rolled up per segment (NULL segment = users with no customer row).
+    COUNT(col) vs COUNT(*) distinguishes the unmatched sides."""
+    users = events.select("user_id").distinct()
+    dim = customer.select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = users.join(dim, users.user_id == dim.cust_id, "full_outer")
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("user_id").alias("n_active_users"),
+        F.count("cust_id").alias("n_customers"),
+    )

@@ -59,3 +59,14 @@ def melt_pricing(lineitem: DataFrame) -> DataFrame:
         "l_returnflag",
         "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (measure, value)",
     )
+
+
+def word_positions(documents: DataFrame, max_doc_id: int = 10) -> DataFrame:
+    """posexplode: one row per (doc, position, word) — the ordinal
+    flatten (D1 variant) bounded to the first docs for a stable
+    result."""
+    from big_data_exercise_spark.functions.text import tokens
+
+    return documents.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )

@@ -89,3 +89,22 @@ def seeded_sample(events: DataFrame, fraction: float = 0.1, seed: int = 42) -> D
     partitioning → same rows) but not oracle-comparable row-for-row;
     verified by statistical bounds in tests."""
     return events.sample(fraction=fraction, seed=seed)
+
+
+def clean_text_stats(documents: DataFrame) -> DataFrame:
+    """Text-normalization chain (lower → strip non-alphanumerics →
+    collapse whitespace → trim): the cleaning pass an LLM data
+    pipeline runs before tokenization, as one codegen stage."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]+", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(cleaned).alias("clean_len"),
+        F.substring(cleaned, 1, 20).alias("clean_prefix"),
+    )

@@ -73,3 +73,24 @@ def top_k_per_group(events: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("event_type", "rk", "event_id", "user_id", F.round("value", 2).alias("value"))
     )
+
+
+def value_ranks(events: DataFrame, top: int = 20) -> DataFrame:
+    """dense_rank / percent_rank / ntile in one partitioned window —
+    the ranking surface beyond row_number (W1-W4). percent_rank is
+    (rank-1)/(n-1), an integer ratio both engines compute identically;
+    ntile follows the SQL-standard ceil/floor bucket split. Bounded to
+    the top ``top`` dense ranks per type for a stable result set."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            F.dense_rank().over(w).alias("dr"),
+            round_det(F.percent_rank().over(w), 6).alias("pr"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("dr") <= top)
+    )

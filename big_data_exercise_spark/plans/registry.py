@@ -309,6 +309,59 @@ def _specs() -> list[QuerySpec]:
         "bounded range self-join (as-of analog)",
     ))
 
+    s.append(QuerySpec(
+        "value_dispersion",
+        lambda sp, d: agg.value_dispersion(_t(sp, d, "events")),
+        f"""
+        WITH m AS (
+          SELECT event_type, COUNT(value) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+          FROM events GROUP BY event_type)
+        SELECT event_type, n,
+               {round_det_sql("sx / n", 4)} AS mean_value,
+               {round_det_sql("sqrt((sxx - sx * sx / n) / (n - 1))", 4)}
+                 AS stddev_value
+        FROM m
+        """,
+        ("agg", "stats"),
+        "mean/stddev from exact decimal moment sums (engine-stable "
+        "dispersion; native stddev impls are order-dependent)",
+    ))
+
+    s.append(QuerySpec(
+        "last_click_before_error",
+        lambda sp, d: joins.last_prior_event(_t(sp, d, "events")),
+        """
+        SELECT event_id, user_id, last_prior_ts FROM (
+          SELECT event_id, user_id, event_type,
+                 MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_prior_ts
+          FROM events WHERE event_type IN ('click', 'error')) t
+        WHERE event_type = 'error'
+        """,
+        ("join", "asof", "window"),
+        "true as-of join via tagged union + window (linear per user, "
+        "no candidate re-scan)",
+    ))
+    s.append(QuerySpec(
+        "user_segment_coverage",
+        lambda sp, d: joins.user_segment_coverage(
+            _t(sp, d, "events"), _t(sp, d, "customer")),
+        """
+        WITH users AS (SELECT DISTINCT user_id FROM events)
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS n_rows,
+               COUNT(u.user_id) AS n_active_users,
+               COUNT(c.c_custkey) AS n_customers
+        FROM users u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """,
+        ("join", "outer"),
+        "FULL OUTER join with unmatched-side accounting",
+    ))
+
     # ---- windows (SURVEY §2.5) -----------------------------------------
     s.append(QuerySpec(
         "latest_event_per_user",
@@ -364,6 +417,25 @@ def _specs() -> list[QuerySpec]:
         "top-k per group via partitioned window",
     ))
 
+    s.append(QuerySpec(
+        "value_ranks",
+        lambda sp, d: windows.value_ranks(_t(sp, d, "events")),
+        f"""
+        SELECT event_type, event_id, CAST(dr AS INTEGER) AS dr,
+               {round_det_sql("pr", 6)} AS pr, CAST(quartile AS INTEGER) AS quartile
+        FROM (
+          SELECT event_type, event_id,
+                 dense_rank() OVER w AS dr,
+                 percent_rank() OVER w AS pr,
+                 ntile(4) OVER w AS quartile
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)) t
+        WHERE dr <= 20
+        """,
+        ("window", "rank"),
+        "dense_rank / percent_rank / ntile ranking surface",
+    ))
+
     # ---- reshape (SURVEY §2.8) -----------------------------------------
     s.append(QuerySpec(
         "explode_words",
@@ -407,6 +479,19 @@ def _specs() -> list[QuerySpec]:
         "wide→long melt via stack() (D3)",
     ))
 
+    s.append(QuerySpec(
+        "word_positions",
+        lambda sp, d: reshape.word_positions(_t(sp, d, "documents")),
+        f"""
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS word
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                    WHERE doc_id < 10) t) tt
+        """,
+        ("reshape", "explode"),
+        "posexplode ordinal flatten (D1 variant)",
+    ))
+
     # ---- scalars / projections / sampling (SURVEY §2.2, §2.6, §2.9) ----
     s.append(QuerySpec(
         "json_props_stats",
@@ -448,6 +533,23 @@ def _specs() -> list[QuerySpec]:
         """,
         ("scalar",),
         "length/round/upper/substring/CASE (P8, P9)",
+    ))
+    s.append(QuerySpec(
+        "clean_text_stats",
+        lambda sp, d: scalars.clean_text_stats(_t(sp, d, "documents")),
+        """
+        WITH c AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]+', '', 'g'), '\\s+', ' ', 'g')) AS cleaned
+          FROM documents)
+        SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS raw_len,
+               CAST(LENGTH(cleaned) AS INTEGER) AS clean_len,
+               SUBSTRING(cleaned, 1, 20) AS clean_prefix
+        FROM c
+        """,
+        ("scalar", "text"),
+        "normalization chain: lower → strip → collapse whitespace → trim",
     ))
     s.append(QuerySpec(
         "epoch_roundtrip",
