@@ -1,0 +1,62 @@
+"""Cross-engine determinism of the rounding/aggregation kernel in
+functions/numeric.py — the foundation every oracle-checked double
+aggregate stands on. Spark evaluates round_det; DuckDB evaluates
+round_det_sql; the bits must match on adversarial inputs (exact .xx5
+ties, shortest-repr traps, negatives, large magnitudes)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from big_data_exercise_spark.functions.numeric import round_det, round_det_sql
+
+# Adversarial + pseudo-random values. 20.275 and 2.675 are the classic
+# shortest-repr-vs-binary-scaling disagreement cases; 0.84375 is an
+# exact dyadic tie; negatives exercise the half-away-from-zero branch.
+ADVERSARIAL = [
+    20.275, 2.675, 0.84375, -20.275, -2.675, -0.005, 0.005, 1.005,
+    -1.005, 123456.789, -123456.789, 0.0, -0.0, 1e10 + 0.125,
+]
+
+
+def _pseudo_random(n=500, seed=1234567):
+    vals, x = [], seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % 2**31
+        vals.append((x / 2**31 - 0.5) * 2000)
+    return vals
+
+
+def test_round_det_matches_duckdb(spark):
+    values = ADVERSARIAL + _pseudo_random()
+    sdf = spark.createDataFrame([(v,) for v in values], "v double")
+    spark_out = [
+        r.r
+        for r in sdf.select(round_det(F.col("v"), 2).alias("r"))
+        .toPandas()
+        .itertuples(index=False, name="Row")
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": pd.Series(values, dtype="float64")}))
+    duck_out = [
+        r[0]
+        for r in con.sql(f"SELECT {round_det_sql('v', 2)} AS r FROM t").fetchall()
+    ]
+    assert len(spark_out) == len(duck_out)
+    for v, a, b in zip(values, spark_out, duck_out):
+        assert a == b, f"round_det({v!r}): spark={a!r} duckdb={b!r}"
+
+
+def test_round_det_half_away_from_zero(spark):
+    sdf = spark.createDataFrame(
+        [(0.125,), (-0.125,), (0.135,), (-0.135,)], "v double"
+    )
+    got = [
+        r.r for r in sdf.select(round_det(F.col("v"), 2).alias("r")).collect()
+    ]
+    # 0.125 and 0.135 are exact (0.135 is not, its double is
+    # 0.13500000000000001 > .135) — rounding is on the BINARY value.
+    assert got[0] == 0.13 and got[1] == -0.13
+    assert got[2] == 0.14 and got[3] == -0.14
