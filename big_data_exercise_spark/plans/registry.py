@@ -310,6 +310,81 @@ def _specs() -> list[QuerySpec]:
     ))
 
     s.append(QuerySpec(
+        "shipping_priority",
+        lambda sp, d: joins.shipping_priority(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")),
+        f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {round_det_sql(
+                   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                   "AS DECIMAL(30,8))) AS DOUBLE)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey
+                        AND c_mktsegment = 'BUILDING')
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        ("join", "topk", "flagship"),
+        "TPC-H Q3 shape: 3-way join + grouped revenue + top-k",
+    ))
+    s.append(QuerySpec(
+        "local_supplier_volume",
+        lambda sp, d: joins.local_supplier_volume(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem"),
+            _t(sp, d, "supplier"), _t(sp, d, "nation"), _t(sp, d, "region")),
+        f"""
+        SELECT n_name,
+               {round_det_sql(
+                   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                   "AS DECIMAL(30,8))) AS DOUBLE)")} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        ("join", "flagship"),
+        "TPC-H Q5 shape: 5-way join, same-nation predicate, region filter",
+    ))
+
+    def _partitioned_day(sp: SparkSession, d: str) -> DataFrame:
+        ev = _t(sp, d, "events")
+        out = os.path.join(tempfile.mkdtemp(prefix="bdes_part_"), "events_by_day")
+        (
+            ev.withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+        # The day filter becomes a PartitionFilter: only one directory
+        # of the partitioned copy is read — the standard time-partitioned
+        # 100 TB layout (scan I/O ∝ days queried, not table size).
+        day = sp.read.parquet(out).filter(F.col("day") == F.lit("2024-01-05"))
+        return day.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+
+    s.append(QuerySpec(
+        "partitioned_day_rollup",
+        _partitioned_day,
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {sum_sql("value", "total_value")}
+        FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        GROUP BY event_type
+        """,
+        ("etl", "partition", "sink"),
+        "write-time day partitioning + partition-pruned scan rollup",
+    ))
+
+    s.append(QuerySpec(
         "value_dispersion",
         lambda sp, d: agg.value_dispersion(_t(sp, d, "events")),
         f"""
