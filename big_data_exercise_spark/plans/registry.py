@@ -713,6 +713,29 @@ def _specs() -> list[QuerySpec]:
         ("text",),
         "whitespace + BPE-ish token counting, doc fingerprint (RE2-safe regex)",
     ))
+    def _udtf_sentences(sp: SparkSession, d: str) -> DataFrame:
+        from big_data_exercise_spark.functions import udtfs
+        return udtfs.doc_sentences(sp, _t(sp, d, "documents"))
+
+    s.append(QuerySpec(
+        "udtf_sentences",
+        _udtf_sentences,
+        """
+        WITH t AS (
+          SELECT doc_id, string_split(text, '.') AS parts
+          FROM documents WHERE doc_id < 20),
+        u AS (SELECT doc_id, unnest(generate_series(1, len(parts))) AS i, parts
+              FROM t),
+        c AS (SELECT doc_id, i, trim(parts[i]) AS sentence FROM u)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                    AS INTEGER) AS sent_idx,
+               sentence, CAST(length(sentence) AS INTEGER) AS n_chars
+        FROM c WHERE sentence <> ''
+        """,
+        ("text", "udtf"),
+        "Python UDTF in a LATERAL join (one-to-many table function)",
+    ))
     s.append(QuerySpec(
         "corpus_language_stats",
         lambda sp, d: text.corpus_language_stats(_t(sp, d, "documents")),
