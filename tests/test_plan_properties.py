@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the properties PLANS.md claims,
+asserted on the executed plans so a refactor can't silently turn a
+broadcast join into a shuffle or un-push a scan filter. These are the
+perf contracts that matter at 100 TB — cheap to pin, expensive to
+rediscover in a bench regression."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_exercise_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+SPECS = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].build(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "regional_customers")
+    assert plan.count("BroadcastHashJoin") == 2  # nation + region
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "top_revenue")
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "Sort " not in plan.replace("TakeOrdered", "")
+
+
+def test_scan_filter_pushdown(spark):
+    plan = _plan(spark, "systematic_sample")
+    # the modulo predicate evaluates during the parquet scan stage
+    assert "FileScan parquet" in plan
+    assert "DataFilters: [" in plan and "event_id" in plan.split("DataFilters")[1][:120]
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = _plan(spark, "pricing_summary")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 7 of 11 lineitem columns; keys/linenumber never leave the scan
+    # (toString truncates the schema — assert on the visible prefix)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert read_schema.strip().startswith("struct<l_quantity")
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _plan(spark, "time_bucket")
+    assert "partial_" in plan  # map-side combine present
+    assert plan.index("partial_") > plan.index("HashAggregate")
+
+
+def test_range_join_keeps_equi_component(spark):
+    plan = _plan(spark, "prior_events_within")
+    # join keyed on user_id (hash-partitionable), range as condition —
+    # never a cross product
+    assert "CartesianProduct" not in plan
+    assert "a_user" in plan and "p_user" in plan
+
+
+def test_semi_and_anti_join_forms(spark):
+    semi = _plan(spark, "customers_with_orders")
+    anti = _plan(spark, "parts_never_ordered")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+@pytest.mark.parametrize("name", ["doc_sentiment_scores", "frame_metadata"])
+def test_python_stages_are_arrow(spark, name):
+    plan = _plan(spark, name)
+    # Arrow-batched eval nodes, never row-at-a-time BatchEvalPython
+    assert "BatchEvalPython" not in plan
+    assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan)
