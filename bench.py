@@ -32,6 +32,8 @@ HEADLINE = [
     "time_bucket",
     "regional_customers",
     "order_revenue_by_priority",
+    "shipping_priority",
+    "local_supplier_volume",
     "prior_events_within",
     "latest_event_per_user",
     "explode_words",
