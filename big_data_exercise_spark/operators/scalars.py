@@ -108,3 +108,39 @@ def clean_text_stats(documents: DataFrame) -> DataFrame:
         F.length(cleaned).alias("clean_len"),
         F.substring(cleaned, 1, 20).alias("clean_prefix"),
     )
+
+
+def prefix_edit_distances(documents: DataFrame, max_doc_id: int = 15) -> DataFrame:
+    """Pairwise Levenshtein distance between document prefixes — the
+    edit-distance primitive fuzzy dedup builds on. Bounded kernel
+    (doc_id < max): all-pairs edit distance is quadratic by nature;
+    at scale it runs only on LSH/blocking candidates."""
+    pref = documents.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id", F.substring("text", 1, 20).alias("p")
+    )
+    a = pref.select(F.col("doc_id").alias("id1"), F.col("p").alias("p1"))
+    b = pref.select(F.col("doc_id").alias("id2"), F.col("p").alias("p2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", F.levenshtein("p1", "p2").alias("edit_distance")
+        )
+    )
+
+
+def calendar_features(events: DataFrame) -> DataFrame:
+    """Datetime feature extraction (year/month/day/hour/weekday/
+    week-of-year/month-end) — one codegen stage, the feature columns a
+    time-series model trains on."""
+    ts = F.col("ts")
+    return events.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("m"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.dayofweek(ts).alias("dow"),
+        F.dayofyear(ts).alias("doy"),
+        F.weekofyear(ts).alias("woy"),
+        F.last_day(ts).alias("month_end"),
+    )

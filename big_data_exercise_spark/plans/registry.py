@@ -353,6 +353,28 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q5 shape: 5-way join, same-nation predicate, region filter",
     ))
 
+    s.append(QuerySpec(
+        "returned_item_report",
+        lambda sp, d: joins.returned_item_report(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem"),
+            _t(sp, d, "nation")),
+        f"""
+        SELECT c_custkey, c_name, n_name,
+               {round_det_sql(
+                   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                   "AS DECIMAL(30,8))) AS DOUBLE)")} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        ("join", "topk"),
+        "TPC-H Q10 shape: returned-item revenue per customer, top-k",
+    ))
+
     def _partitioned_day(sp: SparkSession, d: str) -> DataFrame:
         ev = _t(sp, d, "events")
         out = os.path.join(tempfile.mkdtemp(prefix="bdes_part_"), "events_by_day")
@@ -625,6 +647,39 @@ def _specs() -> list[QuerySpec]:
         """,
         ("scalar", "text"),
         "normalization chain: lower → strip → collapse whitespace → trim",
+    ))
+    s.append(QuerySpec(
+        "prefix_edit_distances",
+        lambda sp, d: scalars.prefix_edit_distances(_t(sp, d, "documents")),
+        """
+        WITH p AS (SELECT doc_id, SUBSTRING(text, 1, 20) AS p
+                   FROM documents WHERE doc_id < 15)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_distance
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        """,
+        ("scalar", "text", "dedup"),
+        "pairwise Levenshtein on prefixes (fuzzy-dedup primitive, "
+        "bounded kernel)",
+    ))
+    s.append(QuerySpec(
+        "calendar_features",
+        lambda sp, d: scalars.calendar_features(_t(sp, d, "events")),
+        """
+        SELECT event_id,
+               CAST(year(ts) AS INTEGER) AS y,
+               CAST(month(ts) AS INTEGER) AS m,
+               CAST(day(ts) AS INTEGER) AS d,
+               CAST(hour(ts) AS INTEGER) AS h,
+               CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+               CAST(dayofyear(ts) AS INTEGER) AS doy,
+               CAST(weekofyear(ts) AS INTEGER) AS woy,
+               last_day(CAST(ts AS DATE)) AS month_end
+        FROM events
+        """,
+        ("scalar", "time"),
+        "datetime feature extraction (Spark dayofweek is 1=Sunday; "
+        "DuckDB 0=Sunday, mapped in the oracle)",
     ))
     s.append(QuerySpec(
         "epoch_roundtrip",
