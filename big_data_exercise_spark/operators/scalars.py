@@ -142,5 +142,8 @@ def calendar_features(events: DataFrame) -> DataFrame:
         F.dayofweek(ts).alias("dow"),
         F.dayofyear(ts).alias("doy"),
         F.weekofyear(ts).alias("woy"),
-        F.last_day(ts).alias("month_end"),
+        # timestamp, not date: DateType round-trips as datetime.date on
+        # one engine and midnight Timestamp on the other — the one
+        # temporal type the comparison layer can't normalize.
+        F.last_day(ts).cast("timestamp").alias("month_end"),
     )

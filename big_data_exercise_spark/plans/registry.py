@@ -674,7 +674,7 @@ def _specs() -> list[QuerySpec]:
                CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
                CAST(dayofyear(ts) AS INTEGER) AS doy,
                CAST(weekofyear(ts) AS INTEGER) AS woy,
-               last_day(CAST(ts AS DATE)) AS month_end
+               CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end
         FROM events
         """,
         ("scalar", "time"),
