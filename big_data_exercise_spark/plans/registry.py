@@ -1187,6 +1187,32 @@ def _specs() -> list[QuerySpec]:
         "(explicit per-key state, update mode)",
     ))
 
+    def _stream_sentiment(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.streaming_sentiment_distribution(
+                streams.stream_documents(sp, d)
+            ),
+            "complete",
+        )
+
+    s.append(QuerySpec(
+        "stream_sentiment_distribution",
+        _stream_sentiment,
+        f"""
+        SELECT CASE WHEN len(list_filter({_TOKS}, t -> t IN ('fast','small')))
+                       > len(list_filter({_TOKS}, t -> t IN ('slow','big'))) THEN 'POS'
+                    WHEN len(list_filter({_TOKS}, t -> t IN ('slow','big')))
+                       > len(list_filter({_TOKS}, t -> t IN ('fast','small'))) THEN 'NEG'
+                    ELSE 'NEU' END AS label,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY label
+        """,
+        ("streaming", "udf", "text"),
+        "the reference's flagship pipeline whole: text stream -> Arrow "
+        "pandas-UDF inference -> aggregation (ABSA analog)",
+    ))
+
     # NOTE: a transformWithStateInPandas twin of the stateful operator
     # exists (streaming.pipelines.stateful_user_stats_tws) but is not
     # registered: its state-server protocol requires google.protobuf,

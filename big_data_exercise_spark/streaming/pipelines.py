@@ -59,6 +59,31 @@ def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
     return events.withWatermark("ts", watermark) if watermark else events
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based stream over the documents corpus — the ABSA review
+    stream stand-in (S1 over text instead of events)."""
+    schema = raw_schema(spark, sf_dir, "documents")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_sentiment_distribution(documents: DataFrame) -> DataFrame:
+    """The reference's flagship pipeline shape, whole: text stream →
+    Arrow pandas-UDF inference → relational aggregation
+    (consumer_postgres_streaming.py:219-401 compressed to its
+    essence). The UDF is the deterministic keyword scorer (the
+    reference's own fallback model), so the batch oracle replays it.
+    """
+    from big_data_exercise_spark.functions.sentiment import score_documents
+
+    scored = score_documents(documents)
+    return scored.groupBy("label").agg(F.count("*").alias("n_docs"))
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str | None = "10 minutes"
 ) -> DataFrame:
