@@ -1187,6 +1187,66 @@ def _specs() -> list[QuerySpec]:
         "(explicit per-key state, update mode)",
     ))
 
+    def _stream_vehicle(sp: SparkSession, d: str) -> DataFrame:
+        # The vehicle pipeline whole, streaming: frames → array<struct>
+        # detection UDF → explode → per-class rollup
+        # (vehicle_consumer.py:38-243 compressed).
+        tune_session(sp)
+        ev = streams.stream_events(sp, d).filter(F.col("event_id") % 101 == 0)
+        return streams.run_to_memory(
+            detections.vehicle_counts(codecs.synthesize_frames(ev)), "complete"
+        )
+
+    s.append(QuerySpec(
+        "stream_vehicle_counts",
+        _stream_vehicle,
+        f"""
+        WITH f AS (
+          SELECT event_id AS seed FROM events WHERE event_id % 101 = 0),
+        d AS (SELECT seed, unnest(range(seed % 3 + 1)) AS i FROM f),
+        dd AS (
+          SELECT ['car','truck','bus','bike'][CAST((seed + i) % 4 AS INT) + 1]
+                   AS vehicle_type,
+                 0.5 + ((seed * 7 + i * 13) % 50) / 100.0 AS confidence,
+                 CAST((seed + i) % 5 + 1 AS INTEGER) AS cnt
+          FROM d)
+        SELECT vehicle_type, COUNT(*) AS n_detections,
+               CAST(SUM(cnt) AS BIGINT) AS total_count,
+               {avg_sql("confidence", "avg_confidence", 4)}
+        FROM dd GROUP BY vehicle_type
+        """,
+        ("streaming", "multimodal", "udf"),
+        "the vehicle pipeline whole, streaming: frame stream -> "
+        "detection UDF -> explode -> rollup (vehicle_consumer.py analog)",
+    ))
+
+    def _stream_frames(sp: SparkSession, d: str) -> DataFrame:
+        # The fire pipeline's shape, streaming: frame stream →
+        # struct-returning decode (mapInPandas) → append sink
+        # (fire_consumer_streaming.py:38-295 essence).
+        tune_session(sp)
+        ev = streams.stream_events(sp, d).filter(F.col("event_id") % 101 == 0)
+        return streams.run_to_memory(
+            codecs.decode_frame_meta(codecs.synthesize_frames(ev)), "append"
+        )
+
+    s.append(QuerySpec(
+        "stream_frame_metadata",
+        _stream_frames,
+        """
+        SELECT user_id AS camera_id, event_id AS frame_number,
+               CAST(640 AS INTEGER) AS width,
+               CAST(360 + (user_id % 4) * 90 AS INTEGER) AS height,
+               'fakeimg' AS codec,
+               CAST(24 + GREATEST(16, (640 * (360 + (user_id % 4) * 90)) // 64)
+                    AS INTEGER) AS n_bytes
+        FROM events WHERE event_id % 101 = 0
+        """,
+        ("streaming", "multimodal", "udf"),
+        "the fire pipeline's shape, streaming: frame stream -> struct "
+        "decode UDF -> append (fire_consumer_streaming.py analog)",
+    ))
+
     def _stream_sentiment(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         return streams.run_to_memory(
