@@ -212,3 +212,57 @@ def value_dispersion(events: DataFrame) -> DataFrame:
         round_det(mean, 4).alias("mean_value"),
         round_det(F.sqrt(var), 4).alias("stddev_value"),
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: single-scan global aggregate under three
+    pushable predicates. The whole query is scan → filter → one-row
+    partial agg → merge; all three predicates reach the parquet reader
+    as PushedFilters, so at 100 TB this reads only row groups whose
+    min/max stats survive the date window. No join, no wide shuffle."""
+    from big_data_exercise_spark.functions.numeric import DEC, round_det
+
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        & F.col("l_discount").between(disc_lo, disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return filtered.agg(
+        F.count("*").alias("n_items"),
+        round_det(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)).cast(
+                "double"
+            ),
+            2,
+        ).alias("forecast_revenue"),
+    )
+
+
+def grouping_sets_pricing(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping-set surface next to
+    rollup/cube: per-returnflag totals, per-linestatus totals, and the
+    grand total in ONE pass, WITHOUT the detail rows a CUBE would also
+    produce. Spark expands the sets map-side (single shuffle), so the
+    cost is one aggregation regardless of how many sets are listed."""
+    from big_data_exercise_spark.functions.numeric import exact_sum
+
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )

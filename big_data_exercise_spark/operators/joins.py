@@ -308,3 +308,133 @@ def returned_item_report(
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(k)
     )
+
+
+def late_shipment_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-07-01",
+    grace_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape: orders in a date window having at least one item
+    shipped more than ``grace_days`` after the order date, counted per
+    priority. (The testdata lacks commit/receipt dates, so "late" is
+    defined against o_orderdate.)
+
+    LEFT SEMI keeps the probe side free of row multiplication — an
+    order with 7 late items counts once, and the lineitem payload never
+    travels past the join. The date window prunes orders at the scan;
+    the final groupBy is 5 groups after map-side combine.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    items = lineitem.select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+    )
+    return (
+        ords.join(items, (F.col("o_orderkey") == F.col("l_orderkey")) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def priority_flag_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: per lineitem attribute (returnflag stands in
+    for the missing shipmode column), how many lines belong to
+    high-priority vs low-priority orders. Conditional SUM(CASE) per
+    group — one fact ⋈ fact sort-merge join, then a 3-group agg."""
+    items = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        items.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_ratio(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1996-09-01",
+    end: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: % of one month's revenue from PROMO parts.
+    Both conditional sums accumulate in exact decimal within ONE
+    aggregation pass; the ratio is finished in double and rounded
+    engine-stably. part grows with SF (not broadcastable at 100 TB) —
+    plain equi-join, AQE picks the strategy."""
+    items = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        items.join(
+            part.select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            round_det(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q19_BRACKETS = [
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#13", 1, 10, 10, 20),
+    ("Brand#23", 1, 15, 20, 30),
+]
+
+
+def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs bracket predicate
+    over (brand, size range, quantity range). The classic Q19 trap is
+    embedding the disjunction in the join condition, which blocks the
+    hash join; here the join is a clean equi-join on partkey and the
+    brackets are a post-join filter Catalyst can still use for
+    pushdown of the common bounds."""
+    bracket = None
+    for brand, smin, smax, qmin, qmax in _Q19_BRACKETS:
+        clause = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+        bracket = clause if bracket is None else (bracket | clause)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(
+            part.select("p_partkey", "p_brand", "p_size"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(bracket)
+        .agg(
+            F.count("*").alias("n_items"),
+            round_det(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )

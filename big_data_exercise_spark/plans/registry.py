@@ -352,6 +352,107 @@ def _specs() -> list[QuerySpec]:
         ("join", "flagship"),
         "TPC-H Q5 shape: 5-way join, same-nation predicate, region filter",
     ))
+    s.append(QuerySpec(
+        "late_order_priority",
+        lambda sp, d: joins.late_shipment_priority_counts(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")),
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """,
+        ("join", "semi"),
+        "TPC-H Q4 shape: correlated-EXISTS via LEFT SEMI, priority counts",
+    ))
+    s.append(QuerySpec(
+        "priority_flag_counts",
+        lambda sp, d: joins.priority_flag_counts(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")),
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        """,
+        ("join", "agg"),
+        "TPC-H Q12 shape: fact join + conditional SUM(CASE) per group",
+    ))
+    s.append(QuerySpec(
+        "promo_revenue_pct",
+        lambda sp, d: joins.promo_revenue_ratio(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")),
+        f"""
+        SELECT {round_det_sql(
+            "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
+            "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) "
+            "ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) "
+            "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(30,8))) AS DOUBLE)", 4)} AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+        """,
+        ("join", "agg"),
+        "TPC-H Q14 shape: conditional-revenue ratio in one agg pass",
+    ))
+    s.append(QuerySpec(
+        "bracket_revenue",
+        lambda sp, d: joins.bracket_revenue(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")),
+        f"""
+        SELECT COUNT(*) AS n_items,
+               {round_det_sql(
+                   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                   "AS DECIMAL(30,8))) AS DOUBLE)")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        ("join", "agg"),
+        "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
+    ))
+    s.append(QuerySpec(
+        "forecast_revenue",
+        lambda sp, d: agg.forecast_revenue(_t(sp, d, "lineitem")),
+        f"""
+        SELECT COUNT(*) AS n_items,
+               {sum_sql("l_extendedprice * l_discount", "forecast_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        ("agg", "scan"),
+        "TPC-H Q6 shape: single-scan global agg, all predicates pushed",
+    ))
+    s.append(QuerySpec(
+        "grouping_sets_pricing",
+        lambda sp, d: agg.grouping_sets_pricing(_t(sp, d, "lineitem")),
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               {sum_sql("l_extendedprice", "sum_price")},
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        ("agg", "grouping-sets"),
+        "Explicit GROUPING SETS + grouping_id (completes rollup/cube trio)",
+    ))
 
     # One ANSI string, two engines: the Spark builder runs EXACTLY the
     # oracle SQL through spark.sql() over registered views — the

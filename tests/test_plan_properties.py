@@ -74,3 +74,27 @@ def test_python_stages_are_arrow(spark, name):
     # Arrow-batched eval nodes, never row-at-a-time BatchEvalPython
     assert "BatchEvalPython" not in plan
     assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan)
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    plan = _plan(spark, "forecast_revenue")
+    # Q6 shape: date window + discount band + quantity cap all reach
+    # the parquet reader; no join, no wide shuffle anywhere
+    pushed = plan.split("PushedFilters:")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    assert "Join" not in plan
+
+
+def test_late_order_priority_is_semi_join(spark):
+    plan = _plan(spark, "late_order_priority")
+    # Q4 shape: EXISTS compiles to LeftSemi — no row multiplication
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_shuffle(spark):
+    plan = _plan(spark, "grouping_sets_pricing")
+    # grouping-set expansion is map-side: Expand feeds ONE exchange
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
