@@ -1,0 +1,89 @@
+"""Duplicate clustering: near-dup pairs → connected components →
+canonical-document selection.
+
+Pair generation (exact / MinHash / SimHash / embedding-LSH) only says
+"these two docs match"; a training-data pipeline needs the transitive
+closure — if A≈B and B≈C, keep ONE of {A, B, C}. This module turns any
+edge list into per-doc cluster assignments with a deterministic
+canonical representative (min doc_id), i.e. the "which rows survive
+dedup" answer.
+
+Algorithm: iterative min-label propagation (the Pregel formulation of
+connected components). Each round every node adopts the smallest label
+among itself and its neighbors; convergence in O(component diameter)
+rounds. Near-dup graphs are locally dense (duplicate clusters are
+quasi-cliques), so diameters are tiny — 3-5 rounds in practice.
+
+100 TB notes:
+* every round is one shuffle keyed on node id — same key every round,
+  so under a pre-`repartition` the exchange is reused;
+* `localCheckpoint(eager=True)` per round cuts the lineage chain —
+  without it the plan doubles each iteration and the job dies on
+  driver-side planning long before data size matters;
+* convergence is detected with a 1-row aggregate (sum of labels,
+  monotonically non-increasing), not a full frame comparison;
+* for adversarial graphs (long chains) switch to the large-star /
+  small-star algorithm [Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14] — same join primitive, O(log²n)
+  rounds; not needed for quasi-clique dup graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(node) + (src, dst) → (node, cluster_id).
+
+    ``nodes`` must have one column ``node`` covering every vertex
+    (singletons included); ``edges`` columns ``src``/``dst``. The
+    cluster id is the minimum node id in the component — stable under
+    re-runs and re-partitioning.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().persist()
+
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: plan size stays O(1) per round
+        )
+        # labels only ever decrease → an unchanged sum means fixpoint.
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_cluster_assignment(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-document dedup verdict from a verified near-dup pair list.
+
+    Output: (doc_id, cluster_id, keep) — ``keep`` marks the canonical
+    representative (min doc_id of its component); dropping every
+    ``keep = false`` row is the dedup action. Singleton docs are their
+    own cluster and always kept.
+    """
+    nodes = documents.select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    cc = connected_components(nodes, edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )

@@ -50,7 +50,7 @@ from big_data_exercise_spark.functions.numeric import (
     sum_sql,
 )
 from big_data_exercise_spark.dedup import exact as dedup_exact_mod
-from big_data_exercise_spark.dedup import minhash, ngram, simhash
+from big_data_exercise_spark.dedup import cluster, minhash, ngram, simhash
 from big_data_exercise_spark.similarity import knn, lsh
 from big_data_exercise_spark.multimodal import codecs, detections
 from big_data_exercise_spark.sources import csvio, jdbcio, jsonio
@@ -91,6 +91,49 @@ def _cos_sql(a: str, b: str) -> str:
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+# MinHash+LSH pair pipeline as DuckDB CTEs (vocab-rank token ids so
+# both engines agree bit-for-bit). Shared by minhash_near_duplicates
+# and the dedup_cluster_assignment closure so the pair set can't drift
+# between the two oracles.
+_MINHASH_CTES = f"""toks AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+        vocab AS (
+          SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
+          FROM (SELECT DISTINCT tok FROM toks) v),
+        tt AS (SELECT doc_id, tok_id FROM toks JOIN vocab USING (tok)),
+        sigs AS (
+          SELECT doc_id,
+                 MIN((3*tok_id+1)%8191)    AS h0,  MIN((5*tok_id+2)%8191)    AS h1,
+                 MIN((7*tok_id+4)%8191)    AS h2,  MIN((11*tok_id+8)%8191)   AS h3,
+                 MIN((13*tok_id+16)%8191)  AS h4,  MIN((17*tok_id+32)%8191)  AS h5,
+                 MIN((19*tok_id+64)%8191)  AS h6,  MIN((23*tok_id+128)%8191) AS h7,
+                 MIN((29*tok_id+256)%8191) AS h8,  MIN((31*tok_id+512)%8191) AS h9,
+                 MIN((37*tok_id+1024)%8191) AS h10, MIN((41*tok_id+2048)%8191) AS h11
+          FROM tt GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat_ws('_', h0, h1, h2, h3) AS sig FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, concat_ws('_', h4, h5, h6, h7) FROM sigs
+          UNION ALL
+          SELECT doc_id, 2, concat_ws('_', h8, h9, h10, h11) FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                   AND a.doc_id < b.doc_id),
+        isz AS (
+          SELECT c.id1, c.id2, COUNT(*) AS n
+          FROM cand c
+          JOIN tt t1 ON t1.doc_id = c.id1
+          JOIN tt t2 ON t2.doc_id = c.id2 AND t2.tok_id = t1.tok_id
+          GROUP BY c.id1, c.id2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id)"""
+_MINHASH_PAIRS = """SELECT id1, id2,
+               ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) AS jaccard
+        FROM isz
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) >= 0.8"""
 
 
 # ---------------------------------------------------------------- specs
@@ -1029,47 +1072,39 @@ def _specs() -> list[QuerySpec]:
             _t(sp, d, "documents"), use_vocab_ranks=True
         ),
         f"""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
-        vocab AS (
-          SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
-          FROM (SELECT DISTINCT tok FROM toks) v),
-        tt AS (SELECT doc_id, tok_id FROM toks JOIN vocab USING (tok)),
-        sigs AS (
-          SELECT doc_id,
-                 MIN((3*tok_id+1)%8191)    AS h0,  MIN((5*tok_id+2)%8191)    AS h1,
-                 MIN((7*tok_id+4)%8191)    AS h2,  MIN((11*tok_id+8)%8191)   AS h3,
-                 MIN((13*tok_id+16)%8191)  AS h4,  MIN((17*tok_id+32)%8191)  AS h5,
-                 MIN((19*tok_id+64)%8191)  AS h6,  MIN((23*tok_id+128)%8191) AS h7,
-                 MIN((29*tok_id+256)%8191) AS h8,  MIN((31*tok_id+512)%8191) AS h9,
-                 MIN((37*tok_id+1024)%8191) AS h10, MIN((41*tok_id+2048)%8191) AS h11
-          FROM tt GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, 0 AS band, concat_ws('_', h0, h1, h2, h3) AS sig FROM sigs
-          UNION ALL
-          SELECT doc_id, 1, concat_ws('_', h4, h5, h6, h7) FROM sigs
-          UNION ALL
-          SELECT doc_id, 2, concat_ws('_', h8, h9, h10, h11) FROM sigs),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                                   AND a.doc_id < b.doc_id),
-        isz AS (
-          SELECT c.id1, c.id2, COUNT(*) AS n
-          FROM cand c
-          JOIN tt t1 ON t1.doc_id = c.id1
-          JOIN tt t2 ON t2.doc_id = c.id2 AND t2.tok_id = t1.tok_id
-          GROUP BY c.id1, c.id2),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id)
-        SELECT id1, id2,
-               ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) AS jaccard
-        FROM isz
-        JOIN sizes s1 ON s1.doc_id = id1
-        JOIN sizes s2 ON s2.doc_id = id2
-        WHERE ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) >= 0.8
+        WITH {_MINHASH_CTES}
+        {_MINHASH_PAIRS}
         """,
         ("dedup", "lsh"),
         "MinHash+LSH near-dup: banding candidates, exact-Jaccard verify",
+    ))
+    s.append(QuerySpec(
+        "dedup_cluster_assignment",
+        # The full dedup answer: verified near-dup pairs (same
+        # vocab-rank MinHash pipeline as above) → connected components
+        # → keep exactly the min-doc_id representative per cluster.
+        # Spark side: iterative min-label propagation
+        # (dedup/cluster.py); oracle side: recursive transitive
+        # closure over the identical pair set.
+        lambda sp, d: cluster.dedup_cluster_assignment(
+            _t(sp, d, "documents"),
+            minhash.near_duplicates(_t(sp, d, "documents"), use_vocab_ranks=True),
+        ),
+        f"""
+        WITH RECURSIVE {_MINHASH_CTES},
+        pairs AS ({_MINHASH_PAIRS}),
+        sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+        SELECT node AS doc_id, MIN(reach) AS cluster_id,
+               (node = MIN(reach)) AS keep
+        FROM walk GROUP BY node
+        """,
+        ("dedup", "cluster", "flagship"),
+        "near-dup pairs → connected components → canonical doc per cluster",
     ))
     s.append(QuerySpec(
         "ngram_jaccard_pairs",

@@ -142,3 +142,35 @@ def test_kafka_plan_construction(spark):
         assert "kafka" in str(exc).lower()
         return
     assert [f.name for f in df.schema.fields] == ["id", "review"]
+
+
+def test_connected_components_merges_chains(spark):
+    """Transitivity is the whole point: A-B and B-C land in one
+    cluster even though A-C was never a pair; disconnected nodes stay
+    their own singleton cluster."""
+    from big_data_exercise_spark.dedup.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    # chain 1-2-3-4 (via consecutive pairs), pair 5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_direction_invariant(spark):
+    """Edge orientation must not matter: (hi, lo) edges produce the
+    same min-label clusters as (lo, hi)."""
+    from big_data_exercise_spark.dedup.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node long")
+    edges = spark.createDataFrame([(4, 3), (3, 2), (2, 1)], "src long, dst long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
