@@ -1607,6 +1607,33 @@ def _specs() -> list[QuerySpec]:
         "stream-static broadcast enrichment join == batch join",
     ))
 
+    def _stream_stream_join(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.click_purchase_attribution(
+                streams.stream_events(sp, d),
+                streams.stream_events(sp, d),
+                watermark="10 minutes",
+            ),
+            "append",
+        )
+
+    s.append(QuerySpec(
+        "stream_stream_join",
+        _stream_stream_join,
+        """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               p.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        """,
+        ("streaming", "join"),
+        "stream-stream time-bounded attribution join == batch self-join",
+    ))
+
     def _stream_wm_dedup(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         return streams.run_to_memory(

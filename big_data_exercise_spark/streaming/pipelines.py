@@ -179,6 +179,58 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_attribution(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    within: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``within`` interval — the
+    attribution query every event pipeline eventually needs, and the
+    one streaming surface a stream-static join can't express (both
+    sides grow).
+
+    Spark's state-store mechanics make this scale: each side is
+    hash-partitioned on user_id, rows are buffered in per-partition
+    state, and the event-time range condition + watermark bound HOW
+    LONG a row stays buffered (clicks older than purchase-watermark −
+    ``within`` are evicted). Without the time bound the state is
+    unbounded — that's the failure mode, not the shuffle. Batch twin:
+    pass the same DataFrame twice with ``watermark=None``; the oracle
+    checks that semantics.
+    """
+    c = (
+        _with_watermark(clicks_src, watermark)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        _with_watermark(purchases_src, watermark)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (SURVEY
     §2.10 gap — the reference has no stateful ops at all): per-user

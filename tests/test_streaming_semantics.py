@@ -186,3 +186,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
+    """Stream-stream join must match pairs whose two sides arrive in
+    DIFFERENT micro-batches (the state-store buffering that makes it a
+    streaming operator at all). Events are staged in key order —
+    uncorrelated with event time — so click/purchase pairs straddle
+    batch boundaries; a generous watermark keeps all state live, and
+    the result must equal the batch self-join."""
+    staged = _staged_events_dir(spark, tmp_path)
+    stream_result = streams.run_to_memory(
+        streams.click_purchase_attribution(
+            _stream_staged(spark, staged),
+            _stream_staged(spark, staged),
+            watermark="30 days",
+        ),
+        "append",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    batch_result = streams.click_purchase_attribution(ev, ev, watermark=None)
+    a = {tuple(r) for r in stream_result.collect()}
+    b = {tuple(r) for r in batch_result.collect()}
+    assert a == b and len(b) > 0
