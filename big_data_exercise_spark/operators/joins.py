@@ -438,3 +438,110 @@ def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             round_det(F.sum(rev).cast("double"), 2).alias("revenue"),
         )
     )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, for every
+    k — including k=0, which is why the join must be LEFT OUTER (an
+    inner join silently drops the order-less customers the question is
+    usually about). Two aggregations: per-customer count, then the
+    count-of-counts; both are map-side combinable, and the second
+    one's key space is tiny (distinct order counts)."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips NULLs
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, frac: float = 0.5) -> DataFrame:
+    """TPC-H Q17 shape: revenue from items whose quantity is below
+    ``frac`` × that part's average quantity. The per-part average is a
+    derived aggregate joined back to the fact — a self-agg-join, NOT a
+    correlated subquery per row. Both sides shuffle on l_partkey (at
+    scale: bucket lineitem by partkey and neither side shuffles); the
+    threshold is computed with the decimal-exact average so both
+    engines agree on boundary rows."""
+    from big_data_exercise_spark.functions.numeric import DEC
+
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(frac)
+            * (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity"))
+        ).alias("qty_lim")
+    )
+    joined = lineitem.join(
+        per_part,
+        (F.col("l_partkey") == F.col("pk")) & (F.col("l_quantity") < F.col("qty_lim")),
+    )
+    return joined.agg(
+        F.count("*").alias("n_items"),
+        round_det(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0), 2
+        ).alias("avg_yearly"),
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (HAVING over a grouped fact), enriched with customer
+    identity. The HAVING filter runs on the aggregated (small) side
+    BEFORE the joins, so only qualifying orders travel; top-k by
+    totalprice finishes with TakeOrderedAndProject."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def dormant_rich_customers(customer: DataFrame, events: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count of above-average-balance
+    customers who never made a purchase. The global average is a
+    one-row aggregate broadcast back over the scan (a scalar subquery,
+    never a driver-side collect); the "never purchased" predicate is a
+    LEFT ANTI join against the filtered event stream. Decimal-exact
+    average so the threshold is identical in both engines."""
+    from big_data_exercise_spark.functions.numeric import DEC
+
+    threshold = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal"))
+            .alias("avg_bal")
+        )
+    )
+    purchasers = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("buyer_id")
+    )
+    return (
+        customer.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(purchasers, F.col("c_custkey") == F.col("buyer_id"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )

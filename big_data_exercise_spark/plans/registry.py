@@ -469,6 +469,76 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
     ))
     s.append(QuerySpec(
+        "customer_order_distribution",
+        lambda sp, d: joins.customer_order_distribution(
+            _t(sp, d, "customer"), _t(sp, d, "orders")),
+        """
+        SELECT c_count, COUNT(*) AS n_customers
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) per_cust
+        GROUP BY c_count
+        """,
+        ("join", "agg"),
+        "TPC-H Q13 shape: outer join + count-of-counts distribution",
+    ))
+    s.append(QuerySpec(
+        "small_quantity_revenue",
+        lambda sp, d: joins.small_quantity_revenue(_t(sp, d, "lineitem")),
+        f"""
+        WITH per_part AS (
+          SELECT l_partkey AS pk,
+                 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                        / COUNT(l_quantity)) AS qty_lim
+          FROM lineitem GROUP BY l_partkey)
+        SELECT COUNT(*) AS n_items,
+               {round_det_sql(
+                   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0")}
+               AS avg_yearly
+        FROM lineitem JOIN per_part
+          ON l_partkey = pk AND l_quantity < qty_lim
+        """,
+        ("join", "agg"),
+        "TPC-H Q17 shape: per-part avg threshold via self-agg-join",
+    ))
+    s.append(QuerySpec(
+        "large_volume_customers",
+        lambda sp, d: joins.large_volume_customers(
+            _t(sp, d, "customer"), _t(sp, d, "orders"), _t(sp, d, "lineitem")),
+        f"""
+        WITH big AS (
+          SELECT l_orderkey, {sum_sql("l_quantity", "sum_qty")}
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {round_det_sql(
+              "CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)")} > 250.0)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        ("join", "topk"),
+        "TPC-H Q18 shape: HAVING on grouped fact, then enrich + top-k",
+    ))
+    s.append(QuerySpec(
+        "dormant_rich_customers",
+        lambda sp, d: joins.dormant_rich_customers(
+            _t(sp, d, "customer"), _t(sp, d, "events")),
+        f"""
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+               {sum_sql("c_acctbal", "total_acctbal")}
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+                                  / COUNT(c_acctbal)
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM events
+                          WHERE user_id = c_custkey AND event_type = 'purchase')
+        GROUP BY c_nationkey
+        """,
+        ("join", "anti", "scalar-subquery"),
+        "TPC-H Q22 shape: scalar-subquery threshold + anti join",
+    ))
+    s.append(QuerySpec(
         "forecast_revenue",
         lambda sp, d: agg.forecast_revenue(_t(sp, d, "lineitem")),
         f"""
