@@ -53,3 +53,17 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
         F.round(slice_sum(e, 1, 8), 4).alias("head8_sum"),
         F.round(norm(e), 4).alias("l2_norm"),
     )
+
+
+def embedding_predicates(embeddings: DataFrame) -> DataFrame:
+    """Higher-order-function surface over array columns: exists /
+    forall / filter run as codegen'd lambda expressions inside the JVM
+    — the scale-correct way to ask per-element questions of an
+    embedding without a UDF or an explode+regroup shuffle."""
+    emb = F.col("embedding")
+    return embeddings.select(
+        "vec_id",
+        F.exists(emb, lambda x: x < 0).alias("any_negative"),
+        F.forall(emb, lambda x: F.abs(x) < 1.0).alias("all_unit_bounded"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )

@@ -70,3 +70,25 @@ def word_positions(documents: DataFrame, max_doc_id: int = 10) -> DataFrame:
     return documents.filter(F.col("doc_id") < max_doc_id).select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
     )
+
+
+def event_count_map_roundtrip(events: DataFrame) -> DataFrame:
+    """MapType surface: per-user event-type counts collected into a
+    map<string,long> column (map_from_entries over collect_list), then
+    exploded back to rows. The map is the useful API shape (one row
+    per user, O(types) payload — what a feature store row looks like);
+    the explode proves the roundtrip is lossless and gives the oracle
+    plain rows to hash."""
+    as_map = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("type_counts")
+        )
+    )
+    return as_map.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n_events")
+    )

@@ -94,3 +94,28 @@ def value_ranks(events: DataFrame, top: int = 20) -> DataFrame:
         )
         .filter(F.col("dr") <= top)
     )
+
+
+def user_first_last_events(events: DataFrame) -> DataFrame:
+    """Frame-spec window surface: first_value / last_value / nth_value
+    over an explicit UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING frame.
+    The default frame (..CURRENT ROW) makes last_value return the
+    current row — the classic window bug; the explicit full frame is
+    the correct form, and since all three functions share ONE window
+    spec Spark computes them in a single sort pass per user."""
+    full = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(full).alias("first_type"),
+            F.last("event_type").over(full).alias("last_type"),
+            F.nth_value("event_type", 2).over(full).alias("second_type"),
+        )
+        .groupBy("user_id", "first_type", "last_type", "second_type")
+        .agg(F.count("event_id").alias("n_events"))
+    )

@@ -469,6 +469,50 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
     ))
     s.append(QuerySpec(
+        "user_first_last_events",
+        lambda sp, d: windows.user_first_last_events(_t(sp, d, "events")),
+        """
+        SELECT user_id, first_type, last_type, second_type,
+               COUNT(event_id) AS n_events
+        FROM (SELECT user_id, event_id,
+                     first_value(event_type) OVER w AS first_type,
+                     last_value(event_type)  OVER w AS last_type,
+                     nth_value(event_type, 2) OVER w AS second_type
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING)) t
+        GROUP BY user_id, first_type, last_type, second_type
+        """,
+        ("window", "frame"),
+        "first/last/nth_value over an explicit full window frame",
+    ))
+    s.append(QuerySpec(
+        "event_count_map_roundtrip",
+        lambda sp, d: reshape.event_count_map_roundtrip(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+        """,
+        ("reshape", "map"),
+        "map<string,long> build (map_from_entries) + explode roundtrip",
+    ))
+    s.append(QuerySpec(
+        "embedding_predicates",
+        lambda sp, d: arrays.embedding_predicates(_t(sp, d, "embeddings")),
+        """
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x < 0)) > 0 AS any_negative,
+               len(list_filter(embedding, x -> abs(x) < 1.0)) = len(embedding)
+                 AS all_unit_bounded,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+                 AS n_positive
+        FROM embeddings
+        """,
+        ("array", "hof"),
+        "exists/forall/filter higher-order functions, no UDF, no explode",
+    ))
+    s.append(QuerySpec(
         "customer_order_distribution",
         lambda sp, d: joins.customer_order_distribution(
             _t(sp, d, "customer"), _t(sp, d, "orders")),
