@@ -50,6 +50,10 @@ HEADLINE = [
     "csv_roundtrip",
     "stream_tumbling_counts",
     "stream_jdbc_sink",
+    "forecast_revenue",
+    "large_volume_customers",
+    "dedup_cluster_assignment",
+    "stream_stream_join",
 ]
 
 

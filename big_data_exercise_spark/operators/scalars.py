@@ -147,3 +147,23 @@ def calendar_features(events: DataFrame) -> DataFrame:
         # temporal type the comparison layer can't normalize.
         F.last_day(ts).cast("timestamp").alias("month_end"),
     )
+
+
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json WITHOUT a
+    declared schema — the ingestion mode for payloads whose shape
+    drifts — then variant_get typed extraction. Complements
+    json_props_stats (P2, explicit StructType): same data, the other
+    contract. VARIANT keeps the parsed binary form columnar, so
+    repeated extractions don't re-parse the string."""
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -53,7 +53,7 @@ from big_data_exercise_spark.dedup import exact as dedup_exact_mod
 from big_data_exercise_spark.dedup import cluster, minhash, ngram, simhash
 from big_data_exercise_spark.similarity import knn, lsh
 from big_data_exercise_spark.multimodal import codecs, detections
-from big_data_exercise_spark.sources import csvio, jdbcio, jsonio
+from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, pydatasource
 from big_data_exercise_spark.streaming import pipelines as streams
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -467,6 +467,38 @@ def _specs() -> list[QuerySpec]:
         """,
         ("join", "agg"),
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
+    ))
+    s.append(QuerySpec(
+        "variant_props_stats",
+        lambda sp, d: scalars.variant_props_stats(_t(sp, d, "events")),
+        """
+        SELECT event_type, COUNT(k) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events) t
+        GROUP BY event_type
+        """,
+        ("scalar", "variant"),
+        "VARIANT parse_json + variant_get (schemaless semi-structured)",
+    ))
+    s.append(QuerySpec(
+        "pyds_bucket_stats",
+        lambda sp, d: pydatasource.synthetic_events(sp)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum(F.col("score")).alias("sum_score"),
+        ),
+        f"""
+        SELECT CAST(range % 10 AS INTEGER) AS bucket, COUNT(*) AS n_rows,
+               {sum_sql("(range * 7 % 1000) / 10.0", "sum_score")}
+        FROM range(0, 10000)
+        GROUP BY bucket
+        """,
+        ("source", "pydatasource"),
+        "Spark 4 Python DataSource: partitioned executor-side read",
     ))
     s.append(QuerySpec(
         "user_first_last_events",

@@ -174,3 +174,17 @@ def test_connected_components_direction_invariant(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_python_datasource_partitioned_read(spark):
+    """The Python DataSource must plan a genuinely partitioned read
+    (one id-range per partition, executor-side iterators) and cover
+    the keyspace exactly once — the connector contract."""
+    from big_data_exercise_spark.sources.pydatasource import synthetic_events
+
+    df = synthetic_events(spark, rows=1000, partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    lo, hi, n = df.agg(
+        F.min("id"), F.max("id"), F.count_distinct("id")
+    ).collect()[0]
+    assert (lo, hi, n) == (0, 999, 1000)
