@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from big_data_exercise_spark.session import tune_session
-from big_data_exercise_spark.tables import load_table
+from big_data_exercise_spark.tables import load_table, register_views
 from big_data_exercise_spark.operators import (
     aggregations as agg,
     joins,
@@ -667,6 +667,36 @@ def _specs() -> list[QuerySpec]:
         ("join", "agg", "sql-api"),
         "spark.sql() over registered views running the IDENTICAL ANSI "
         "text as the DuckDB oracle (S8 dashboard-SQL surface)",
+    ))
+
+    # Recursive CTE (new SQL surface in Spark 4): ancestor walk over a
+    # deterministic binary-tree parentage on nation keys
+    # (parent(k) = (k-1) div 2, root 0). One template, two dialects —
+    # the only divergence is the integer-division operator.
+    _RCTE = """
+        WITH RECURSIVE anc(node, anc_key, depth) AS (
+          SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                 CAST(0 AS INTEGER)
+          FROM nation
+          UNION ALL
+          SELECT node, CAST((anc_key - 1) {intdiv} 2 AS BIGINT),
+                 CAST(depth + 1 AS INTEGER)
+          FROM anc WHERE anc_key > 0)
+        SELECT node AS n_nationkey, CAST(MAX(depth) AS INTEGER) AS depth
+        FROM anc GROUP BY node
+        """
+
+    def _recursive_depth(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        register_views(sp, d, ("nation",))
+        return sp.sql(_RCTE.format(intdiv="DIV"))
+
+    s.append(QuerySpec(
+        "recursive_tree_depth",
+        _recursive_depth,
+        _RCTE.format(intdiv="//"),
+        ("sql-api", "recursive"),
+        "WITH RECURSIVE ancestor walk (Spark 4 recursive CTE surface)",
     ))
 
     s.append(QuerySpec(

@@ -60,3 +60,18 @@ def test_round_det_half_away_from_zero(spark):
     # 0.13500000000000001 > .135) — rounding is on the BINARY value.
     assert got[0] == 0.13 and got[1] == -0.13
     assert got[2] == 0.14 and got[3] == -0.14
+
+
+def test_exact_aggregates_partitioning_invariant(spark):
+    """The decimal-accumulate kernel exists to make double aggregates
+    independent of accumulation order. Pin it: the same aggregation
+    under 1-partition and heavily-over-partitioned layouts (different
+    merge trees, different orders) must produce identical bits."""
+    from big_data_exercise_spark.operators.aggregations import time_bucket
+    from big_data_exercise_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    one = {tuple(r) for r in time_bucket(ev.coalesce(1)).collect()}
+    many = {tuple(r) for r in time_bucket(ev.repartition(37)).collect()}
+    assert one == many
