@@ -188,3 +188,38 @@ def test_python_datasource_partitioned_read(spark):
         F.min("id"), F.max("id"), F.count_distinct("id")
     ).collect()[0]
     assert (lo, hi, n) == (0, 999, 1000)
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """IVF with nprobe < n_centroids is approximate by design; the
+    property worth pinning is that the approximation is USEFUL: on
+    this corpus, probing 2/8 partitions must recover most of the true
+    top-10, and nprobe = n_centroids must recover ALL of it (IVF
+    degrades to exact when every partition is probed)."""
+    from big_data_exercise_spark.similarity.knn import cosine_topk, ivf_topk
+    from big_data_exercise_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(emb, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(emb, k=10, n_centroids=8, nprobe=2).collect()}
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with 2/8 probes
+    full = {r["vec_id"] for r in ivf_topk(emb, k=10, n_centroids=8, nprobe=8).collect()}
+    assert full == exact
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """percentile_approx is the 100 TB path the exact-percentile query
+    documents; pin its contract — with accuracy A the rank error is
+    ≤ n/A, so at A=10000 on this data the approx p50/p90 must land
+    within 1% of the exact value."""
+    from big_data_exercise_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(value, 0.9, 10000)").alias("a90"),
+    ).collect()[0]
+    assert abs(row["a50"] - row["p50"]) <= 0.01 * max(1.0, abs(row["p50"]))
+    assert abs(row["a90"] - row["p90"]) <= 0.01 * max(1.0, abs(row["p90"]))
