@@ -42,7 +42,7 @@ from big_data_exercise_spark.operators import (
     skew,
     windows,
 )
-from big_data_exercise_spark.functions import arrays, sentiment, text
+from big_data_exercise_spark.functions import arrays, grouped, sentiment, text
 from big_data_exercise_spark.functions.numeric import (
     avg_sql,
     exact_sum,
@@ -467,6 +467,31 @@ def _specs() -> list[QuerySpec]:
         """,
         ("join", "agg"),
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
+    ))
+    s.append(QuerySpec(
+        "udaf_cents_by_type",
+        lambda sp, d: grouped.cents_by_type(_t(sp, d, "events")),
+        """
+        SELECT event_type,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+        """,
+        ("udf", "udaf"),
+        "pandas GROUPED_AGG UDAF: custom aggregate through the shuffle",
+    ))
+    s.append(QuerySpec(
+        "applyinpandas_user_sequence",
+        lambda sp, d: grouped.user_event_sequence(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS INTEGER) AS seq
+        FROM events WHERE user_id < 25
+        """,
+        ("udf", "grouped-map"),
+        "applyInPandas grouped map (whole-group pandas transform)",
     ))
     s.append(QuerySpec(
         "variant_props_stats",
