@@ -1,0 +1,73 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+— the rolling-hash fingerprint family used for plagiarism and
+substring-level near-dup detection, where token-set methods (MinHash)
+are blind to local reordering.
+
+Fully relational, no UDF:
+
+1. normalize to lowercase printable ASCII (so the char-code function
+   is engine-portable);
+2. k-gram polynomial rolling hash per position: h(i) = Σ_j
+   code(c_{i+j})·31^{k-1-j} — computed vectorized with
+   ``F.transform`` over a position sequence (each term is < 2^45, the
+   sum is exact in int64, no modulus needed);
+3. winnowing: the minimum hash of each w-window of consecutive k-gram
+   hashes (a partitioned window-min), distinct per doc = the
+   fingerprint set. Guarantee: any shared substring of length
+   ≥ w + k − 1 produces at least one shared fingerprint.
+
+Scale shape: per-doc work is linear in text length; the only shuffle
+is the per-doc window partition — identical to any per-doc window op.
+At 100 TB the fingerprint set is the join key for substring-level
+candidate pairs (bucket-join on fingerprint, like LSH bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+K = 8  # k-gram width (chars)
+WIN = 4  # winnowing window (hashes)
+_POW = [31 ** (K - 1 - j) for j in range(K)]
+
+
+def _kgram_hashes(t, k: int = K):
+    """array<long> of polynomial k-gram hashes over a text column."""
+
+    def khash(i):
+        h = None
+        for j, p in enumerate(_POW):
+            term = F.ascii(F.substr(t, i + j + 1, F.lit(1))).cast("long") * F.lit(p)
+            h = term if h is None else h + term
+        return h
+
+    return F.transform(F.sequence(F.lit(0), F.length(t) - k), khash)
+
+
+def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFrame:
+    """Distinct (doc_id, fp) winnowing fingerprints — the bucket-join
+    key for substring-level candidate pairs."""
+    t = F.lower(F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""))
+    docs = documents.select("doc_id", t.alias("t")).filter(F.length("t") >= k)
+    hashed = docs.select(
+        "doc_id", F.posexplode(_kgram_hashes(F.col("t"), k)).alias("pos", "h")
+    )
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("fp", F.min("h").over(frame))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = K, w: int = WIN
+) -> DataFrame:
+    """Per-doc winnowing fingerprint summary: distinct selected
+    hashes, min and max (integers — exact in any engine)."""
+    return fingerprint_sets(documents, k, w).groupBy("doc_id").agg(
+        F.count("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

@@ -50,7 +50,7 @@ from big_data_exercise_spark.functions.numeric import (
     sum_sql,
 )
 from big_data_exercise_spark.dedup import exact as dedup_exact_mod
-from big_data_exercise_spark.dedup import cluster, minhash, ngram, simhash
+from big_data_exercise_spark.dedup import cluster, minhash, ngram, simhash, winnow
 from big_data_exercise_spark.similarity import knn, lsh
 from big_data_exercise_spark.multimodal import codecs, detections
 from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, pydatasource
@@ -1306,6 +1306,39 @@ def _specs() -> list[QuerySpec]:
         """,
         ("dedup", "cluster", "flagship"),
         "near-dup pairs → connected components → canonical doc per cluster",
+    ))
+    s.append(QuerySpec(
+        "winnowing_fingerprints",
+        lambda sp, d: winnow.winnowing_fingerprints(_t(sp, d, "documents")),
+        """
+        WITH docs AS (
+          SELECT doc_id,
+                 lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+          FROM documents),
+        hashes AS (
+          SELECT doc_id, u.s.pos AS pos, u.s.h AS h
+          FROM (SELECT doc_id, unnest([{'pos': i,
+                 'h': CAST(ord(t[i+1]) AS BIGINT) * 27512614111
+                    + CAST(ord(t[i+2]) AS BIGINT) * 887503681
+                    + CAST(ord(t[i+3]) AS BIGINT) * 28629151
+                    + CAST(ord(t[i+4]) AS BIGINT) * 923521
+                    + CAST(ord(t[i+5]) AS BIGINT) * 29791
+                    + CAST(ord(t[i+6]) AS BIGINT) * 961
+                    + CAST(ord(t[i+7]) AS BIGINT) * 31
+                    + CAST(ord(t[i+8]) AS BIGINT)}
+                 for i in range(0, length(t) - 7)]) AS s
+                FROM docs WHERE length(t) >= 8) u),
+        wmin AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+          FROM hashes)
+        SELECT doc_id, COUNT(DISTINCT wm) AS n_fingerprints,
+               MIN(wm) AS min_fp, MAX(wm) AS max_fp
+        FROM wmin GROUP BY doc_id
+        """,
+        ("dedup", "fingerprint"),
+        "winnowing rolling-hash fingerprints (substring-level dedup key)",
     ))
     s.append(QuerySpec(
         "ngram_jaccard_pairs",

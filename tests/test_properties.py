@@ -223,3 +223,25 @@ def test_approx_percentile_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["a50"] - row["p50"]) <= 0.01 * max(1.0, abs(row["p50"]))
     assert abs(row["a90"] - row["p90"]) <= 0.01 * max(1.0, abs(row["p90"]))
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing theorem: documents sharing a substring of length
+    >= w + k - 1 are guaranteed at least one common fingerprint;
+    unrelated text shares none (with overwhelming probability)."""
+    from big_data_exercise_spark.dedup.winnow import K, WIN, fingerprint_sets
+
+    shared = "the quick brown fox jumps over the lazy dog"  # >> w+k-1
+    assert len(shared) >= WIN + K - 1
+    docs = _docs(
+        spark,
+        [
+            (1, f"unique prefix one {shared} unique suffix alpha"),
+            (2, f"completely different opener {shared} and closer"),
+            (3, "nothing in common with either document at all here"),
+        ],
+    )
+    fps = fingerprint_sets(docs).collect()
+    by_doc = {i: {r["fp"] for r in fps if r["doc_id"] == i} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2]  # guaranteed overlap
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
