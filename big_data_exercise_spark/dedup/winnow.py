@@ -71,3 +71,26 @@ def winnowing_fingerprints(
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+def overlap_pairs(
+    documents: DataFrame, min_shared: int = 20, k: int = K, w: int = WIN
+) -> DataFrame:
+    """Substring-level near-dup pairs: docs sharing ≥ ``min_shared``
+    winnowing fingerprints. The join is fingerprint-bucketed (like LSH
+    bands) — cost is Σ bucket², sub-quadratic because a fingerprint
+    selects ~1/w of positions. The set table is persisted: it feeds
+    both join sides and Spark would otherwise recompute the whole
+    hash+window subtree twice. At web scale, cap hot buckets (a
+    boilerplate fingerprint shared by millions of docs) before the
+    self-join — same discipline as MinHash band buckets."""
+    fps = fingerprint_sets(documents, k, w).persist()
+    a = fps.select(F.col("doc_id").alias("id1"), "fp")
+    b = fps.select(F.col("doc_id").alias("id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

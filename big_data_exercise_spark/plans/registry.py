@@ -1307,11 +1307,9 @@ def _specs() -> list[QuerySpec]:
         ("dedup", "cluster", "flagship"),
         "near-dup pairs → connected components → canonical doc per cluster",
     ))
-    s.append(QuerySpec(
-        "winnowing_fingerprints",
-        lambda sp, d: winnow.winnowing_fingerprints(_t(sp, d, "documents")),
-        """
-        WITH docs AS (
+    # Winnowing fingerprint CTEs — shared by the per-doc summary and
+    # the overlap-pairs query so the fingerprint set can't drift.
+    _WINNOW_CTES = """docs AS (
           SELECT doc_id,
                  lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
           FROM documents),
@@ -1332,13 +1330,32 @@ def _specs() -> list[QuerySpec]:
           SELECT doc_id,
                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
-          FROM hashes)
-        SELECT doc_id, COUNT(DISTINCT wm) AS n_fingerprints,
-               MIN(wm) AS min_fp, MAX(wm) AS max_fp
-        FROM wmin GROUP BY doc_id
+          FROM hashes),
+        fps AS (SELECT DISTINCT doc_id, wm AS fp FROM wmin)"""
+
+    s.append(QuerySpec(
+        "winnowing_fingerprints",
+        lambda sp, d: winnow.winnowing_fingerprints(_t(sp, d, "documents")),
+        f"""
+        WITH {_WINNOW_CTES}
+        SELECT doc_id, COUNT(fp) AS n_fingerprints,
+               MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        FROM fps GROUP BY doc_id
         """,
         ("dedup", "fingerprint"),
         "winnowing rolling-hash fingerprints (substring-level dedup key)",
+    ))
+    s.append(QuerySpec(
+        "winnowing_overlap_pairs",
+        lambda sp, d: winnow.overlap_pairs(_t(sp, d, "documents")),
+        f"""
+        WITH {_WINNOW_CTES}
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 20
+        """,
+        ("dedup", "fingerprint"),
+        "substring-level near-dup pairs via shared winnowing fingerprints",
     ))
     s.append(QuerySpec(
         "ngram_jaccard_pairs",
