@@ -167,3 +167,40 @@ def variant_props_stats(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def string_suite(documents: DataFrame, max_doc_id: int = 50) -> DataFrame:
+    """Consolidated string-function surface (SURVEY §2.9 remainder):
+    left/substring, reverse, pad, repeat, translate — pure codegen
+    expressions, deterministic on the normalized ASCII corpus."""
+    head = F.substring(F.col("text"), 1, 12)
+    return documents.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id",
+        head.alias("head12"),
+        F.reverse(head).alias("head12_rev"),
+        F.lpad(F.col("lang"), 8, "_").alias("lang_padded"),
+        F.translate(F.col("lang"), "aeiou", "AEIOU").alias("lang_vowels"),
+        F.repeat(F.col("lang"), 2).alias("lang_twice"),
+        F.length(F.col("text")).alias("n_chars"),
+    )
+
+
+def try_arithmetic(events: DataFrame) -> DataFrame:
+    """Error-safe expression surface: try_divide / try_element_at /
+    try_cast return NULL where the strict forms raise (div-by-zero,
+    missing key, malformed cast) — the ingest-hardening contract for
+    dirty data at scale (one bad row must not kill a 100 TB job)."""
+    ev = events.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("event_id") % 3).alias("per_bucket"),
+        F.try_element_at(
+            F.split(F.col("event_type"), "u"), F.lit(2)
+        ).alias("after_u"),
+        F.try_to_number(F.col("event_type"), F.lit("999")).alias("not_a_number"),
+    )
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("per_bucket").alias("n_divisible"),
+        F.count("after_u").alias("n_with_u"),
+        F.count("not_a_number").alias("n_numeric"),
+    )

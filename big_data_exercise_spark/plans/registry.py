@@ -469,6 +469,36 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
     ))
     s.append(QuerySpec(
+        "string_suite",
+        lambda sp, d: scalars.string_suite(_t(sp, d, "documents")),
+        """
+        SELECT doc_id, left(text, 12) AS head12,
+               reverse(left(text, 12)) AS head12_rev,
+               lpad(lang, 8, '_') AS lang_padded,
+               translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
+               repeat(lang, 2) AS lang_twice,
+               CAST(length(text) AS INTEGER) AS n_chars
+        FROM documents WHERE doc_id < 50
+        """,
+        ("scalar", "string"),
+        "consolidated string-function surface (substring/reverse/pad/translate/repeat)",
+    ))
+    s.append(QuerySpec(
+        "try_arithmetic",
+        lambda sp, d: scalars.try_arithmetic(_t(sp, d, "events")),
+        # NULL-on-error semantics replayed as explicit predicates: the
+        # try_* forms count exactly the rows the strict forms keep.
+        """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_divisible,
+               COUNT(CASE WHEN contains(event_type, 'u') THEN 1 END) AS n_with_u,
+               COUNT(try_cast(event_type AS INTEGER)) AS n_numeric
+        FROM events
+        """,
+        ("scalar", "try"),
+        "error-safe try_divide/try_element_at/try_to_number (NULL, not fail)",
+    ))
+    s.append(QuerySpec(
         "udaf_cents_by_type",
         lambda sp, d: grouped.cents_by_type(_t(sp, d, "events")),
         """
