@@ -184,12 +184,19 @@ def click_purchase_attribution(
     purchases_src: DataFrame,
     within: str = "1 hour",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase matched to the same
+    """Stream-stream join: each purchase matched to the same
     user's clicks in the preceding ``within`` interval — the
     attribution query every event pipeline eventually needs, and the
     one streaming surface a stream-static join can't express (both
     sides grow).
+
+    ``how="left_outer"`` emits unmatched clicks with NULL purchase
+    columns — but only once the watermark has closed their join
+    window, so on a finite stream the LAST batch's unmatched rows may
+    be withheld (there is no later trigger to flush them). The inner
+    join has no such caveat; batch equivalence is exact.
 
     Spark's state-store mechanics make this scale: each side is
     hash-partitioned on user_id, rows are buffered in per-partition
@@ -223,10 +230,10 @@ def click_purchase_attribution(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
-        "user_id",
+        F.coalesce("user_id", "c_user").alias("user_id"),
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
 

@@ -209,3 +209,35 @@ def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
     a = {tuple(r) for r in stream_result.collect()}
     b = {tuple(r) for r in batch_result.collect()}
     assert a == b and len(b) > 0
+
+
+def test_stream_stream_left_outer_emits_closed_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched clicks emit with NULL
+    purchase columns once the watermark closes their join window. On a
+    finite stream the final batch's unmatched rows may be withheld, so
+    the contract is one-sided: every emitted row must be a batch-outer
+    row, the inner subset must match the inner stream result exactly,
+    and with 4 time-uncorrelated batches at least one closed unmatched
+    click must have flushed."""
+    staged = _staged_events_dir(spark, tmp_path)
+    outer = streams.run_to_memory(
+        streams.click_purchase_attribution(
+            _stream_staged(spark, staged),
+            _stream_staged(spark, staged),
+            watermark="10 minutes",
+            how="left_outer",
+        ),
+        "append",
+    ).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    batch_outer = {
+        tuple(r)
+        for r in streams.click_purchase_attribution(
+            ev, ev, watermark=None, how="left_outer"
+        ).collect()
+    }
+    batch_inner = {t for t in batch_outer if t[1] is not None}
+    stream_rows = {tuple(r) for r in outer}
+    assert stream_rows <= batch_outer
+    assert {t for t in stream_rows if t[1] is not None} == batch_inner
+    assert any(t[1] is None for t in stream_rows)
