@@ -1388,6 +1388,35 @@ def _specs() -> list[QuerySpec]:
         "substring-level near-dup pairs via shared winnowing fingerprints",
     ))
     s.append(QuerySpec(
+        "winnowing_cluster_assignment",
+        # Same connected-components operator, different pair
+        # generator: substring-level clusters from winnowing overlaps.
+        # Demonstrates the closure is generic over any verified edge
+        # list (MinHash, winnowing, embedding-LSH, ...).
+        lambda sp, d: cluster.dedup_cluster_assignment(
+            _t(sp, d, "documents"),
+            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+        ),
+        f"""
+        WITH RECURSIVE {_WINNOW_CTES},
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+        SELECT node AS doc_id, MIN(reach) AS cluster_id,
+               (node = MIN(reach)) AS keep
+        FROM walk GROUP BY node
+        """,
+        ("dedup", "cluster", "fingerprint"),
+        "substring-level dedup clusters (winnowing pairs → components)",
+    ))
+    s.append(QuerySpec(
         "ngram_jaccard_pairs",
         lambda sp, d: ngram.pairwise_jaccard(_t(sp, d, "documents")),
         f"""

@@ -98,3 +98,23 @@ def test_grouping_sets_single_shuffle(spark):
     # grouping-set expansion is map-side: Expand feeds ONE exchange
     assert "Expand" in plan
     assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name,node",
+    [
+        ("udaf_cents_by_type", "ArrowAggregatePython"),
+        ("applyinpandas_user_sequence", "FlatMapGroupsInPandas"),
+    ],
+)
+def test_grouped_python_stages_are_arrow(spark, name, node):
+    plan = _plan(spark, name)
+    assert node in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_winnowing_is_pure_codegen(spark):
+    # rolling hash + window min: no Python anywhere in the plan
+    plan = _plan(spark, "winnowing_fingerprints")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
