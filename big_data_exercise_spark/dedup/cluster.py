@@ -87,3 +87,22 @@ def dedup_cluster_assignment(documents: DataFrame, pairs: DataFrame) -> DataFram
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def kept_corpus_stats(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The dedup action, end to end: pairs → components → drop every
+    non-canonical doc → per-language survival stats. This is the query
+    a training-data pipeline actually ships — the rest of the dedup
+    stack exists to produce its ``keep`` column."""
+    verdicts = dedup_cluster_assignment(documents, pairs)
+    return (
+        documents.join(verdicts, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )

@@ -1417,6 +1417,37 @@ def _specs() -> list[QuerySpec]:
         "substring-level dedup clusters (winnowing pairs → components)",
     ))
     s.append(QuerySpec(
+        "dedup_kept_corpus",
+        lambda sp, d: cluster.kept_corpus_stats(
+            _t(sp, d, "documents"),
+            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+        ),
+        f"""
+        WITH RECURSIVE {_WINNOW_CTES},
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+        verdicts AS (
+          SELECT node AS doc_id, (node = MIN(reach)) AS keep
+          FROM walk GROUP BY node)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS kept_chars
+        FROM documents JOIN verdicts USING (doc_id)
+        GROUP BY lang
+        """,
+        ("dedup", "cluster", "flagship"),
+        "the dedup action: drop non-canonical docs, per-lang survival stats",
+    ))
+    s.append(QuerySpec(
         "ngram_jaccard_pairs",
         lambda sp, d: ngram.pairwise_jaccard(_t(sp, d, "documents")),
         f"""
