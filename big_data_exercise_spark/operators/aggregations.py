@@ -266,3 +266,29 @@ def grouping_sets_pricing(lineitem: DataFrame) -> DataFrame:
             F.grouping_id().cast("int").alias("gid"),
         )
     )
+
+
+def bitwise_user_masks(events: DataFrame) -> DataFrame:
+    """Bitwise aggregate surface: bit_and / bit_or / bit_xor over
+    event ids per type — the primitive behind bitmap indexes and
+    feature-flag rollups. All three are algebraic (map-side
+    combinable) and exact in int64."""
+    return events.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("mask_and"),
+        F.bit_or("event_id").alias("mask_or"),
+        F.bit_xor("event_id").alias("mask_xor"),
+    )
+
+
+def user_type_sets(events: DataFrame) -> DataFrame:
+    """collect_set surface with a deterministic serialization: the
+    per-user set of event types, sorted and joined to one string (raw
+    array output would hash differently per engine; the string form is
+    canonical). collect_set is the one aggregation whose state grows
+    with group cardinality — bounded here by the 5-type domain, and
+    the docstring rule at scale is: never collect_set an unbounded
+    column."""
+    return events.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+    )

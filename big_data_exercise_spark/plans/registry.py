@@ -253,6 +253,30 @@ def _specs() -> list[QuerySpec]:
         "CUBE grouping sets + grouping_id (declared gap, SURVEY §2.3)",
     ))
     s.append(QuerySpec(
+        "bitwise_user_masks",
+        lambda sp, d: agg.bitwise_user_masks(_t(sp, d, "events")),
+        """
+        SELECT event_type, bit_and(event_id) AS mask_and,
+               bit_or(event_id) AS mask_or, bit_xor(event_id) AS mask_xor
+        FROM events GROUP BY event_type
+        """,
+        ("agg", "bitwise"),
+        "bit_and/bit_or/bit_xor aggregates (bitmap/flag rollups)",
+    ))
+    s.append(QuerySpec(
+        "user_type_sets",
+        lambda sp, d: agg.user_type_sets(_t(sp, d, "events")),
+        """
+        SELECT user_id,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',')
+                 AS types_seen,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id
+        """,
+        ("agg", "collect"),
+        "collect_set with canonical sorted-string serialization",
+    ))
+    s.append(QuerySpec(
         "value_percentiles",
         lambda sp, d: agg.value_percentiles(_t(sp, d, "events")),
         f"""
