@@ -204,3 +204,19 @@ def try_arithmetic(events: DataFrame) -> DataFrame:
         F.count("after_u").alias("n_with_u"),
         F.count("not_a_number").alias("n_numeric"),
     )
+
+
+def xml_roundtrip(events: DataFrame, max_event_id: int = 2000) -> DataFrame:
+    """XML serde surface (Spark 4 expressions): struct → to_xml →
+    from_xml → fields, net identity. Doubles survive because to_xml
+    emits the shortest round-trippable representation. The oracle is
+    the identity projection — same contract as the base64/JSON
+    roundtrips."""
+    x = events.filter(F.col("event_id") < max_event_id).select(
+        F.to_xml(F.struct("event_id", "event_type", "value")).alias("x")
+    )
+    return x.select(
+        F.from_xml(
+            "x", "event_id LONG, event_type STRING, value DOUBLE"
+        ).alias("r")
+    ).select("r.event_id", "r.event_type", "r.value")

@@ -493,6 +493,16 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
     ))
     s.append(QuerySpec(
+        "xml_roundtrip",
+        lambda sp, d: scalars.xml_roundtrip(_t(sp, d, "events")),
+        """
+        SELECT event_id, event_type, value
+        FROM events WHERE event_id < 2000
+        """,
+        ("scalar", "xml"),
+        "to_xml/from_xml struct roundtrip (net identity, Spark 4 XML serde)",
+    ))
+    s.append(QuerySpec(
         "string_suite",
         lambda sp, d: scalars.string_suite(_t(sp, d, "documents")),
         """

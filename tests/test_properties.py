@@ -245,3 +245,24 @@ def test_winnowing_shared_substring_guarantee(spark):
     by_doc = {i: {r["fp"] for r in fps if r["doc_id"] == i} for i in (1, 2, 3)}
     assert by_doc[1] & by_doc[2]  # guaranteed overlap
     assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_observation_metrics_piggyback_on_action(spark):
+    """The Observation API collects metrics during a query's ONE pass
+    (no second scan) — the production-monitoring surface for pipeline
+    row counts and quality gates."""
+    from pyspark.sql import Observation
+    from big_data_exercise_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    obs = Observation("gate")
+    # DISTINCT aggregates are rejected in observed metrics — the
+    # sketch-based estimator is the supported (and scale-correct) form.
+    observed = ev.observe(
+        obs,
+        F.count("*").alias("n"),
+        F.approx_count_distinct("user_id").alias("users"),
+    )
+    n_purchases = observed.filter(F.col("event_type") == "purchase").count()
+    assert obs.get["n"] == ev.count()
+    assert obs.get["users"] > 0 and n_purchases > 0
