@@ -74,7 +74,11 @@ def winnowing_fingerprints(
 
 
 def overlap_pairs(
-    documents: DataFrame, min_shared: int = 20, k: int = K, w: int = WIN
+    documents: DataFrame,
+    min_shared: int = 20,
+    k: int = K,
+    w: int = WIN,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Substring-level near-dup pairs: docs sharing ≥ ``min_shared``
     winnowing fingerprints. The join is fingerprint-bucketed (like LSH
@@ -83,8 +87,24 @@ def overlap_pairs(
     both join sides and Spark would otherwise recompute the whole
     hash+window subtree twice. At web scale, cap hot buckets (a
     boilerplate fingerprint shared by millions of docs) before the
-    self-join — same discipline as MinHash band buckets."""
+    self-join — same discipline as MinHash band buckets.
+
+    ``max_bucket`` is that cap: fingerprints shared by more than
+    ``max_bucket`` docs are dropped BEFORE the self-join (a
+    boilerplate header fingerprint in a web corpus can hit millions of
+    docs → a single 10^12-row bucket). The cap is a deterministic
+    filter, so the trade is explicit and oracle-checkable: pair recall
+    drops only for pairs whose EVERY shared fingerprint is
+    boilerplate-hot, and the join cost bound becomes
+    Σ min(bucket, cap)²."""
     fps = fingerprint_sets(documents, k, w).persist()
+    if max_bucket is not None:
+        sizes = fps.groupBy("fp").agg(F.count("*").alias("bsz"))
+        fps = (
+            fps.join(sizes.filter(F.col("bsz") <= max_bucket), "fp")
+            .select("doc_id", "fp")
+            .persist()
+        )
     a = fps.select(F.col("doc_id").alias("id1"), "fp")
     b = fps.select(F.col("doc_id").alias("id2"), "fp")
     return (

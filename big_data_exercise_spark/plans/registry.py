@@ -1422,6 +1422,25 @@ def _specs() -> list[QuerySpec]:
         "substring-level near-dup pairs via shared winnowing fingerprints",
     ))
     s.append(QuerySpec(
+        "winnowing_pairs_capped",
+        # The adversarial-skew guard: buckets hotter than 50 docs are
+        # dropped before the self-join. The cap is a deterministic
+        # filter, so the recall trade is oracle-checkable.
+        lambda sp, d: winnow.overlap_pairs(
+            _t(sp, d, "documents"), max_bucket=50),
+        f"""
+        WITH {_WINNOW_CTES},
+        cold AS (
+          SELECT doc_id, fp FROM fps
+          QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50)
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+        FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 20
+        """,
+        ("dedup", "fingerprint", "skew"),
+        "hot-bucket-capped winnowing pairs (bounded Σ bucket² join cost)",
+    ))
+    s.append(QuerySpec(
         "winnowing_cluster_assignment",
         # Same connected-components operator, different pair
         # generator: substring-level clusters from winnowing overlaps.

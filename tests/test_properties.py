@@ -266,3 +266,34 @@ def test_observation_metrics_piggyback_on_action(spark):
     n_purchases = observed.filter(F.col("event_type") == "purchase").count()
     assert obs.get["n"] == ev.count()
     assert obs.get["users"] > 0 and n_purchases > 0
+
+
+def test_star_cc_matches_simple_cc(spark):
+    """Large-star/small-star must compute the same components as
+    min-label propagation on every graph shape — and beat it on round
+    count for chains (log² n vs diameter)."""
+    from big_data_exercise_spark.dedup.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(31)],
+        "cliques": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(5, 10) for b in range(a + 1, 10)],
+        "reversed": [(i + 1, i) for i in range(15)],
+    }
+    for name, edge_rows in cases.items():
+        n = max(max(e) for e in edge_rows) + 2  # +1 isolated node
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges = spark.createDataFrame(edge_rows, "src long, dst long")
+        simple = {
+            tuple(r) for r in connected_components(nodes, edges, max_iter=64).collect()
+        }
+        st: dict = {}
+        star = {
+            tuple(r)
+            for r in connected_components_star(nodes, edges, stats=st).collect()
+        }
+        assert star == simple, name
+        assert st["rounds"] <= 8, (name, st)  # log-ish, never diameter
