@@ -146,3 +146,36 @@ def detect_language(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", "lang", langid_udf(F.col("text")).alias("lang_pred")
     )
+
+
+def token_packing(documents: DataFrame, budget: int = 2048) -> DataFrame:
+    """Sequence packing for pretraining: assign consecutive docs
+    (per-language shard, doc_id order) to context-window bins of
+    ``budget`` tokens — bin = floor(exclusive-cumsum / budget), the
+    contiguous-chunking form whose bin boundaries are pure integer
+    arithmetic (exactly replayable in any engine).
+
+    Scale shape: the cumulative sum is windowed PER SHARD (here lang),
+    never globally — a global orderBy window is one partition and dies
+    at 100 TB; real pipelines pack within shards exactly like this and
+    accept shard-boundary waste."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    binned = toks.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget)
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+    )

@@ -253,6 +253,26 @@ def _specs() -> list[QuerySpec]:
         "CUBE grouping sets + grouping_id (declared gap, SURVEY §2.3)",
     ))
     s.append(QuerySpec(
+        "token_packing",
+        lambda sp, d: text.token_packing(_t(sp, d, "documents")),
+        f"""
+        WITH toks AS (
+          SELECT doc_id, lang, CAST(len({_TOKS}) AS INTEGER) AS n_tok
+          FROM documents),
+        binned AS (
+          SELECT lang, doc_id, n_tok,
+                 CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             - n_tok) / 2048.0) AS BIGINT) AS bin
+          FROM toks)
+        SELECT lang, bin, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        FROM binned GROUP BY lang, bin
+        """,
+        ("text", "packing"),
+        "sequence packing: per-shard token-budget bins (pretraining prep)",
+    ))
+    s.append(QuerySpec(
         "bitwise_user_masks",
         lambda sp, d: agg.bitwise_user_masks(_t(sp, d, "events")),
         """

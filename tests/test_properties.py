@@ -297,3 +297,29 @@ def test_star_cc_matches_simple_cc(spark):
         }
         assert star == simple, name
         assert st["rounds"] <= 8, (name, st)  # log-ish, never diameter
+
+
+def test_stratified_sample_by_is_seeded_and_proportional(spark):
+    """sampleBy: per-stratum Bernoulli sampling — the train/val split
+    primitive that keeps class balance. Seeded → identical on re-run;
+    per-stratum acceptance must track the requested fraction."""
+    from big_data_exercise_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    fractions = {"click": 0.5, "purchase": 0.1}
+    a = ev.sampleBy("event_type", fractions, seed=42)
+    b = ev.sampleBy("event_type", fractions, seed=42)
+    ra = {tuple(r) for r in a.collect()}
+    assert ra == {tuple(r) for r in b.collect()}  # deterministic
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["event_type"]: r["n"]
+        for r in a.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) <= set(fractions)  # unlisted strata fully dropped
+    for t, frac in fractions.items():
+        share = got.get(t, 0) / totals[t]
+        assert abs(share - frac) < 0.15
