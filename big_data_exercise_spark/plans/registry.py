@@ -1521,6 +1521,41 @@ def _specs() -> list[QuerySpec]:
         "the dedup action: drop non-canonical docs, per-lang survival stats",
     ))
     s.append(QuerySpec(
+        "curated_corpus",
+        lambda sp, d: text.curated_corpus(
+            _t(sp, d, "documents"),
+            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+        ),
+        f"""
+        WITH RECURSIVE {_WINNOW_CTES},
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+        verdicts AS (
+          SELECT node AS doc_id, (node = MIN(reach)) AS keep
+          FROM walk GROUP BY node),
+        toks AS (
+          SELECT doc_id, lang, CAST(len({_TOKS}) AS INTEGER) AS n_tok
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN keep AND n_tok >= 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_curated,
+               CAST(SUM(CASE WHEN keep AND n_tok >= 30 THEN n_tok ELSE 0 END)
+                    AS BIGINT) AS curated_tokens
+        FROM toks JOIN verdicts USING (doc_id)
+        GROUP BY lang
+        """,
+        ("text", "dedup", "flagship"),
+        "end-to-end curation: dedup verdicts ∩ quality gate, per-lang budget",
+    ))
+    s.append(QuerySpec(
         "ngram_jaccard_pairs",
         lambda sp, d: ngram.pairwise_jaccard(_t(sp, d, "documents")),
         f"""
