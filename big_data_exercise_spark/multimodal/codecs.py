@@ -175,3 +175,29 @@ def base64_roundtrip(frames: DataFrame) -> DataFrame:
         F.unbase64(F.base64(F.col("frame"))).alias("frame_back"),
         (F.unbase64(F.base64(F.col("frame"))) == F.col("frame")).alias("lossless"),
     )
+
+
+def arrow_frame_stats(frames: DataFrame) -> DataFrame:
+    """mapInArrow surface — the lowest-level Python boundary: raw
+    pyarrow RecordBatches in and out, no pandas materialization. For
+    binary media columns this skips the bytes→object-array copy
+    mapInPandas pays, which is the difference that matters when the
+    column is frames, audio, or tensors. Computes per-frame byte
+    length zero-copy from the Arrow buffer offsets."""
+    import pyarrow as pa
+
+    def stats(batches):
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "frame_number": batch.column(
+                        batch.schema.get_field_index("frame_number")
+                    ),
+                    "n_bytes": pa.compute.binary_length(
+                        batch.column(batch.schema.get_field_index("frame"))
+                    ).cast(pa.int32()),
+                }
+            )
+            yield from tbl.to_batches()
+
+    return frames.mapInArrow(stats, "frame_number long, n_bytes int")

@@ -2202,6 +2202,25 @@ def _specs() -> list[QuerySpec]:
         "array<struct> detection UDF → explode → rollup (U3+D1+A7, vehicle_consumer.py:119-183)",
     ))
 
+    def _arrow_frames(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
+        return codecs.arrow_frame_stats(codecs.synthesize_frames(ev))
+
+    s.append(QuerySpec(
+        "arrow_frame_stats",
+        _arrow_frames,
+        # total frame bytes = 24-byte header + max(16, w*h/64) payload
+        """
+        SELECT event_id AS frame_number,
+               CAST(24 + GREATEST(16, (640 * (360 + (user_id % 4) * 90)) // 64)
+                    AS INTEGER) AS n_bytes
+        FROM events WHERE event_id % 101 = 0
+        """,
+        ("multimodal", "arrow"),
+        "mapInArrow zero-copy binary stats (lowest-level Python boundary)",
+    ))
+
     s.append(QuerySpec(
         "frame_metadata",
         _frame_meta,
