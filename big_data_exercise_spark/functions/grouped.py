@@ -77,3 +77,32 @@ def user_event_sequence(events: DataFrame, max_user_id: int = 25) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(seq, "user_id long, event_id long, seq int")
     )
+
+
+def cogrouped_user_order_stats(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided grouped map: both
+    tables' rows for one key arrive as two pandas frames in one
+    function call. This is the escape hatch for merge logic a join
+    can't express (as-of alignment, per-key reconciliation, custom
+    conflict resolution); here it deliberately computes counts a FULL
+    OUTER aggregate join replays, so the oracle can check the key
+    semantics — keys from EITHER side must appear exactly once."""
+
+    def merge(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(ord_pdf)],
+            }
+        )
+
+    ev = events.select("user_id")
+    od = orders.select(F.col("o_custkey").alias("user_id")).filter(
+        F.col("user_id") < 200
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, n_events long, n_orders long")
+    )

@@ -545,3 +545,20 @@ def dormant_rich_customers(customer: DataFrame, events: DataFrame) -> DataFrame:
             exact_sum(F.col("c_acctbal")).alias("total_acctbal"),
         )
     )
+
+
+def supplier_variety(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape (partsupp-free analog): how many distinct
+    suppliers ship each (brand, size-bucket) of part. COUNT DISTINCT
+    after a join is the expensive form — Spark expands to a two-phase
+    aggregate (dedup on the full grouping+supplier key, then count),
+    so the shuffle carries the distinct triples, not the raw rows."""
+    sized = part.select(
+        "p_partkey", "p_brand", (F.col("p_size") - F.col("p_size") % 10).alias("size_bucket")
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(sized, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )

@@ -578,6 +578,34 @@ def _specs() -> list[QuerySpec]:
         "applyInPandas grouped map (whole-group pandas transform)",
     ))
     s.append(QuerySpec(
+        "cogrouped_user_orders",
+        lambda sp, d: grouped.cogrouped_user_order_stats(
+            _t(sp, d, "events"), _t(sp, d, "orders")),
+        """
+        WITH e AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        o AS (SELECT o_custkey AS user_id, COUNT(*) AS n
+              FROM orders WHERE o_custkey < 200 GROUP BY o_custkey)
+        SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+               COALESCE(e.n, 0) AS n_events, COALESCE(o.n, 0) AS n_orders
+        FROM e FULL JOIN o ON e.user_id = o.user_id
+        """,
+        ("udf", "cogroup"),
+        "cogrouped applyInPandas (two-sided grouped map, full-outer keys)",
+    ))
+    s.append(QuerySpec(
+        "supplier_variety",
+        lambda sp, d: joins.supplier_variety(
+            _t(sp, d, "lineitem"), _t(sp, d, "part")),
+        """
+        SELECT p_brand, p_size - p_size % 10 AS size_bucket,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, size_bucket
+        """,
+        ("join", "agg"),
+        "TPC-H Q16 shape: distinct-supplier counts per part bucket",
+    ))
+    s.append(QuerySpec(
         "variant_props_stats",
         lambda sp, d: scalars.variant_props_stats(_t(sp, d, "events")),
         """
