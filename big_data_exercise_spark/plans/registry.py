@@ -620,6 +620,27 @@ def _specs() -> list[QuerySpec]:
         ("scalar", "variant"),
         "VARIANT parse_json + variant_get (schemaless semi-structured)",
     ))
+    def _pyds_stream(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        agg = (
+            pydatasource.synthetic_events_stream(sp, rows=1000, batch_rows=300)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"), exact_sum(F.col("score")).alias("sum_score"))
+        )
+        return streams.run_to_memory(agg, "complete")
+
+    s.append(QuerySpec(
+        "pyds_stream_bucket_stats",
+        _pyds_stream,
+        f"""
+        SELECT CAST(range % 10 AS INTEGER) AS bucket, COUNT(*) AS n_rows,
+               {sum_sql("(range * 7 % 1000) / 10.0", "sum_score")}
+        FROM range(0, 1000)
+        GROUP BY bucket
+        """,
+        ("source", "pydatasource", "streaming"),
+        "Python DataSource STREAMING reader: offset-managed micro-batches",
+    ))
     s.append(QuerySpec(
         "pyds_bucket_stats",
         lambda sp, d: pydatasource.synthetic_events(sp)

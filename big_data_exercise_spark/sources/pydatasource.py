@@ -47,6 +47,12 @@ class SyntheticEventsDataSource(DataSource):
             num_partitions=int(self.options.get("partitions", 8)),
         )
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(
+            rows=int(self.options.get("rows", 1000)),
+            batch_rows=int(self.options.get("batchRows", 300)),
+        )
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, rows: int, num_partitions: int):
@@ -76,5 +82,50 @@ def synthetic_events(spark, rows: int = 10000, partitions: int = 8):
         spark.read.format("synthetic_events")
         .option("rows", rows)
         .option("partitions", partitions)
+        .load()
+    )
+
+
+class SyntheticEventsStreamReader:
+    """SimpleDataSourceStreamReader: offset-managed micro-batch reads
+    from the same deterministic keyspace. Offsets are plain row
+    indices; each poll serves at most ``batch_rows`` rows, and a poll
+    at the end returns no progress — which is what lets
+    ``availableNow``/processAllAvailable terminate on a bounded
+    source. A real connector would map offsets to log positions."""
+
+    def __init__(self, rows: int, batch_rows: int):
+        self.rows = rows
+        self.batch_rows = batch_rows
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch_rows, self.rows)
+        it = iter(
+            [(i, i % 10, (i * 7 % 1000) / 10.0) for i in range(pos, end)]
+        )
+        return (it, {"pos": end})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [
+                (i, i % 10, (i * 7 % 1000) / 10.0)
+                for i in range(start["pos"], end["pos"])
+            ]
+        )
+
+    def commit(self, end):
+        pass
+
+
+def synthetic_events_stream(spark, rows: int = 1000, batch_rows: int = 300):
+    register(spark)
+    return (
+        spark.readStream.format("synthetic_events")
+        .option("rows", rows)
+        .option("batchRows", batch_rows)
         .load()
     )
