@@ -220,3 +220,30 @@ def xml_roundtrip(events: DataFrame, max_event_id: int = 2000) -> DataFrame:
             "x", "event_id LONG, event_type STRING, value DOUBLE"
         ).alias("r")
     ).select("r.event_id", "r.event_type", "r.value")
+
+
+def corrupt_record_accounting(events: DataFrame) -> DataFrame:
+    """Dirty-ingest accounting: deliberately mangle 1% of the JSON
+    payloads, parse with from_json (PERMISSIVE — malformed rows yield
+    NULL, they never kill the job), and report the parse failure rate
+    per event type. This is the quality gate every 100 TB ingest runs
+    before trusting a feed; the mangling is keyed on event_id so the
+    oracle reproduces exactly which rows fail."""
+    # Prefix mangling: Spark's JSON parser TOLERATES trailing garbage
+    # ('{"k":69}x' parses), so corruption must break the head. A
+    # malformed row comes back as a struct of NULL fields (not a NULL
+    # struct) — the detection predicate is on the field.
+    mangled = F.when(
+        F.col("event_id") % 100 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(mangled, "k INT")
+    return (
+        events.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupt"),
+        )
+    )

@@ -513,6 +513,18 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
     ))
     s.append(QuerySpec(
+        "corrupt_record_accounting",
+        lambda sp, d: scalars.corrupt_record_accounting(_t(sp, d, "events")),
+        """
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt
+        FROM events GROUP BY event_type
+        """,
+        ("scalar", "quality"),
+        "PERMISSIVE parse-failure accounting (dirty rows -> NULL, counted)",
+    ))
+    s.append(QuerySpec(
         "xml_roundtrip",
         lambda sp, d: scalars.xml_roundtrip(_t(sp, d, "events")),
         """
