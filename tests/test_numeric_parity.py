@@ -75,3 +75,39 @@ def test_exact_aggregates_partitioning_invariant(spark):
     one = {tuple(r) for r in time_bucket(ev.coalesce(1)).collect()}
     many = {tuple(r) for r in time_bucket(ev.repartition(37)).collect()}
     assert one == many
+
+
+def test_round_det_hypothesis_fuzz(spark):
+    """Property-based sweep of the kernel: for ANY finite double list
+    and any scale 0-6, Spark's decimal-accumulate + round_det must be
+    bit-identical to DuckDB's round_det_sql twin."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        xs=st.lists(
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=-1e8,
+                max_value=1e8,
+                width=64,
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        scale=st.integers(min_value=0, max_value=6),
+    )
+    def run(xs, scale):
+        sdf = spark.createDataFrame([(float(x),) for x in xs], "v double")
+        got = sdf.agg(
+            round_det(F.sum(F.col("v").cast("decimal(30,8)")).cast("double"), scale)
+        ).collect()[0][0]
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": xs}))
+        want = con.sql(
+            f"SELECT {round_det_sql('CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE)', scale)} FROM t"
+        ).fetchone()[0]
+        assert got == want, (xs, scale, got, want)
+
+    run()
