@@ -54,6 +54,7 @@ HEADLINE = [
     "large_volume_customers",
     "dedup_cluster_assignment",
     "stream_stream_join",
+    "curated_corpus",
 ]
 
 
@@ -108,6 +109,9 @@ def main() -> None:
         from big_data_exercise_spark.multimodal import codecs, detections
         from big_data_exercise_spark.tables import ensure_parallelism, load_table
 
+        # Drop every cached table the dedup/LSH queries persisted so
+        # the throughput measurement isn't paying their memory pressure.
+        spark.catalog.clearCache()
         ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
         n_frames = ev.count()
         t0 = time.perf_counter()
