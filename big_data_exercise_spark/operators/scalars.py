@@ -247,3 +247,32 @@ def corrupt_record_accounting(events: DataFrame) -> DataFrame:
             .alias("n_corrupt"),
         )
     )
+
+
+def regex_suite(documents: DataFrame, max_doc_id: int = 100) -> DataFrame:
+    """Regex surface beyond regexp_extract: match counting and
+    first-match extraction. RE2-safe ASCII classes only, so Java and
+    RE2 agree; the no-match cases differ by engine (Spark NULL vs
+    DuckDB ''), normalized on the oracle side with NULLIF."""
+    return documents.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[aeiou]+")).alias("n_vowel_runs"),
+        F.regexp_count(F.col("text"), F.lit(r"\b\w{7,}\b")).alias("n_long_words"),
+        F.regexp_substr(F.col("text"), F.lit(r"\w{7,}")).alias("first_long_word"),
+    )
+
+
+def date_math_suite(orders: DataFrame, max_orderkey: int = 2000) -> DataFrame:
+    """Date arithmetic surface: day differences, month addition with
+    end-of-month clamping (Jan 31 + 1 month = Feb 29), day
+    subtraction, quarter truncation. Every result is cast to
+    timestamp — DateType round-trips differently per engine and is
+    the one temporal type the comparison layer can't normalize."""
+    d = F.col("o_orderdate")
+    return orders.filter(F.col("o_orderkey") < max_orderkey).select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1996-01-01").cast("timestamp")).alias("days_since_96"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3_months"),
+        F.date_sub(d, 7).cast("timestamp").alias("week_before"),
+        F.date_trunc("quarter", d).alias("quarter_start"),
+    )

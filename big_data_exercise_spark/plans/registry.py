@@ -513,6 +513,39 @@ def _specs() -> list[QuerySpec]:
         "TPC-H Q19 shape: equi-join + OR-of-ANDs bracket filter",
     ))
     s.append(QuerySpec(
+        "regex_suite",
+        lambda sp, d: scalars.regex_suite(_t(sp, d, "documents")),
+        """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER)
+                 AS n_vowel_runs,
+               CAST(len(regexp_extract_all(text, '\\b\\w{7,}\\b')) AS INTEGER)
+                 AS n_long_words,
+               NULLIF(regexp_extract(text, '\\w{7,}'), '') AS first_long_word
+        FROM documents WHERE doc_id < 100
+        """,
+        ("scalar", "regex"),
+        "regexp_count / regexp_substr surface (RE2-safe ASCII classes)",
+    ))
+    s.append(QuerySpec(
+        "date_math_suite",
+        lambda sp, d: scalars.date_math_suite(_t(sp, d, "orders")),
+        """
+        SELECT o_orderkey,
+               CAST(date_diff('day', DATE '1996-01-01',
+                              CAST(o_orderdate AS DATE)) AS INTEGER)
+                 AS days_since_96,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+                 AS plus_3_months,
+               CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS TIMESTAMP)
+                 AS week_before,
+               date_trunc('quarter', o_orderdate) AS quarter_start
+        FROM orders WHERE o_orderkey < 2000
+        """,
+        ("scalar", "datetime"),
+        "date arithmetic: datediff / add_months clamping / date_sub / quarter",
+    ))
+    s.append(QuerySpec(
         "corrupt_record_accounting",
         lambda sp, d: scalars.corrupt_record_accounting(_t(sp, d, "events")),
         """
