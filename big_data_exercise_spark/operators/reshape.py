@@ -92,3 +92,25 @@ def event_count_map_roundtrip(events: DataFrame) -> DataFrame:
     return as_map.select(
         "user_id", F.explode("type_counts").alias("event_type", "n_events")
     )
+
+
+def map_hof_roundtrip(events: DataFrame, min_count: int = 15) -> DataFrame:
+    """Map higher-order functions: transform_values rescales counts,
+    map_filter prunes low-frequency types, all inside the map column
+    (codegen lambdas, no explode/regroup shuffle); the final explode
+    exists only to give the oracle rows to hash."""
+    as_map = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("m")
+        )
+    )
+    doubled = F.transform_values(F.col("m"), lambda _, v: v * 2)
+    pruned = F.map_filter(doubled, lambda _, v: v >= min_count * 2)
+    return as_map.select(
+        "user_id", F.explode(pruned).alias("event_type", "n_doubled")
+    )

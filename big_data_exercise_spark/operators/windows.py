@@ -119,3 +119,26 @@ def user_first_last_events(events: DataFrame) -> DataFrame:
         .groupBy("user_id", "first_type", "last_type", "second_type")
         .agg(F.count("event_id").alias("n_events"))
     )
+
+
+def trailing_hour_sums(events: DataFrame) -> DataFrame:
+    """RANGE-framed window: per user, the running sum of values over
+    the TRAILING HOUR of event time — the time-windowed aggregate
+    rows-frames can't express (a rows frame counts rows, not time).
+    The frame is anchored on epoch seconds; at scale this is the same
+    single sort per user as any window, with state bounded by the
+    hour's row count."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    from big_data_exercise_spark.functions.numeric import DEC, round_det
+
+    return events.select(
+        "user_id",
+        "event_id",
+        round_det(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 2).alias(
+            "trailing_hour_value"
+        ),
+    )

@@ -723,6 +723,32 @@ def _specs() -> list[QuerySpec]:
         "first/last/nth_value over an explicit full window frame",
     ))
     s.append(QuerySpec(
+        "trailing_hour_sums",
+        lambda sp, d: windows.trailing_hour_sums(_t(sp, d, "events")),
+        f"""
+        SELECT user_id, event_id,
+               {round_det_sql(
+                   "CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER ("
+                   "PARTITION BY user_id ORDER BY epoch(ts) "
+                   "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)")}
+                 AS trailing_hour_value
+        FROM events
+        """,
+        ("window", "range-frame"),
+        "RANGE-framed trailing-hour running sum (time, not row, window)",
+    ))
+    s.append(QuerySpec(
+        "map_hof_roundtrip",
+        lambda sp, d: reshape.map_hof_roundtrip(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_type, CAST(COUNT(*) * 2 AS BIGINT) AS n_doubled
+        FROM events GROUP BY user_id, event_type
+        HAVING COUNT(*) * 2 >= 30
+        """,
+        ("reshape", "map", "hof"),
+        "map transform_values/map_filter HOFs inside the map column",
+    ))
+    s.append(QuerySpec(
         "event_count_map_roundtrip",
         lambda sp, d: reshape.event_count_map_roundtrip(_t(sp, d, "events")),
         """
