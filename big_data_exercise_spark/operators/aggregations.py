@@ -292,3 +292,17 @@ def user_type_sets(events: DataFrame) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
         F.count_distinct("event_type").cast("long").alias("n_types"),
     )
+
+
+def latest_type_per_user_agg(events: DataFrame) -> DataFrame:
+    """Latest-per-key as ONE aggregation: max_by(payload, unique
+    ordering key). This is the scale-preferred plan over the
+    row_number window (latest_event_per_user, W1): no per-user sort,
+    map-side partial combine, and the shuffle carries one row per
+    user instead of every event. The window form only wins when you
+    need the full ranked sequence."""
+    return events.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+    )

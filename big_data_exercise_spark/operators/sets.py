@@ -58,3 +58,29 @@ def union_click_purchase_stats(events: DataFrame) -> DataFrame:
         F.count("value").alias("n_click_rows"),
         exact_sum(F.col("value")).alias("click_value"),
     )
+
+
+def user_days_except_all(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): per-occurrence subtraction —
+    a user-day with 3 clicks and 1 purchase keeps 2 rows, where
+    EXCEPT DISTINCT would drop it entirely. The multiset forms are
+    the right semantics for event-frequency comparisons."""
+    a = events.filter(F.col("event_type") == type_a).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    b = events.filter(F.col("event_type") == type_b).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return a.exceptAll(b)
+
+
+def user_days_intersect_all(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): min-of-multiplicities
+    per (user, day) pair."""
+    a = events.filter(F.col("event_type") == type_a).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    b = events.filter(F.col("event_type") == type_b).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return a.intersectAll(b)

@@ -273,6 +273,44 @@ def _specs() -> list[QuerySpec]:
         "sequence packing: per-shard token-budget bins (pretraining prep)",
     ))
     s.append(QuerySpec(
+        "user_days_except_all",
+        lambda sp, d: sets.user_days_except_all(_t(sp, d, "events"), "click", "purchase"),
+        """
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id, date_trunc('day', ts)
+        FROM events WHERE event_type = 'purchase'
+        """,
+        ("set", "multiset"),
+        "EXCEPT ALL multiset difference (per-occurrence subtraction)",
+    ))
+    s.append(QuerySpec(
+        "user_days_intersect_all",
+        lambda sp, d: sets.user_days_intersect_all(_t(sp, d, "events"), "click", "view"),
+        """
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id, date_trunc('day', ts)
+        FROM events WHERE event_type = 'view'
+        """,
+        ("set", "multiset"),
+        "INTERSECT ALL multiset intersection (min multiplicities)",
+    ))
+    s.append(QuerySpec(
+        "latest_type_per_user_agg",
+        lambda sp, d: agg.latest_type_per_user_agg(_t(sp, d, "events")),
+        """
+        SELECT user_id, MAX(event_id) AS last_event_id,
+               arg_max(event_type, event_id) AS last_type,
+               arg_min(event_type, event_id) AS first_type
+        FROM events GROUP BY user_id
+        """,
+        ("agg", "argmax"),
+        "latest-per-key via max_by/min_by — one agg, no per-key sort (W1's scale twin)",
+    ))
+    s.append(QuerySpec(
         "bitwise_user_masks",
         lambda sp, d: agg.bitwise_user_masks(_t(sp, d, "events")),
         """
