@@ -562,3 +562,362 @@ def supplier_variety(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .groupBy("p_brand", "size_bucket")
         .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
     )
+
+
+def min_cost_part_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    min_size: int = 40,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each large part, the in-region supplier(s)
+    offering the minimum unit price. The classic correlated MIN
+    subquery, decorrelated into agg + equi-join: per-(part, supplier)
+    min unit price, then per-part min, then an equality join back —
+    three shuffles on l_partkey that AQE collapses onto one exchange
+    reuse. Unit price is a raw IEEE double division (identical bits in
+    any engine), so the min-equality join is exact with no rounding.
+    supplier⋈nation⋈region is broadcast (dims are size-invariant)."""
+    regional_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+        .join(
+            F.broadcast(regional_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("supp_cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("supp_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bp"))
+            & (F.col("supp_cost") == F.col("min_cost")),
+        )
+        .join(
+            part.filter(F.col("p_size") >= min_size).select("p_partkey", "p_name"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(regional_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations, by
+    direction and ship year. Two broadcast copies of the nation dim
+    (supplier side, customer side) with the OR'd pair filter applied
+    AFTER both joins — Catalyst pushes each nation's IN-list down to
+    its own join input, so the fact tables shuffle only for the
+    lineitem⋈orders⋈customer equi-joins."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_5",
+    region_name: str = "AMERICA",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of one region's
+    ECONOMY-part order revenue, per order year. The share is a
+    conditional aggregate ratio — both numerator and denominator
+    accumulate in DECIMAL(30,8) within one grouped pass (a single
+    shuffle), divided in double and rounded at the edge."""
+    cust_region = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        lineitem.join(part.filter(F.col("p_type") == p_type).select("p_partkey"),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0))
+        .cast(DEC)
+    ).cast("double")
+    den = F.sum(vol.cast(DEC)).cast("double")
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(round_det(num / den, 4).alias("mkt_share"))
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_word: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts per supplier nation and
+    order year. The reference schema has no partsupp, so supply cost
+    is modeled as 10% of p_retailprice — the plan shape (4-way fact ⋈
+    dim join, substring predicate pushed to the part scan, two-key
+    grouped decimal agg) is what matters, not the cost constant."""
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(
+            part.filter(F.col("p_name").contains(name_word))
+            .select("p_partkey", "p_retailprice"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum(amount).alias("sum_profit"))
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stocked value from one nation's
+    suppliers exceeds a fraction of that nation's total. The HAVING
+    threshold is a global scalar over the SAME filtered scan —
+    computed as a one-row aggregate cross-broadcast back over the
+    per-part rollup (never a driver collect). Both the per-part value
+    and the global total accumulate in decimal; the comparison runs on
+    the unrounded doubles identically in both engines."""
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    scoped = lineitem.join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("value_d")
+    )
+    total = scoped.agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_d")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("total_d") * F.lit(fraction))
+        .select("l_partkey", round_det(F.col("value_d"), 2).alias("part_value"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue. The revenue view aggregates once; the max is a one-row
+    aggregate OVER that view, broadcast back for the equality filter
+    (Spark reuses the shuffle via AQE exchange reuse). Revenue is
+    rounded deterministically BEFORE the max comparison so ties break
+    identically across engines."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def part_promotion_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small",
+    min_qty: float = 40.0,
+    nation_name: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of one nation who shipped more than
+    a threshold quantity of any 'small%' part in 1996 — the nested-IN
+    form (IN over a grouped HAVING subquery) decorrelated to a
+    grouped filter + LEFT SEMI join. The quantity sum accumulates in
+    decimal; the HAVING compares unrounded doubles identically in
+    both engines."""
+    qualifying = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            part.filter(F.col("p_name").startswith(name_prefix))
+            .select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            supplier.s_nationkey == nation.n_nationkey,
+            "left_semi",
+        )
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order. EXISTS (another supplier in the
+    order) and NOT EXISTS (another LATE supplier) decorrelate into two
+    per-order aggregates — distinct-supplier count ≥ 2, late-supplier
+    count == 1 — joined back on o_orderkey, so the whole query is
+    three shuffles on the order key instead of four correlated probes.
+    'Late' is shipdate > orderdate + 90 days (this schema carries no
+    commit/receipt dates; reference lineitem has only l_shipdate)."""
+    li = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = li.filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    multi_supp = (
+        li.groupBy(F.col("l_orderkey").alias("mo_key"))
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("mo_key")
+    )
+    sole_late = (
+        late.groupBy(F.col("l_orderkey").alias("so_key"))
+        .agg(F.count_distinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("so_key")
+    )
+    return (
+        late.join(multi_supp, F.col("l_orderkey") == F.col("mo_key"), "left_semi")
+        .join(sole_late, F.col("l_orderkey") == F.col("so_key"), "left_semi")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )

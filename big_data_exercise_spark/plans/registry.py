@@ -2446,6 +2446,221 @@ def _specs() -> list[QuerySpec]:
         "resize UDF (binary→binary Arrow transfer) → metadata decode",
     ))
 
+    # ---- the remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q15/Q20/Q21)
+    # complete the 22-query family; each exercises a plan shape no other
+    # registry entry covers (decorrelated scalar MIN, OR'd nation pairs,
+    # conditional-ratio share, global-scalar HAVING, max-over-view,
+    # nested-IN HAVING, double-EXISTS decorrelation).
+    s.append(QuerySpec(
+        "min_cost_part_supplier",
+        lambda sp, d: joins.min_cost_part_supplier(
+            _t(sp, d, "part"), _t(sp, d, "supplier"), _t(sp, d, "nation"),
+            _t(sp, d, "region"), _t(sp, d, "lineitem")),
+        """
+        WITH regional_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        offers AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS min_cost
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM regional_supp)
+          GROUP BY l_partkey, l_suppkey),
+        best AS (
+          SELECT l_partkey AS bp, MIN(min_cost) AS part_min
+          FROM offers GROUP BY l_partkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+        FROM offers
+        JOIN best ON l_partkey = bp AND min_cost = part_min
+        JOIN part ON l_partkey = p_partkey AND p_size >= 40
+        JOIN regional_supp ON l_suppkey = s_suppkey
+        ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100
+        """,
+        ("join", "scalar-subquery", "topk"),
+        "TPC-H Q2 shape: correlated per-part MIN decorrelated to "
+        "agg + equality join (raw IEEE doubles, no rounding needed)",
+    ))
+    s.append(QuerySpec(
+        "nation_trade_volume",
+        lambda sp, d: joins.nation_trade_volume(
+            _t(sp, d, "lineitem"), _t(sp, d, "orders"), _t(sp, d, "customer"),
+            _t(sp, d, "supplier"), _t(sp, d, "nation")),
+        f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+               {sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+        ("join", "agg"),
+        "TPC-H Q7 shape: two-nation trade volume by direction and year",
+    ))
+    _Q8_NUM = ("CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END "
+               "AS DECIMAL(30,8))) AS DOUBLE)")
+    _Q8_DEN = ("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+               "AS DECIMAL(30,8))) AS DOUBLE)")
+    s.append(QuerySpec(
+        "nation_market_share",
+        lambda sp, d: joins.nation_market_share(
+            _t(sp, d, "lineitem"), _t(sp, d, "orders"), _t(sp, d, "customer"),
+            _t(sp, d, "supplier"), _t(sp, d, "nation"), _t(sp, d, "region"),
+            _t(sp, d, "part")),
+        f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               {round_det_sql(f"({_Q8_NUM}) / ({_Q8_DEN})", 4)} AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+                            WHERE r_name = 'AMERICA')
+        GROUP BY o_year
+        """,
+        ("join", "agg", "conditional"),
+        "TPC-H Q8 shape: one nation's market share as a conditional "
+        "decimal-sum ratio per order year",
+    ))
+    s.append(QuerySpec(
+        "product_type_profit",
+        lambda sp, d: joins.product_type_profit(
+            _t(sp, d, "lineitem"), _t(sp, d, "orders"), _t(sp, d, "part"),
+            _t(sp, d, "supplier"), _t(sp, d, "nation")),
+        f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               {sum_sql(
+                   "l_extendedprice * (1 - l_discount) "
+                   "- 0.1 * p_retailprice * l_quantity", "sum_profit")}
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        """,
+        ("join", "agg"),
+        "TPC-H Q9 shape: profit on matching parts per supplier nation "
+        "and year (supply cost modeled as 10% of retail; no partsupp)",
+    ))
+    s.append(QuerySpec(
+        "important_parts",
+        lambda sp, d: joins.important_parts(
+            _t(sp, d, "lineitem"), _t(sp, d, "supplier"), _t(sp, d, "nation")),
+        f"""
+        WITH scoped AS (
+          SELECT l_partkey, l_extendedprice FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                              JOIN nation ON s_nationkey = n_nationkey
+                              WHERE n_name = 'NATION_3')),
+        per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                   AS value_d
+          FROM scoped GROUP BY l_partkey),
+        tot AS (
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                   AS total_d
+          FROM scoped)
+        SELECT l_partkey, {round_det_sql("value_d")} AS part_value
+        FROM per_part, tot
+        WHERE value_d > total_d * 0.001
+        """,
+        ("agg", "scalar-subquery"),
+        "TPC-H Q11 shape: per-part value with HAVING against a global "
+        "scalar over the same filtered scan",
+    ))
+    s.append(QuerySpec(
+        "top_supplier",
+        lambda sp, d: joins.top_supplier(
+            _t(sp, d, "lineitem"), _t(sp, d, "supplier")),
+        f"""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 {sum_sql("l_extendedprice * (1 - l_discount)",
+                          "total_revenue")}
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+        """,
+        ("agg", "scalar-subquery"),
+        "TPC-H Q15 shape: supplier(s) at max quarterly revenue "
+        "(max over an agg view; rounded before comparison)",
+    ))
+    s.append(QuerySpec(
+        "part_promotion_suppliers",
+        lambda sp, d: joins.part_promotion_suppliers(
+            _t(sp, d, "lineitem"), _t(sp, d, "part"), _t(sp, d, "supplier"),
+            _t(sp, d, "nation")),
+        """
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_name = 'NATION_3')
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                   > 40.0)
+        ORDER BY s_name
+        """,
+        ("join", "semi", "agg"),
+        "TPC-H Q20 shape: nested IN over a grouped HAVING, "
+        "decorrelated to grouped filter + LEFT SEMI",
+    ))
+    s.append(QuerySpec(
+        "waiting_suppliers",
+        lambda sp, d: joins.waiting_suppliers(
+            _t(sp, d, "lineitem"), _t(sp, d, "orders"), _t(sp, d, "supplier")),
+        """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        late AS (
+          SELECT * FROM li
+          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        ("join", "semi", "anti", "topk"),
+        "TPC-H Q21 shape: sole-late-supplier EXISTS/NOT-EXISTS pair "
+        "decorrelated to two per-order aggregates + semi joins",
+    ))
+
     return s
 
 
