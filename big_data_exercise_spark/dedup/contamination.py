@@ -1,0 +1,104 @@
+"""Benchmark-contamination detection — the train/test-overlap scan
+every serious LLM corpus build runs (GPT-3 §C, PaLM §8, The Pile):
+does a training document contain verbatim n-grams from an eval set?
+
+Spark-first shape:
+* Both sides reduce to DISTINCT word-``n``-gram hashes (md5 of the
+  joined words — md5 exists in Spark AND DuckDB, so the oracle
+  matches exactly; production would swap xxhash64 for speed, same
+  plan shape).
+* The benchmark side is tiny by construction (eval sets are KBs
+  against a 100 TB corpus) → its distinct hash set BROADCASTs, and
+  the contamination probe is a broadcast LEFT SEMI join per gram —
+  the corpus never shuffles.
+* Per-doc rates come from one partial-aggregated groupBy(doc_id):
+  gram explosion → semi-probe → count, all in one stage chain.
+
+The n-gram builder is pure Column algebra (split → transform over a
+sequence → slice/concat_ws → md5 → explode): no UDF, stays inside
+WholeStageCodegen until the explode.
+
+Fixture: the driver testdata has no separate eval table, so the
+"benchmark" is the deterministic slice ``doc_id % 97 == 0`` of the
+same corpus (self-matches excluded by construction because benchmark
+docs are removed from the probe side). Published decontamination uses
+8-13-gram windows; this synthetic corpus duplicates by word-level
+resampling (no long verbatim runs survive), so the default here is
+``n=4`` — the plan is n-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from big_data_exercise_spark.functions.numeric import round_det
+
+
+def _gram_hashes(n: int) -> Column:
+    """DISTINCT md5 hashes of word n-grams of ``text``."""
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    )
+    return F.array_distinct(grams)
+
+
+def contamination_report(
+    documents: DataFrame,
+    n: int = 4,
+    bench_modulus: int = 97,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document contamination: how many of a doc's distinct
+    n-grams appear verbatim in the benchmark slice.
+
+    Returns docs with ≥ ``min_hits`` contaminated grams, with the
+    contaminated fraction rounded deterministically (4 dp).
+    """
+    hashed = documents.filter(F.size(F.split(F.col("text"), " ")) >= n).select(
+        "doc_id", F.explode(_gram_hashes(n)).alias("gh")
+    )
+    bench = (
+        hashed.filter(F.col("doc_id") % bench_modulus == 0)
+        .select("gh").distinct()
+    )
+    probe = hashed.filter(F.col("doc_id") % bench_modulus != 0)
+    per_doc = probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+    )
+    hits = (
+        probe.join(F.broadcast(bench), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        per_doc.join(hits, "doc_id")
+        .filter(F.col("n_contaminated") >= min_hits)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            round_det(
+                F.col("n_contaminated") / F.col("n_grams"), 4
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def contamination_summary(
+    documents: DataFrame, n: int = 4, bench_modulus: int = 97,
+    quarantine_rate: float = 0.5,
+) -> DataFrame:
+    """Corpus-level decontamination report: docs scanned, docs
+    touched, docs a pipeline would QUARANTINE (rate ≥ threshold) —
+    the actionable output (drop list size) of the scan."""
+    rep = contamination_report(documents, n=n, bench_modulus=bench_modulus)
+    return rep.agg(
+        F.count("*").alias("docs_contaminated"),
+        F.sum("n_contaminated").alias("total_hits"),
+        F.sum(
+            (F.col("contamination_rate") >= quarantine_rate).cast("long")
+        ).alias("docs_quarantined"),
+        round_det(F.max("contamination_rate"), 4).alias("max_rate"),
+    )

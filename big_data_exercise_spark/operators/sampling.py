@@ -50,3 +50,56 @@ def emptiness_probes(events: DataFrame) -> DataFrame:
         [(no_huge, has_clicks, limit0_empty)],
         "no_huge boolean, has_clicks boolean, limit0_empty boolean",
     )
+
+
+# Knuth-style LCG constants: cheap, engine-portable integer hash for
+# reproducible per-row uniforms. doc_id * A + C stays inside int64 up
+# to ~8e14 ids; a 100 TB corpus with opaque string ids would use
+# xxhash64(id) & mask instead (same plan, Spark-internal hash).
+_MIX_A = 1103515245
+_MIX_C = 12345
+_MIX_MOD = 10_000
+
+
+def source_mixture_sample(
+    documents: DataFrame,
+    hot_fraction: float = 0.9,
+    cold_fraction: float = 0.25,
+    hot_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3", "src4"),
+) -> DataFrame:
+    """Source-mixture (domain-weight) sampling — the step that turns
+    a raw crawl into a training mixture: each source keeps a target
+    fraction of its documents (up-weight curated sources, down-weight
+    noisy ones; cf. the published Pile/PaLM/LLaMA mixture tables).
+
+    Membership is DETERMINISTIC — an LCG hash of doc_id mapped to a
+    uniform in [0,1) and compared to the source's weight — so the
+    sample is reproducible across engines, runs, and repartitioning
+    (``sample()``'s Bernoulli draw is partitioning-dependent; this is
+    not). The filter is pure integer codegen pushed to the scan: no
+    shuffle, no UDF. The report aggregates kept/total per source so
+    the achieved mixture is the visible result.
+    """
+    u = (
+        F.pmod(F.col("doc_id") * _MIX_A + _MIX_C, F.lit(_MIX_MOD))
+        / F.lit(float(_MIX_MOD))
+    )
+    weight = (
+        F.when(F.col("source").isin(*hot_sources), F.lit(hot_fraction))
+        .otherwise(F.lit(cold_fraction))
+    )
+    return (
+        documents.select(
+            "source",
+            weight.alias("target_frac"),
+            (u < weight).cast("long").alias("kept"),
+            F.col("n_chars"),
+        )
+        .groupBy("source", "target_frac")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars"))
+                  .otherwise(F.lit(0))).alias("kept_chars"),
+        )
+    )

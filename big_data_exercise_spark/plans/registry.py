@@ -42,7 +42,7 @@ from big_data_exercise_spark.operators import (
     skew,
     windows,
 )
-from big_data_exercise_spark.functions import arrays, grouped, sentiment, text
+from big_data_exercise_spark.functions import arrays, grouped, pii, sentiment, text
 from big_data_exercise_spark.functions.numeric import (
     avg_sql,
     exact_sum,
@@ -50,7 +50,9 @@ from big_data_exercise_spark.functions.numeric import (
     sum_sql,
 )
 from big_data_exercise_spark.dedup import exact as dedup_exact_mod
-from big_data_exercise_spark.dedup import cluster, minhash, ngram, simhash, winnow
+from big_data_exercise_spark.dedup import (
+    cluster, contamination, minhash, ngram, simhash, winnow,
+)
 from big_data_exercise_spark.similarity import knn, lsh
 from big_data_exercise_spark.multimodal import codecs, detections
 from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, pydatasource
@@ -2659,6 +2661,159 @@ def _specs() -> list[QuerySpec]:
         ("join", "semi", "anti", "topk"),
         "TPC-H Q21 shape: sole-late-supplier EXISTS/NOT-EXISTS pair "
         "decorrelated to two per-order aggregates + semi joins",
+    ))
+
+    # ---- corpus-governance tier: PII scrub, benchmark decontamination,
+    # source-mixture sampling (functions/pii.py, dedup/contamination.py,
+    # operators/sampling.py). The remaining pre-training curation steps
+    # a 100 TB corpus build runs after dedup/quality filtering.
+    _PII_DIRTY = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.org ssn '"
+        " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')"
+        " || '-45-6789 call +1-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    )
+    _PII_RED = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"dirty, '{pii.EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{pii.SSN_RE}', '<SSN>', 'g'), "
+        f"'{pii.PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{pii.IP_RE}', '<IP>', 'g')"
+    )
+    _PII_CTES = f"""
+        dirty AS (SELECT doc_id, {_PII_DIRTY} AS dirty FROM documents),
+        red AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(dirty, '{pii.EMAIL_RE}'))
+                      AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(dirty, '{pii.SSN_RE}'))
+                      AS BIGINT) AS n_ssns,
+                 CAST(len(regexp_extract_all(dirty, '{pii.PHONE_RE}'))
+                      AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(dirty, '{pii.IP_RE}'))
+                      AS BIGINT) AS n_ips,
+                 {_PII_RED} AS redacted
+          FROM dirty)"""
+    s.append(QuerySpec(
+        "pii_redaction",
+        lambda sp, d: pii.redact_pii(_t(sp, d, "documents")),
+        f"""
+        WITH {_PII_CTES}
+        SELECT doc_id, n_emails, n_ssns, n_phones, n_ips,
+               CAST(length(redacted) AS BIGINT) AS redacted_len,
+               md5(redacted) AS redacted_fp
+        FROM red
+        """,
+        ("text", "pii"),
+        "per-document PII scrub (email/SSN/phone/IP regex chain, "
+        "Java∩RE2 subset); md5 of redacted text is the witness",
+    ))
+    s.append(QuerySpec(
+        "pii_corpus_summary",
+        lambda sp, d: pii.pii_corpus_summary(_t(sp, d, "documents")),
+        f"""
+        WITH {_PII_CTES}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+               CAST(SUM(n_ssns) AS BIGINT) AS total_ssns,
+               CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+               CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+               CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_with_email,
+               CAST(COUNT(DISTINCT md5(redacted)) AS BIGINT)
+                 AS distinct_redacted
+        FROM red
+        """,
+        ("text", "pii", "agg"),
+        "corpus-level scrub report: category totals + distinct "
+        "redacted fingerprints (the governance sign-off number)",
+    ))
+    _GRAM_CTES = """
+        words AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, gh FROM (
+            SELECT doc_id,
+                   unnest([md5(array_to_string(w[i+1:i+4], ' '))
+                           for i in range(0, len(w) - 3)]) AS gh
+            FROM words WHERE len(w) >= 4)),
+        bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+        probe AS (SELECT doc_id, gh FROM grams WHERE doc_id % 97 <> 0),
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM probe GROUP BY doc_id),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+          FROM probe WHERE gh IN (SELECT gh FROM bench)
+          GROUP BY doc_id)"""
+    s.append(QuerySpec(
+        "contamination_report",
+        lambda sp, d: contamination.contamination_report(
+            _t(sp, d, "documents")),
+        f"""
+        WITH {_GRAM_CTES}
+        SELECT p.doc_id, n_grams, n_contaminated,
+               {round_det_sql("n_contaminated / n_grams", 4)}
+                 AS contamination_rate
+        FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+        WHERE n_contaminated >= 1
+        """,
+        ("dedup", "contamination"),
+        "train/test overlap scan: distinct word-4-gram md5 hashes, "
+        "benchmark side broadcast, per-doc contaminated fraction",
+    ))
+    s.append(QuerySpec(
+        "contamination_summary",
+        lambda sp, d: contamination.contamination_summary(
+            _t(sp, d, "documents")),
+        f"""
+        WITH {_GRAM_CTES},
+        rep AS (
+          SELECT p.doc_id, n_grams, n_contaminated,
+                 {round_det_sql("n_contaminated / n_grams", 4)} AS rate
+          FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+          WHERE n_contaminated >= 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS docs_contaminated,
+               CAST(SUM(n_contaminated) AS BIGINT) AS total_hits,
+               CAST(SUM(CASE WHEN rate >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_quarantined,
+               {round_det_sql("MAX(rate)", 4)} AS max_rate
+        FROM rep
+        """,
+        ("dedup", "contamination", "agg"),
+        "decontamination drop-list size: quarantine count at "
+        "rate ≥ 0.5 + corpus max rate",
+    ))
+    s.append(QuerySpec(
+        "source_mixture_sample",
+        lambda sp, d: sampling.source_mixture_sample(
+            _t(sp, d, "documents")),
+        """
+        SELECT source,
+               CAST(CASE WHEN source IN
+                      ('src0','src1','src2','src3','src4')
+                    THEN 0.9 ELSE 0.25 END AS DOUBLE) AS target_frac,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN
+                      ((doc_id * 1103515245 + 12345) % 10000) / 10000.0
+                      < CASE WHEN source IN
+                          ('src0','src1','src2','src3','src4')
+                        THEN 0.9 ELSE 0.25 END
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN
+                      ((doc_id * 1103515245 + 12345) % 10000) / 10000.0
+                      < CASE WHEN source IN
+                          ('src0','src1','src2','src3','src4')
+                        THEN 0.9 ELSE 0.25 END
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM documents GROUP BY source, target_frac
+        """,
+        ("sampling", "mixture"),
+        "deterministic source-mixture sampling (LCG-hash uniform vs "
+        "per-source target weight); reproducible across engines/runs",
     ))
 
     return s
