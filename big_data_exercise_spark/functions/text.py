@@ -181,6 +181,132 @@ def token_packing(documents: DataFrame, budget: int = 2048) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (Rae et al. 2021, table A1): fraction of tokens taken by the most
+    frequent token, fraction of token-chars in that token, and the
+    duplicate-bigram / duplicate-trigram fractions. Heavily repeated
+    boilerplate (nav bars, SEO spam, generation loops) scores high and
+    gets filtered before training.
+
+    Scale shape: the n-gram duplicate fractions are pure array algebra
+    (zip-shift + array_distinct) — per-row codegen, no shuffle. Only
+    the top-token stats need distribution: explode → two-level
+    partial-combined aggregation on (doc_id, tok), then one more on
+    doc_id — both map-side combinable, keyed on doc_id so the second
+    agg can reuse the first's partitioning. The final join back to the
+    array-side stats is doc_id-keyed and AQE-coalesced.
+    """
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # slice() lengths clamped at 0 so 0/1/2-token docs don't error
+    m1 = F.greatest(n - 1, F.lit(0))
+    m2 = F.greatest(n - 2, F.lit(0))
+    # adjacent n-grams by zip-shifting the token array against itself
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m1),
+        F.slice(toks, 2, m1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trigrams = F.zip_with(
+        F.slice(toks, 1, m2),
+        F.slice(F.zip_with(
+            F.slice(toks, 2, m1),
+            F.slice(toks, 3, m1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ), 1, m2),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+
+    def dup_frac(grams: Column) -> Column:
+        n_g = F.size(grams)
+        return F.when(
+            n_g > 0,
+            round_det((n_g - F.size(F.array_distinct(grams))) / n_g, 4),
+        ).otherwise(F.lit(0.0))
+
+    gram_side = documents.select(
+        "doc_id",
+        dup_frac(bigrams).alias("dup_bigram_frac"),
+        dup_frac(trigrams).alias("dup_trigram_frac"),
+    )
+
+    ex = documents.select("doc_id", F.explode(toks).alias("tok"))
+    per_tok = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tok_side = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").cast("long").alias("top_tok_count"),
+        F.max(F.col("c") * F.length("tok")).cast("long").alias("top_tok_chars"),
+        F.sum(F.col("c") * F.length("tok")).cast("long").alias("total_tok_chars"),
+    )
+    return tok_side.join(gram_side, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        round_det(F.col("top_tok_count") / F.col("n_tokens"), 4)
+        .alias("top_token_frac"),
+        round_det(F.col("top_tok_chars") / F.col("total_tok_chars"), 4)
+        .alias("top_char_frac"),
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+    )
+
+
+def idf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-language distinctive terms: corpus term frequency weighted
+    by inverse document frequency, top-k per language. The idf weight
+    is the RATIONAL form tf · (N+1)/(df+1) — rank-monotone in df like
+    the log form, but exact integer/decimal arithmetic, so two engines
+    agree bit-for-bit (ln() is not guaranteed identical across libm
+    implementations).
+
+    Scale shape: explode → (lang, tok) partial-combined count; df is a
+    doc-distinct count computed from the SAME exploded form
+    (array_distinct before explode avoids a count-distinct shuffle);
+    N_docs per lang is a broadcast-joined tiny aggregate; top-k per
+    lang is a partitioned window (never a global sort).
+    """
+    from pyspark.sql import Window as W
+
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    ex = documents.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    # tf: total occurrences of tok within the language
+    tf = ex.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
+    # df: number of docs (within the language) containing tok —
+    # distinct at the array level first, so the agg is a plain count
+    exd = documents.select(
+        "lang",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    df_ = exd.groupBy("lang", "tok").agg(F.count("*").alias("df"))
+    n_docs = documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, ["lang", "tok"])
+        .join(F.broadcast(n_docs), "lang")
+        .select(
+            "lang",
+            "tok",
+            "tf",
+            "df",
+            round_det(
+                F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1), 4
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("lang", "tok", "tf", "df", "score", "rk")
+    )
+
+
 def curated_corpus(documents: DataFrame, pairs: DataFrame, min_tokens: int = 30) -> DataFrame:
     """The curation pipeline, end to end in one plan: substring-level
     dedup verdicts (pairs → components → canonical docs) intersected

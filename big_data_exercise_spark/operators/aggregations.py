@@ -306,3 +306,42 @@ def latest_type_per_user_agg(events: DataFrame) -> DataFrame:
         F.max_by("event_type", "event_id").alias("last_type"),
         F.min_by("event_type", "event_id").alias("first_type"),
     )
+
+
+def linear_regression_by_group(lineitem: DataFrame) -> DataFrame:
+    """OLS regression of extendedprice on quantity per returnflag:
+    slope / intercept / Pearson r / R² from the five classical sums.
+    This is the regr_slope/regr_r2/corr aggregate family (SQL:2003),
+    but built from EXACT decimal moments instead of the engines'
+    native double accumulators — corr() in Spark (co-moment updates)
+    and DuckDB (different update order) disagree in low bits, while
+    decimal Σx, Σy, Σx², Σy², Σxy are order-independent and the
+    closed-form finish is the same IEEE double ops in any engine.
+
+    Scale shape: identical to value_dispersion — one partial-combined
+    aggregation carrying five 128-bit decimal states per group; the
+    shuffle moves one row per (group × 5 sums) regardless of input
+    size. Welford/co-moment streaming is only needed when decimal
+    moments would overflow (|x·y| > ~1e21 here)."""
+    from big_data_exercise_spark.functions.numeric import DEC, round_det
+
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    n = F.count("*").cast("double")
+    sx = F.sum(x.cast(DEC)).cast("double")
+    sy = F.sum(y.cast(DEC)).cast("double")
+    sxx = F.sum((x * x).cast(DEC)).cast("double")
+    syy = F.sum((y * y).cast(DEC)).cast("double")
+    sxy = F.sum((x * y).cast(DEC)).cast("double")
+    cov_n = sxy - sx * sy / n          # n·cov
+    varx_n = sxx - sx * sx / n         # n·var(x)
+    vary_n = syy - sy * sy / n         # n·var(y)
+    slope = cov_n / varx_n
+    corr = cov_n / F.sqrt(varx_n * vary_n)
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        round_det(slope, 6).alias("slope"),
+        round_det((sy - slope * sx) / n, 4).alias("intercept"),
+        round_det(corr, 6).alias("pearson_r"),
+        round_det(corr * corr, 6).alias("r2"),
+    )

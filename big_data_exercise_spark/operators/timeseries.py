@@ -1,0 +1,89 @@
+"""Time-series resampling: bucket → gap-fill → interpolate.
+
+The hypertable-style rollup surface (continuous-aggregate analog):
+the reference's dashboards bucket event streams by wall-clock time
+(SURVEY.md §2.3 A3, consumer_postgres_streaming.py time_bucket
+usage); this module adds the part SQL engines usually leave to the
+application — materializing EMPTY buckets between observations and
+linearly interpolating through them, which training-data and
+monitoring pipelines both need (regular time grids for windowed
+features).
+
+Scale design:
+* The grid is generated per key with ``sequence(min_h, max_h)`` —
+  the explode multiplies rows but stays partition-local (no shuffle
+  beyond the per-key agg that computed the bounds).
+* Fill + interpolation are two frame-bounded window passes over
+  (key, hour) — partitioned by key, never a global sort.
+* The bucket aggregate uses exact decimal sums (functions.numeric)
+  so the interpolation arithmetic starts from engine-identical
+  doubles; the interpolation formula itself is plain IEEE ops both
+  engines evaluate bit-for-bit.
+* Grid density is bounded by the key's observed time span; a key
+  with a pathological span (one event in 1990, one in 2030) makes a
+  350k-row grid — at 100 TB, cap the span or bucket coarser
+  (the ``max_span_hours`` guard here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from big_data_exercise_spark.functions.numeric import DEC, round_det
+
+
+def resample_interpolate(
+    events: DataFrame, max_span_hours: int = 24 * 366
+) -> DataFrame:
+    """Per-user hourly resample of ``value``: average within observed
+    buckets, linear interpolation across missing interior buckets,
+    nearest-edge fill at the boundaries (unreachable here — grid
+    bounds are observed buckets — but kept for totality).
+
+    Returns (user_id, bucket, observed, filled_value).
+    """
+    h = F.floor(F.col("ts").cast("long") / 3600).cast("long")
+    hourly = (
+        events.select("user_id", h.alias("h"), "value")
+        .groupBy("user_id", "h")
+        .agg(
+            round_det(
+                F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value"), 4
+            ).alias("val")
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.filter(F.col("h1") - F.col("h0") < max_span_hours).select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    g = grid.join(hourly, ["user_id", "h"], "left")
+
+    w_prev = W.partitionBy("user_id").orderBy("h").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_next = W.partitionBy("user_id").orderBy("h").rowsBetween(
+        1, W.unboundedFollowing
+    )
+    obs_h = F.when(F.col("val").isNotNull(), F.col("h"))
+    prev_val = F.last("val", ignorenulls=True).over(w_prev)
+    prev_h = F.last(obs_h, ignorenulls=True).over(w_prev)
+    next_val = F.first("val", ignorenulls=True).over(w_next)
+    next_h = F.first(obs_h, ignorenulls=True).over(w_next)
+
+    interp = prev_val + (next_val - prev_val) * (
+        (F.col("h") - prev_h) / (next_h - prev_h)
+    )
+    filled = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(prev_val.isNotNull() & next_val.isNotNull(), round_det(interp, 4))
+        .when(prev_val.isNotNull(), prev_val)
+        .otherwise(next_val)
+    )
+    return g.select(
+        "user_id",
+        F.timestamp_seconds(F.col("h") * 3600).alias("bucket"),
+        F.col("val").isNotNull().alias("observed"),
+        filled.alias("filled_value"),
+    )

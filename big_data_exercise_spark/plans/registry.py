@@ -40,6 +40,7 @@ from big_data_exercise_spark.operators import (
     scalars,
     sets,
     skew,
+    timeseries,
     windows,
 )
 from big_data_exercise_spark.functions import arrays, grouped, pii, sentiment, text
@@ -2814,6 +2815,168 @@ def _specs() -> list[QuerySpec]:
         ("sampling", "mixture"),
         "deterministic source-mixture sampling (LCG-hash uniform vs "
         "per-source target weight); reproducible across engines/runs",
+    ))
+
+    _TOKS_CTE = f"toks AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents)"
+    s.append(QuerySpec(
+        "repetition_stats",
+        lambda sp, d: text.repetition_stats(_t(sp, d, "documents")),
+        f"""
+        WITH {_TOKS_CTE},
+        per_tok AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+          GROUP BY doc_id, tok),
+        tok_side AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(MAX(c) AS BIGINT) AS top_c,
+                 CAST(MAX(c * length(tok)) AS BIGINT) AS top_chars,
+                 CAST(SUM(c * length(tok)) AS BIGINT) AS tot_chars
+          FROM per_tok GROUP BY doc_id),
+        grams AS (
+          SELECT doc_id,
+                 [w[i+1] || ' ' || w[i+2]
+                  for i in range(0, greatest(CAST(len(w) AS BIGINT) - 1, 0))] AS bg,
+                 [w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  for i in range(0, greatest(CAST(len(w) AS BIGINT) - 2, 0))] AS tg
+          FROM toks),
+        gside AS (
+          SELECT doc_id,
+                 CASE WHEN len(bg) > 0 THEN
+                   {round_det_sql("(len(bg) - len(list_distinct(bg))) / len(bg)", 4)}
+                 ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+                 CASE WHEN len(tg) > 0 THEN
+                   {round_det_sql("(len(tg) - len(list_distinct(tg))) / len(tg)", 4)}
+                 ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac
+          FROM grams)
+        SELECT t.doc_id, n_tokens,
+               {round_det_sql("top_c / n_tokens", 4)} AS top_token_frac,
+               {round_det_sql("top_chars / tot_chars", 4)} AS top_char_frac,
+               dup_bigram_frac, dup_trigram_frac
+        FROM tok_side t JOIN gside g ON t.doc_id = g.doc_id
+        """,
+        ("text", "quality"),
+        "Gopher-style repetition filters: top-token count/char "
+        "fractions + duplicate bigram/trigram fractions per document",
+    ))
+    s.append(QuerySpec(
+        "idf_top_terms",
+        lambda sp, d: text.idf_top_terms(_t(sp, d, "documents")),
+        f"""
+        WITH {_TOKS_CTE},
+        tfq AS (
+          SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT lang, unnest(w) AS tok FROM toks)
+          GROUP BY lang, tok),
+        dfq AS (
+          SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS df
+          FROM (SELECT lang, unnest(list_distinct(w)) AS tok FROM toks)
+          GROUP BY lang, tok),
+        nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+        scored AS (
+          SELECT tfq.lang, tfq.tok, tfq.tf, dfq.df,
+                 {round_det_sql("tfq.tf * (nd.n_docs + 1) / (dfq.df + 1)", 4)}
+                   AS score
+          FROM tfq
+          JOIN dfq ON tfq.lang = dfq.lang AND tfq.tok = dfq.tok
+          JOIN nd ON tfq.lang = nd.lang)
+        SELECT lang, tok, tf, df, score, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY lang ORDER BY score DESC, tok ASC) AS rk
+              FROM scored)
+        WHERE rk <= 5
+        """,
+        ("text", "agg", "window"),
+        "per-language distinctive terms: corpus tf weighted by "
+        "rational-form idf (N+1)/(df+1), top-5 per language",
+    ))
+    s.append(QuerySpec(
+        "regression_by_flag",
+        lambda sp, d: agg.linear_regression_by_group(_t(sp, d, "lineitem")),
+        f"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n_l,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))
+                      AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                      AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8)))
+                      AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag),
+        d AS (
+          SELECT l_returnflag, n_l, n, sx, sy,
+                 (sxy - sx * sy / n) AS cov_n,
+                 (sxx - sx * sx / n) AS varx_n,
+                 (syy - sy * sy / n) AS vary_n
+          FROM m)
+        SELECT l_returnflag, n_l AS n,
+               {round_det_sql("cov_n / varx_n", 6)} AS slope,
+               {round_det_sql("(sy - (cov_n / varx_n) * sx) / n", 4)} AS intercept,
+               {round_det_sql("cov_n / sqrt(varx_n * vary_n)", 6)} AS pearson_r,
+               {round_det_sql(
+                   "(cov_n / sqrt(varx_n * vary_n)) * (cov_n / sqrt(varx_n * vary_n))",
+                   6)} AS r2
+        FROM d
+        """,
+        ("agg", "stats"),
+        "SQL:2003 regr_* family (slope/intercept/r/R²) from exact "
+        "decimal moments — engine-stable where native corr() is not",
+    ))
+    s.append(QuerySpec(
+        "resample_interpolate",
+        lambda sp, d: timeseries.resample_interpolate(_t(sp, d, "events")),
+        f"""
+        WITH hourly AS (
+          SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                 {round_det_sql(
+                     "CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)"
+                     " / COUNT(value)", 4)} AS val
+          FROM events GROUP BY user_id, h),
+        bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+                   FROM hourly GROUP BY user_id),
+        grid AS (
+          SELECT user_id,
+                 unnest([h0 + i for i in
+                         range(0, CAST(h1 - h0 + 1 AS BIGINT))]) AS h
+          FROM bounds WHERE h1 - h0 < 8784),
+        g AS (
+          SELECT grid.user_id, grid.h, hourly.val
+          FROM grid LEFT JOIN hourly
+            ON grid.user_id = hourly.user_id AND grid.h = hourly.h),
+        f AS (
+          SELECT user_id, h, val,
+                 last_value(val IGNORE NULLS) OVER wp AS prev_val,
+                 last_value(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS prev_h,
+                 first_value(val IGNORE NULLS) OVER wn AS next_val,
+                 first_value(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS next_h
+          FROM g
+          WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wn AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, make_timestamp(h * 3600000000) AS bucket,
+               val IS NOT NULL AS observed,
+               CASE WHEN val IS NOT NULL THEN val
+                    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                      {round_det_sql(
+                          "prev_val + (next_val - prev_val)"
+                          " * ((h - prev_h) / (next_h - prev_h))", 4)}
+                    WHEN prev_val IS NOT NULL THEN prev_val
+                    ELSE next_val END AS filled_value
+        FROM f
+        """,
+        ("window", "time", "timeseries"),
+        "hypertable-style resample: hourly buckets, gap-fill via "
+        "per-key sequence(), linear interpolation through missing "
+        "interior buckets (two frame-bounded window passes)",
     ))
 
     return s

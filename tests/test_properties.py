@@ -323,3 +323,81 @@ def test_stratified_sample_by_is_seeded_and_proportional(spark):
     for t, frac in fractions.items():
         share = got.get(t, 0) / totals[t]
         assert abs(share - frac) < 0.15
+
+
+def test_repetition_stats_known_degenerate_doc(spark):
+    from big_data_exercise_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam", "en", "s", 19),
+            (2, "all four words differ", "en", "s", 21),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # 4× the same token: top fraction 1.0, all 3 bigrams duplicate
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == round((3 - 1) / 3, 4)
+    assert rows[1]["dup_trigram_frac"] == 0.5
+    # all-distinct tokens: no repetition anywhere
+    assert rows[2]["top_token_frac"] == 0.25
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_stats_short_docs_no_error(spark):
+    from big_data_exercise_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "one", "en", "s", 3), (2, "two words", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["dup_bigram_frac"] == 0.0  # no bigrams at all
+    assert rows[2]["dup_trigram_frac"] == 0.0
+
+
+def test_regression_recovers_exact_line(spark):
+    from big_data_exercise_spark.operators.aggregations import (
+        linear_regression_by_group,
+    )
+
+    # y = 2x + 1 exactly -> slope 2, intercept 1, r = r2 = 1
+    li = spark.createDataFrame(
+        [("A", float(x), 2.0 * x + 1.0) for x in range(1, 20)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    row = linear_regression_by_group(li).collect()[0]
+    assert row["slope"] == 2.0
+    assert row["intercept"] == 1.0
+    assert row["pearson_r"] == 1.0
+    assert row["r2"] == 1.0
+
+
+def test_resample_interpolates_gap_linearly(spark):
+    from datetime import datetime
+
+    from big_data_exercise_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    # observations at hour 0 (val 10) and hour 3 (val 40); hours 1-2
+    # are gaps -> linear fill 20, 30
+    events = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), 7, "click", 10.0, "{}"),
+            (2, datetime(2024, 1, 1, 3, 30), 7, "click", 40.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["bucket"].hour: r
+        for r in resample_interpolate(events).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["observed"] and out[0]["filled_value"] == 10.0
+    assert out[3]["observed"] and out[3]["filled_value"] == 40.0
+    assert not out[1]["observed"] and out[1]["filled_value"] == 20.0
+    assert not out[2]["observed"] and out[2]["filled_value"] == 30.0
