@@ -67,3 +67,44 @@ def embedding_predicates(embeddings: DataFrame) -> DataFrame:
         F.forall(emb, lambda x: F.abs(x) < 1.0).alias("all_unit_bounded"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization of each vector — the memory
+    path that makes 100 TB ANN tractable (float32 → int8 is 4× less
+    index RAM/IO; IVF probes then rescore the int8 survivors against
+    full-precision vectors). Per vector: scale = amax/127,
+    code_i = clamp(round(x_i/scale), ±127); emitted as the scale, an
+    md5 witness of the code array, and the reconstruction MSE.
+
+    All arithmetic is per-row Column algebra (zero shuffle), and every
+    step is engine-exact: float→double casts, max (exact), one
+    deterministic half-away-from-zero round (functions.numeric), and
+    an in-order fold for the MSE — so the oracle reproduces the codes
+    bit-for-bit."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    e = F.col("embedding")
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    codes = F.transform(
+        e,
+        lambda x: F.least(
+            F.greatest(round_det(x.cast("double") / scale, 0), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("long"),
+    )
+    err = F.zip_with(
+        e,
+        codes,
+        lambda x, q: (x.cast("double") - q * scale)
+        * (x.cast("double") - q * scale),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(e)
+    return embeddings.select(
+        "vec_id",
+        "label",
+        round_det(scale, 6).alias("q_scale"),
+        F.md5(F.array_join(codes.cast("array<string>"), ",")).alias("codes_fp"),
+        round_det(mse, 8).alias("recon_mse"),
+    )

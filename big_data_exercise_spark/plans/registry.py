@@ -2978,6 +2978,40 @@ def _specs() -> list[QuerySpec]:
         "per-key sequence(), linear interpolation through missing "
         "interior buckets (two frame-bounded window passes)",
     ))
+    s.append(QuerySpec(
+        "embedding_quantization",
+        lambda sp, d: arrays.quantize_embeddings(_t(sp, d, "embeddings")),
+        f"""
+        WITH sc AS (
+          SELECT vec_id, label, embedding,
+                 CASE WHEN amax = 0 THEN CAST(1.0 AS DOUBLE)
+                      ELSE amax / CAST(127.0 AS DOUBLE) END AS scale
+          FROM (SELECT vec_id, label, embedding,
+                       list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS amax
+                FROM embeddings)),
+        cd AS (
+          SELECT vec_id, label, embedding, scale,
+                 list_transform(embedding, x -> CAST(least(greatest(
+                   {round_det_sql("CAST(x AS DOUBLE) / scale", 0)},
+                   CAST(-127.0 AS DOUBLE)), CAST(127.0 AS DOUBLE))
+                   AS BIGINT)) AS codes
+          FROM sc)
+        SELECT vec_id, label,
+               {round_det_sql("scale", 6)} AS q_scale,
+               md5(array_to_string(list_transform(codes,
+                 c -> CAST(c AS VARCHAR)), ',')) AS codes_fp,
+               {round_det_sql(
+                   "list_sum(list_transform(list_zip(embedding, codes),"
+                   " p -> (CAST(p[1] AS DOUBLE) - p[2] * scale)"
+                   " * (CAST(p[1] AS DOUBLE) - p[2] * scale)))"
+                   " / len(embedding)", 8)} AS recon_mse
+        FROM cd
+        """,
+        ("similarity", "embedding", "quantization"),
+        "symmetric int8 scalar quantization per vector (4× ANN memory "
+        "reduction path): scale, md5 code witness, reconstruction MSE",
+    ))
 
     return s
 

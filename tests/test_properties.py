@@ -401,3 +401,21 @@ def test_resample_interpolates_gap_linearly(spark):
     assert out[3]["observed"] and out[3]["filled_value"] == 40.0
     assert not out[1]["observed"] and out[1]["filled_value"] == 20.0
     assert not out[2]["observed"] and out[2]["filled_value"] == 30.0
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    from big_data_exercise_spark.functions.arrays import quantize_embeddings
+
+    vecs = [
+        (1, [0.5, -0.25, 0.125, 1.0], 0),
+        (2, [100.0, -50.0, 25.0, 0.0], 1),
+        (3, [0.0, 0.0, 0.0, 0.0], 2),  # zero vector: scale guard
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    for r in quantize_embeddings(df).collect():
+        # per-element |error| <= scale/2 -> mse <= (scale/2)^2
+        assert r["recon_mse"] <= (r["q_scale"] / 2) ** 2 + 1e-12
+        if r["vec_id"] == 3:
+            assert r["q_scale"] == 1.0 and r["recon_mse"] == 0.0
