@@ -42,33 +42,47 @@ def connected_components(
     (singletons included); ``edges`` columns ``src``/``dst``. The
     cluster id is the minimum node id in the component — stable under
     re-runs and re-partitioning.
+
+    Frontier (delta) propagation: after the first round, only nodes
+    whose label just DECREASED send messages — the classic Pregel
+    "vote to halt" refinement. On near-dup graphs (quasi-cliques)
+    almost every label settles in round 1, so rounds 2+ touch a
+    vanishing frontier instead of re-shuffling the full edge list;
+    the per-round cost is O(edges incident to the frontier), not
+    O(all edges). Convergence = empty frontier.
     """
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().persist()
 
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    prev_sum = None
+    state = nodes.select(
+        "node", F.col("node").alias("label"), F.lit(True).alias("chg")
+    ).localCheckpoint()
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+        frontier = state.filter("chg").select(
+            F.col("node").alias("src"), F.col("label").alias("msg")
         )
-        labels = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+        msgs = (
+            sym.join(frontier, "src")
+            .groupBy("dst")
+            .agg(F.min("msg").alias("nbr_label"))
+        )
+        cur = state.select("node", "label")
+        state = (
+            cur.join(msgs, cur.node == msgs.dst, "left")
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                cur.node.alias("node"),
+                F.least(cur.label, F.coalesce(msgs.nbr_label, cur.label)).alias(
+                    "label"
+                ),
+                (F.coalesce(msgs.nbr_label, cur.label) < cur.label).alias("chg"),
             )
             .localCheckpoint()  # cut lineage: plan size stays O(1) per round
         )
-        # labels only ever decrease → an unchanged sum means fixpoint.
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # empty frontier == fixpoint; probe the checkpointed state.
+        if state.filter("chg").limit(1).count() == 0:
             break
-        prev_sum = cur_sum
     sym.unpersist()
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    return state.select("node", F.col("label").alias("cluster_id"))
 
 
 def dedup_cluster_assignment(documents: DataFrame, pairs: DataFrame) -> DataFrame:
