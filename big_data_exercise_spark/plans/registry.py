@@ -3012,6 +3012,49 @@ def _specs() -> list[QuerySpec]:
         "symmetric int8 scalar quantization per vector (4× ANN memory "
         "reduction path): scale, md5 code witness, reconstruction MSE",
     ))
+    s.append(QuerySpec(
+        "hll_reach_report",
+        lambda sp, d: agg.hll_reach_report(_t(sp, d, "events")),
+        """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n,
+               TRUE AS mergeable,
+               TRUE AS ok_5pct
+        FROM events GROUP BY event_type
+        """,
+        ("agg", "sketch", "approx"),
+        "DataSketches HLL reach: per-day sketches union-merged == "
+        "direct sketch (mergeability witness) and within 5% of exact "
+        "COUNT DISTINCT (accuracy witness); exact_n hash-checked",
+    ))
+
+    # Correlated LATERAL subquery — shared ANSI text, run verbatim by
+    # BOTH engines (like supplier_revenue_sql). Spark decorrelates the
+    # per-row LIMIT subquery into a ranked window; DuckDB executes it
+    # as a dependent join — same rows either way.
+    _LATERAL_SQL = """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 100
+        """
+
+    def _sql_api_lateral(sp: SparkSession, d: str) -> DataFrame:
+        from big_data_exercise_spark.tables import register_views
+        tune_session(sp)
+        register_views(sp, d, ("customer", "orders"))
+        return sp.sql(_LATERAL_SQL)
+
+    s.append(QuerySpec(
+        "lateral_top_orders",
+        _sql_api_lateral,
+        _LATERAL_SQL,
+        ("join", "sql-api", "lateral"),
+        "LATERAL correlated top-2 subquery per customer — identical "
+        "ANSI text in both engines (SQL:1999 lateral derived table)",
+    ))
 
     return s
 
