@@ -335,3 +335,92 @@ def curated_corpus(documents: DataFrame, pairs: DataFrame, min_tokens: int = 30)
             .alias("curated_tokens"),
         )
     )
+
+
+def governed_corpus(
+    documents: DataFrame,
+    pairs: DataFrame,
+    min_tokens: int = 30,
+    max_top_frac: float = 0.16,
+    max_dup_bigram: float = 0.08,
+    quarantine_rate: float = 0.5,
+) -> DataFrame:
+    """The full governance gauntlet — every gate a production
+    training-data pipeline applies between raw corpus and trainer,
+    composed into ONE lazy plan with first-failing-gate attribution:
+
+    1. **dedup** — substring-level near-dup closure; only the
+       canonical doc of each cluster survives (dedup/cluster.py);
+    2. **quality** — token-count floor plus Gopher-style repetition
+       ceilings (repetition_stats);
+    3. **benchmark** — held-out eval docs are never trained on;
+    4. **contamination** — docs sharing ≥ ``quarantine_rate`` of
+       their word-4-grams with the benchmark are quarantined
+       (dedup/contamination.py).
+
+    Returns per-language counts for each drop bucket plus the final
+    doc/token yield — the sign-off table for "which bytes reach the
+    trainer". Every input is itself an oracle-checked operator, so
+    the composition stays engine-replayable end to end."""
+    from big_data_exercise_spark.dedup.cluster import dedup_cluster_assignment
+    from big_data_exercise_spark.dedup.contamination import contamination_report
+
+    verdicts = dedup_cluster_assignment(documents, pairs).select("doc_id", "keep")
+    rep = repetition_stats(documents).select(
+        "doc_id", "n_tokens", "top_token_frac", "dup_bigram_frac"
+    )
+    quar = (
+        contamination_report(documents)
+        .filter(F.col("contamination_rate") >= quarantine_rate)
+        .select("doc_id", F.lit(True).alias("quarantined"))
+    )
+    base = documents.select(
+        "doc_id", "lang", (F.col("doc_id") % 97 == 0).alias("is_benchmark")
+    )
+    j = (
+        base.join(verdicts, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(quar, "doc_id", "left")
+        .select(
+            "lang",
+            "keep",
+            "is_benchmark",
+            "quarantined",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tok"),
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_frac"),
+            F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dupbg"),
+        )
+    )
+    quality_ok = (
+        (F.col("n_tok") >= min_tokens)
+        & (F.col("top_frac") <= max_top_frac)
+        & (F.col("dupbg") <= max_dup_bigram)
+    )
+    bucket = (
+        F.when(~F.col("keep"), "dup")
+        .when(~quality_ok, "quality")
+        .when(F.col("is_benchmark"), "benchmark")
+        .when(F.col("quarantined"), "contaminated")
+        .otherwise("final")
+    )
+    b = j.select("lang", "n_tok", bucket.alias("bucket"))
+    is_final = F.col("bucket") == "final"
+    return b.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(is_final, 1).otherwise(0)).cast("long").alias("n_final"),
+        F.sum(F.when(is_final, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("final_tokens"),
+        F.sum(F.when(F.col("bucket") == "dup", 1).otherwise(0))
+        .cast("long")
+        .alias("drop_dup"),
+        F.sum(F.when(F.col("bucket") == "quality", 1).otherwise(0))
+        .cast("long")
+        .alias("drop_quality"),
+        F.sum(F.when(F.col("bucket") == "benchmark", 1).otherwise(0))
+        .cast("long")
+        .alias("drop_benchmark"),
+        F.sum(F.when(F.col("bucket") == "contaminated", 1).otherwise(0))
+        .cast("long")
+        .alias("drop_contaminated"),
+    )

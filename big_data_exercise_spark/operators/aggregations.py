@@ -384,3 +384,55 @@ def hll_reach_report(events: DataFrame) -> DataFrame:
             <= F.lit(0.05)
         ).alias("ok_5pct"),
     )
+
+
+def null_semantics_suite(events: DataFrame) -> DataFrame:
+    """The NULL-handling contract in one query, exercised on a derived
+    nullable key and value: (a) GROUP BY collects NULL keys into one
+    group; (b) count(col) skips NULLs while count(*) doesn't; (c) SUM
+    ignores NULLs; (d) ``eqNullSafe`` (IS NOT DISTINCT FROM) treats
+    NULL = NULL as true; (e) ASC NULLS FIRST window ordering — the
+    rank-1 event per group is a NULL-value row whenever one exists.
+    These are exactly the semantics that silently diverge between
+    engines, so they get an explicit oracle.
+    """
+    from pyspark.sql import Window as W
+
+    from big_data_exercise_spark.functions.numeric import DEC, round_det
+
+    nk = F.when(F.col("event_type") != "error", F.col("event_type"))
+    v = F.when(F.col("value") >= 50, F.col("value"))
+    base = events.select(
+        "event_id", nk.alias("nk"), v.alias("v")
+    )
+    w = W.partitionBy("nk").orderBy(
+        F.col("v").asc_nulls_first(), F.col("event_id")
+    )
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("nk").agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").cast("long").alias("n_v"),
+        round_det(F.sum(F.col("v").cast(DEC)).cast("double"), 2).alias("sum_v"),
+        F.sum(
+            F.when(F.col("nk").eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0)
+        ).cast("long").alias("n_nullsafe_eq"),
+        F.min(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+            "first_event_nulls_first"
+        ),
+    )
+
+
+def value_percentiles_disc(events: DataFrame) -> DataFrame:
+    """Discrete percentiles (percentile_disc): returns ACTUAL data
+    values, never interpolated — the variant for quantiles over
+    non-interpolable domains (ids, timestamps) and the one that's
+    float-drift-free across engines (no arithmetic, just selection).
+    Same 100 TB note as value_percentiles: exact quantile = per-group
+    sort; switch to approx_percentile when the sort is the bottleneck.
+    """
+    return events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),
+        F.min("value").alias("p0_disc"),
+        F.max("value").alias("p100_disc"),
+    )

@@ -276,3 +276,19 @@ def date_math_suite(orders: DataFrame, max_orderkey: int = 2000) -> DataFrame:
         F.date_sub(d, 7).cast("timestamp").alias("week_before"),
         F.date_trunc("quarter", d).alias("quarter_start"),
     )
+
+
+def json_path_extract(events: DataFrame) -> DataFrame:
+    """Path-based JSON access WITHOUT a declared schema —
+    ``get_json_object`` ($.path traversal) and ``json_tuple`` (field
+    fan-out), the ad-hoc complement to the from_json+StructType door
+    (json_props_stats). Missing paths yield NULL, not errors. At
+    scale prefer from_json: path extraction re-parses the string per
+    call, a schema parses once into a struct Catalyst can prune."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_path"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple"),
+        F.get_json_object("props", "$.missing").alias("missing_path"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_long"),
+    )

@@ -3055,6 +3055,152 @@ def _specs() -> list[QuerySpec]:
         "LATERAL correlated top-2 subquery per customer — identical "
         "ANSI text in both engines (SQL:1999 lateral derived table)",
     ))
+    s.append(QuerySpec(
+        "null_semantics_suite",
+        lambda sp, d: agg.null_semantics_suite(_t(sp, d, "events")),
+        f"""
+        WITH base AS (
+          SELECT event_id,
+                 CASE WHEN event_type <> 'error' THEN event_type END AS nk,
+                 CASE WHEN value >= 50 THEN value END AS v
+          FROM events),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER
+            (PARTITION BY nk ORDER BY v ASC NULLS FIRST, event_id)
+            AS INTEGER) AS rn
+          FROM base)
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(v) AS BIGINT) AS n_v,
+               {round_det_sql(
+                   "CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE)", 2)} AS sum_v,
+               CAST(SUM(CASE WHEN nk IS NOT DISTINCT FROM NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+               MIN(CASE WHEN rn = 1 THEN event_id END)
+                 AS first_event_nulls_first
+        FROM ranked GROUP BY nk
+        """,
+        ("agg", "null-semantics", "window"),
+        "NULL contract: NULL-key grouping, count(col) vs count(*), "
+        "NULL-skipping SUM, IS NOT DISTINCT FROM, ASC NULLS FIRST",
+    ))
+    s.append(QuerySpec(
+        "value_percentiles_disc",
+        lambda sp, d: agg.value_percentiles_disc(_t(sp, d, "events")),
+        """
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50_disc,
+               quantile_disc(value, 0.9) AS p90_disc,
+               MIN(value) AS p0_disc,
+               MAX(value) AS p100_disc
+        FROM events GROUP BY event_type
+        """,
+        ("agg", "percentile"),
+        "percentile_disc WITHIN GROUP: actual-value quantiles, "
+        "float-drift-free by construction (selection, no arithmetic)",
+    ))
+    s.append(QuerySpec(
+        "json_path_extract",
+        lambda sp, d: scalars.json_path_extract(_t(sp, d, "events")),
+        """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_path,
+               json_extract_string(props, '$.k') AS k_tuple,
+               json_extract_string(props, '$.missing') AS missing_path,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
+        FROM events
+        """,
+        ("scalar", "json"),
+        "schema-less JSON access: get_json_object path traversal + "
+        "json_tuple fan-out; missing path -> NULL",
+    ))
+    s.append(QuerySpec(
+        "governed_corpus",
+        lambda sp, d: text.governed_corpus(
+            _t(sp, d, "documents"),
+            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+        ),
+        f"""
+        WITH RECURSIVE {_WINNOW_CTES},
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+        verdicts AS (
+          SELECT node AS doc_id, (node = MIN(reach)) AS keep
+          FROM walk GROUP BY node),
+        rtoks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        rpt AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(w) AS tok FROM rtoks)
+          GROUP BY doc_id, tok),
+        rts AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(MAX(c) AS BIGINT) AS top_c
+          FROM rpt GROUP BY doc_id),
+        rbg AS (
+          SELECT doc_id,
+                 [w[i+1] || ' ' || w[i+2]
+                  for i in range(0, greatest(CAST(len(w) AS BIGINT) - 1, 0))]
+                   AS bg
+          FROM rtoks),
+        rrep AS (
+          SELECT r.doc_id, n_tokens,
+                 {round_det_sql("top_c / n_tokens", 4)} AS top_frac,
+                 CASE WHEN len(bg) > 0 THEN
+                   {round_det_sql("(len(bg) - len(list_distinct(bg))) / len(bg)", 4)}
+                 ELSE CAST(0.0 AS DOUBLE) END AS dupbg
+          FROM rts r JOIN rbg USING (doc_id)),
+        {_GRAM_CTES},
+        quarq AS (
+          SELECT p.doc_id
+          FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+          WHERE n_contaminated >= 1
+            AND {round_det_sql("n_contaminated / n_grams", 4)} >= 0.5),
+        gj AS (
+          SELECT d.lang, v.keep, (d.doc_id % 97 = 0) AS is_bench,
+                 (q.doc_id IS NOT NULL) AS quarantined,
+                 COALESCE(r.n_tokens, 0) AS n_tok,
+                 COALESCE(r.top_frac, CAST(0.0 AS DOUBLE)) AS top_frac,
+                 COALESCE(r.dupbg, CAST(0.0 AS DOUBLE)) AS dupbg
+          FROM documents d
+          JOIN verdicts v ON d.doc_id = v.doc_id
+          LEFT JOIN rrep r ON d.doc_id = r.doc_id
+          LEFT JOIN quarq q ON d.doc_id = q.doc_id),
+        gbucket AS (
+          SELECT lang, n_tok,
+                 CASE WHEN NOT keep THEN 'dup'
+                      WHEN NOT (n_tok >= 30 AND top_frac <= 0.16
+                                AND dupbg <= 0.08) THEN 'quality'
+                      WHEN is_bench THEN 'benchmark'
+                      WHEN quarantined THEN 'contaminated'
+                      ELSE 'final' END AS bucket
+          FROM gj)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN bucket = 'final' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_final,
+               CAST(SUM(CASE WHEN bucket = 'final' THEN n_tok ELSE 0 END)
+                    AS BIGINT) AS final_tokens,
+               CAST(SUM(CASE WHEN bucket = 'dup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_dup,
+               CAST(SUM(CASE WHEN bucket = 'quality' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_quality,
+               CAST(SUM(CASE WHEN bucket = 'benchmark' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_benchmark,
+               CAST(SUM(CASE WHEN bucket = 'contaminated' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_contaminated
+        FROM gbucket GROUP BY lang
+        """,
+        ("text", "dedup", "governance", "flagship"),
+        "the governance gauntlet: dedup closure -> quality gates -> "
+        "benchmark holdout -> contamination quarantine, with "
+        "first-failing-gate drop attribution per language",
+    ))
 
     return s
 
