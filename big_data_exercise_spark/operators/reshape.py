@@ -39,7 +39,14 @@ def explode_words(documents: DataFrame, k: int = 20) -> DataFrame:
 
 def pivot_event_counts(events: DataFrame, types: list[str]) -> DataFrame:
     """Long→wide pivot with explicit value list (D2). One shuffle on
-    user_id; the pivot itself is a projection over the grouped map."""
+    user_id; the pivot itself is a projection over the grouped map.
+
+    The explicit list is load-bearing at scale: ``pivot(col)`` without
+    values makes Spark run a DISTINCT job over the pivot column first
+    (an extra scan + a driver-side collect, capped at
+    spark.sql.pivotMaxValues=10k). Schemas should not depend on data
+    — for dynamic domains, compute the distinct list ONCE, review it,
+    and pass it here."""
     wide = events.groupBy("user_id").pivot("event_type", types).count()
     cols = [F.col("user_id")] + [
         F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types
