@@ -55,7 +55,7 @@ from big_data_exercise_spark.dedup import (
     cluster, contamination, minhash, ngram, simhash, winnow,
 )
 from big_data_exercise_spark.similarity import knn, lsh
-from big_data_exercise_spark.multimodal import codecs, detections
+from big_data_exercise_spark.multimodal import audio, codecs, detections
 from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, pydatasource
 from big_data_exercise_spark.streaming import pipelines as streams
 
@@ -3200,6 +3200,31 @@ def _specs() -> list[QuerySpec]:
         "the governance gauntlet: dedup closure -> quality gates -> "
         "benchmark holdout -> contamination quarantine, with "
         "first-failing-gate drop attribution per language",
+    ))
+    s.append(QuerySpec(
+        "audio_segment_energy",
+        lambda sp, d: audio.audio_segment_energy(_t(sp, d, "events")),
+        """
+        WITH base AS (
+          SELECT event_id,
+                 CAST(256 + (event_id % 7) * 64 AS BIGINT) AS n
+          FROM events WHERE event_id < 200),
+        segs AS (
+          SELECT event_id, n,
+                 unnest([i for i in range(0, CAST(n // 64 AS BIGINT))]) AS seg
+          FROM base)
+        SELECT event_id, CAST(seg AS INTEGER) AS seg,
+               CAST(n // 64 AS INTEGER) AS n_windows,
+               CAST(list_sum(list_transform(
+                 [((event_id * 2654435761 + (seg * 64 + k) * 40503) % 65536)
+                  - 32768 for k in range(0, 64)],
+                 x -> x * x)) AS BIGINT) AS energy
+        FROM segs
+        """,
+        ("multimodal", "audio", "udf"),
+        "binary audio clips -> mapInPandas framing -> int64 windowed "
+        "mean-square energy; oracle recomputes via the closed-form "
+        "sample function (the audio twin of frame_metadata)",
     ))
 
     return s

@@ -419,3 +419,39 @@ def test_quantization_error_bounded_by_half_step(spark):
         assert r["recon_mse"] <= (r["q_scale"] / 2) ** 2 + 1e-12
         if r["vec_id"] == 3:
             assert r["q_scale"] == 1.0 and r["recon_mse"] == 0.0
+
+
+def test_audio_energy_matches_numpy_reference(spark):
+    import numpy as np
+
+    from big_data_exercise_spark.multimodal import audio
+
+    events = spark.createDataFrame(
+        [(i, None, i % 3, "click", 1.0, "{}") for i in (0, 5, 13)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = audio.audio_segment_energy(events).collect()
+    # every clip yields n_samples // WIN full windows
+    by_eid = {}
+    for r in rows:
+        by_eid.setdefault(r["event_id"], []).append(r)
+    for eid, segs in by_eid.items():
+        n = audio._n_samples(eid)
+        assert len(segs) == n // audio.WIN
+        # independent numpy recomputation of window 0
+        s = audio._samples(eid, audio.WIN)
+        want = int((s * s).sum())
+        got = next(r["energy"] for r in segs if r["seg"] == 0)
+        assert got == want
+
+
+def test_audio_decoder_skips_foreign_blobs(spark):
+    from big_data_exercise_spark.multimodal import audio
+
+    clips = spark.createDataFrame(
+        [(1, b"not-audio-at-all"), (2, audio.encode_fake_clip(2, 128))],
+        "event_id long, clip binary",
+    )
+    rows = audio.segment_energy(clips).collect()
+    assert {r["event_id"] for r in rows} == {2}
