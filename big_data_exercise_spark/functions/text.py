@@ -424,3 +424,42 @@ def governed_corpus(
         .cast("long")
         .alias("drop_contaminated"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk: int = 100, stride: int = 80
+) -> DataFrame:
+    """Sliding token-window chunking — the context-window prep op for
+    RAG indexing and long-doc training: windows of ``chunk`` tokens
+    every ``stride`` tokens (overlap = chunk − stride keeps clause
+    boundaries covered). Emits (doc_id, chunk_idx, chunk_tokens,
+    chunk_fp) with an md5 witness instead of the text itself so the
+    exploded output stays narrow.
+
+    Scale shape: chunk starts come from per-row ``sequence()`` —
+    explode multiplies rows ~n_tokens/stride per doc but stays
+    partition-local (zero shuffle); all slicing is codegen'd array
+    algebra. The chunker every 100 TB corpus pass can afford."""
+    base = (
+        documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    ch = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+        ).alias("st"),
+    )
+    return ch.select(
+        "doc_id",
+        F.floor(F.col("st") / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk), F.col("n") - F.col("st"))
+        .cast("int")
+        .alias("chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("st") + 1, chunk), " ")
+        ).alias("chunk_fp"),
+    )

@@ -3226,6 +3226,25 @@ def _specs() -> list[QuerySpec]:
         "mean-square energy; oracle recomputes via the closed-form "
         "sample function (the audio twin of frame_metadata)",
     ))
+    s.append(QuerySpec(
+        "document_chunks",
+        lambda sp, d: text.chunk_documents(_t(sp, d, "documents")),
+        f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+              FROM t WHERE len(w) > 0),
+        ch AS (SELECT doc_id, w, n,
+                      unnest([st for st in range(0, n, 80)]) AS st
+               FROM b)
+        SELECT doc_id, CAST(st // 80 AS INTEGER) AS chunk_idx,
+               CAST(least(100, n - st) AS INTEGER) AS chunk_tokens,
+               md5(array_to_string(w[st + 1 : st + 100], ' ')) AS chunk_fp
+        FROM ch
+        """,
+        ("text", "chunking", "reshape"),
+        "sliding token-window chunking (100-token windows, stride 80) "
+        "for RAG/long-doc prep; md5 chunk witness, zero-shuffle explode",
+    ))
 
     return s
 

@@ -455,3 +455,22 @@ def test_audio_decoder_skips_foreign_blobs(spark):
     )
     rows = audio.segment_energy(clips).collect()
     assert {r["event_id"] for r in rows} == {2}
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    from big_data_exercise_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(250))
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk=100, stride=80).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 0, 80, 160, 240 -> 4 chunks; sizes 100,100,90,10
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["chunk_tokens"] for r in rows] == [100, 100, 90, 10]
+    # consecutive chunks overlap by chunk - stride = 20 tokens
+    assert rows[0]["chunk_fp"] != rows[1]["chunk_fp"]
