@@ -43,18 +43,66 @@ def connected_components(
     cluster id is the minimum node id in the component — stable under
     re-runs and re-partitioning.
 
-    Frontier (delta) propagation: after the first round, only nodes
-    whose label just DECREASED send messages — the classic Pregel
-    "vote to halt" refinement. On near-dup graphs (quasi-cliques)
-    almost every label settles in round 1, so rounds 2+ touch a
-    vanishing frontier instead of re-shuffling the full edge list;
-    the per-round cost is O(edges incident to the frontier), not
-    O(all edges). Convergence = empty frontier.
-    """
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.distinct().persist()
+    Two phases:
 
-    state = nodes.select(
+    1. **Star contraction** (one pass over the edge list): every node
+       adopts ``l(u) = min(u, min-neighbor(u))`` — l(u) is u itself or
+       a direct neighbor, so it stays inside u's component — and every
+       edge is rewritten to ``(l(u), l(v))``. On near-dup graphs
+       (quasi-cliques) this collapses each dense cluster to ~1
+       representative, shrinking a multi-million-edge input to a few
+       hundred contracted edges BEFORE any iteration.
+    2. **Frontier (delta) propagation** on the contracted graph: only
+       nodes whose label just DECREASED send messages — the classic
+       Pregel "vote to halt" refinement; per-round cost is O(edges
+       incident to the frontier). Convergence = empty frontier. The
+       final label is pulled back through the contraction map.
+
+    The pair list — the dominant intermediate at 100 TB — is
+    materialized exactly ONCE (localCheckpoint; on a real cluster,
+    DISK_ONLY persist or a checkpoint dir). Naively symmetrizing it
+    with ``edges.union(edges.flip)`` would re-execute the whole pair
+    *generation* subtree once per union branch (persist caches the
+    union's output, not its inputs — measured as the dominant cost of
+    this operator before the checkpoint). After the checkpoint, the
+    full list is scanned three times (two min-aggregations + the
+    contraction rewrite) and never shuffled at 2× size.
+    """
+    # --- phase 1: star contraction --------------------------------
+    e = edges.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    m1 = e.groupBy("src").agg(F.min("dst").alias("mn")).withColumnRenamed("src", "node")
+    m2 = e.groupBy("dst").agg(F.min("src").alias("mn")).withColumnRenamed("dst", "node")
+    minn = m1.union(m2).groupBy("node").agg(F.min("mn").alias("mn"))
+    lab = (
+        nodes.join(minn, "node", "left")
+        .select(
+            "node",
+            F.least(F.col("node"), F.coalesce("mn", F.col("node"))).alias("rep"),
+        )
+        .localCheckpoint()  # cut lineage: the pull-back below must not
+        # re-trigger pair generation
+    )
+    lsrc = lab.select(F.col("node").alias("src"), F.col("rep").alias("rsrc"))
+    ldst = lab.select(F.col("node").alias("dst"), F.col("rep").alias("rdst"))
+    ce_dir = (
+        e.join(F.broadcast(lsrc), "src")
+        .join(F.broadcast(ldst), "dst")
+        .filter(F.col("rsrc") != F.col("rdst"))
+        .select(F.col("rsrc").alias("src"), F.col("rdst").alias("dst"))
+        .distinct()
+        .localCheckpoint()  # tiny; avoids re-running the rewrite per union branch
+    )
+    ce = (
+        ce_dir.union(
+            ce_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # tiny post-contraction; safe to scan per round
+    )
+    cnodes = lab.select(F.col("rep").alias("node")).distinct()
+
+    # --- phase 2: frontier propagation on the contracted graph ----
+    state = cnodes.select(
         "node", F.col("node").alias("label"), F.lit(True).alias("chg")
     ).localCheckpoint()
     for _ in range(max_iter):
@@ -62,7 +110,7 @@ def connected_components(
             F.col("node").alias("src"), F.col("label").alias("msg")
         )
         msgs = (
-            sym.join(frontier, "src")
+            ce.join(frontier, "src")
             .groupBy("dst")
             .agg(F.min("msg").alias("nbr_label"))
         )
@@ -81,8 +129,8 @@ def connected_components(
         # empty frontier == fixpoint; probe the checkpointed state.
         if state.filter("chg").limit(1).count() == 0:
             break
-    sym.unpersist()
-    return state.select("node", F.col("label").alias("cluster_id"))
+    comp = state.select(F.col("node").alias("rep"), F.col("label").alias("cluster_id"))
+    return lab.join(F.broadcast(comp), "rep").select("node", "cluster_id")
 
 
 def dedup_cluster_assignment(documents: DataFrame, pairs: DataFrame) -> DataFrame:
