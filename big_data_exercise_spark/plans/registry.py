@@ -54,7 +54,7 @@ from big_data_exercise_spark.dedup import exact as dedup_exact_mod
 from big_data_exercise_spark.dedup import (
     cluster, contamination, minhash, ngram, simhash, winnow,
 )
-from big_data_exercise_spark.similarity import knn, lsh
+from big_data_exercise_spark.similarity import kmeans, knn, lsh
 from big_data_exercise_spark.multimodal import audio, codecs, detections
 from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, pydatasource
 from big_data_exercise_spark.streaming import pipelines as streams
@@ -1855,6 +1855,15 @@ def _specs() -> list[QuerySpec]:
         ("similarity", "lsh", "dedup"),
         "random-hyperplane LSH near-dup — label-free scale path; "
         "deterministic hyperplanes replayed literally in the oracle",
+    ))
+    s.append(QuerySpec(
+        "kmeans_clusters",
+        lambda sp, d: kmeans.kmeans_assignments(_t(sp, d, "embeddings")),
+        kmeans.kmeans_sql(),
+        ("similarity", "iterative", "clustering"),
+        "Lloyd's k-means (2 updates + final assign) in fixed-point integer "
+        "space — the iterative centroid loop behind IVF index builds; the "
+        "oracle replays it with unrolled CTEs",
     ))
     s.append(QuerySpec(
         "embedding_stats",

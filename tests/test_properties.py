@@ -474,3 +474,31 @@ def test_chunking_covers_every_token_with_overlap(spark):
     assert [r["chunk_tokens"] for r in rows] == [100, 100, 90, 10]
     # consecutive chunks overlap by chunk - stride = 20 tokens
     assert rows[0]["chunk_fp"] != rows[1]["chunk_fp"]
+
+
+def test_kmeans_partitions_all_vectors_and_improves(spark):
+    from big_data_exercise_spark.similarity.kmeans import (
+        _assign,
+        kmeans_assignments,
+        quantized_long,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    out = kmeans_assignments(emb, k=8, iters=2)
+    rows = out.collect()
+    # exactly one assignment per vector, clusters within [0, k)
+    assert len(rows) == n
+    assert {r["vec_id"] for r in rows} == {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    }
+    assert all(0 <= r["cluster"] < 8 for r in rows)
+    # Lloyd guarantee (exact in integer space up to floor-div rounding):
+    # refined centroids fit at least as well as the seed centroids
+    long_df = quantized_long(emb).localCheckpoint()
+    seeds = long_df.filter(F.col("vid") < 8).select(
+        F.col("vid").cast("int").alias("cid"), "dim", F.col("q").alias("qc")
+    )
+    seed_cost = _assign(long_df, seeds).agg(F.sum("dist")).collect()[0][0]
+    final_cost = sum(r["dist"] for r in rows)
+    assert final_cost <= seed_cost
