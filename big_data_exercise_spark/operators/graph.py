@@ -1,0 +1,123 @@
+"""PageRank over the customer–supplier trade graph — the second
+iterative-algorithm archetype (message passing / power iteration)
+alongside k-means (similarity/kmeans.py) and connected components
+(dedup/cluster.py).
+
+Graph: an undirected bipartite graph linking each customer to every
+supplier that ever fulfilled one of its line items (orders ⋈
+lineitem, distinct pairs). Node ids interleave the two key spaces
+(customer → 2·custkey, supplier → 2·suppkey + 1) so one BIGINT column
+carries both without collision.
+
+Engine-exact by construction: ranks are scaled integers
+(SCALE = 10^12 ≙ probability 1). Every step — the uniform init
+``SCALE DIV n``, the per-neighbor contribution ``r DIV deg``, the
+damped update ``(15·(SCALE DIV n)) DIV 100 + (85·Σcontrib) DIV
+100`` — is non-negative integer arithmetic, where Spark's ``DIV``
+(truncating) and DuckDB's ``//`` (flooring) agree. Sums of integers
+are order-independent, so a SQL oracle replays the power iteration
+bit-for-bit with unrolled CTEs (``pagerank_sql``). Every node has
+degree ≥ 1 (the node set IS the edge endpoints), so there is no
+dangling-mass term.
+
+Scale shape (100 TB): the symmetric edge list is materialized once
+(localCheckpoint; DISK_ONLY persist on a cluster) and each iteration
+is one join + one aggregation keyed on node id — the same exchange
+every round, reusable under a pre-repartition. State is one row per
+node. No driver-side collect: the node count enters the plan as a
+broadcast 1-row aggregate, not a Python scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12  # fixed-point: rank 1.0 ≙ SCALE
+
+
+def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Distinct (u, v) customer→supplier edges with interleaved ids."""
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("u"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 3, top: int = 20) -> DataFrame:
+    """Top-``top`` nodes by damped PageRank after ``iters`` power
+    iterations. Output: (kind, entity_id, rank) ordered by rank desc
+    with a total deterministic tie-break on the interleaved node id."""
+    flip = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # bipartite + distinct input ⇒ the flipped set is disjoint (id
+    # parity differs), so a plain union IS the symmetric closure.
+    sym = edges.union(flip).localCheckpoint()
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    nn = F.broadcast(deg.agg(F.count("*").alias("n")))
+    state = (
+        deg.crossJoin(nn)
+        .select("u", "deg", "n", F.expr(f"{SCALE} DIV n").alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        contrib = state.select("u", F.expr("r DIV deg").alias("c"))
+        inflow = (
+            sym.join(contrib, "u").groupBy("v").agg(F.sum("c").alias("sm"))
+        )
+        state = (
+            state.join(inflow, state.u == inflow.v, "left")
+            .select(
+                state.u.alias("u"),
+                state.deg.alias("deg"),
+                state.n.alias("n"),
+                F.expr(
+                    f"(15 * ({SCALE} DIV n)) DIV 100"
+                    " + (85 * coalesce(sm, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("r"),
+            )
+            .localCheckpoint()  # cut lineage: O(1) plan per round
+        )
+    return (
+        state.orderBy(F.desc("r"), "u")
+        .limit(top)
+        .select(
+            F.when(F.col("u") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("u DIV 2").alias("entity_id"),
+            F.col("r").alias("rank"),
+        )
+    )
+
+
+def pagerank_sql(iters: int = 3, top: int = 20) -> str:
+    """DuckDB oracle replaying ``pagerank`` bit-for-bit: unrolled
+    power-iteration CTEs over the same integer arithmetic."""
+    head = f"""e0 AS (
+      SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS u,
+                      CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT u, deg, n, CAST({SCALE} // n AS BIGINT) AS r FROM deg, nn)"""
+    parts = [head]
+    for it in range(1, iters + 1):
+        parts.append(f"""i{it} AS (
+      SELECT s.v AS v, SUM(c.r // c.deg) AS sm
+      FROM sym s JOIN r{it - 1} c ON s.u = c.u GROUP BY s.v),
+    r{it} AS (
+      SELECT d.u, d.deg, d.n,
+             CAST((15 * ({SCALE} // d.n)) // 100
+                  + (85 * COALESCE(i.sm, 0)) // 100 AS BIGINT) AS r
+      FROM r0 d LEFT JOIN i{it} i ON i.v = d.u)""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           CAST(u // 2 AS BIGINT) AS entity_id, r AS rank
+    FROM r{iters} ORDER BY r DESC, u LIMIT {top}"""
+    )

@@ -34,6 +34,7 @@ from big_data_exercise_spark.session import tune_session
 from big_data_exercise_spark.tables import load_table, register_views
 from big_data_exercise_spark.operators import (
     aggregations as agg,
+    graph,
     joins,
     reshape,
     sampling,
@@ -56,7 +57,7 @@ from big_data_exercise_spark.dedup import (
 )
 from big_data_exercise_spark.similarity import kmeans, knn, lsh
 from big_data_exercise_spark.multimodal import audio, codecs, detections
-from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, pydatasource
+from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, orcio, pydatasource
 from big_data_exercise_spark.streaming import pipelines as streams
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -1857,6 +1858,36 @@ def _specs() -> list[QuerySpec]:
         "deterministic hyperplanes replayed literally in the oracle",
     ))
     s.append(QuerySpec(
+        "pagerank_trade",
+        lambda sp, d: graph.pagerank(
+            graph.trade_edges(_t(sp, d, "orders"), _t(sp, d, "lineitem"))
+        ),
+        graph.pagerank_sql(),
+        ("graph", "iterative"),
+        "scaled-integer PageRank over the customer-supplier trade graph; "
+        "the oracle unrolls the power iteration",
+    ))
+    s.append(QuerySpec(
+        "knn_batch_topk",
+        lambda sp, d: knn.cosine_topk_batch(_t(sp, d, "embeddings")),
+        f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 8),
+        sc AS (
+          SELECT q.query_id, e.vec_id, e.label,
+                 ROUND({_cos_sql("e.embedding", "q.qe")}, 4) AS cos_sim
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, label, cos_sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM sc) t
+        WHERE rn <= 5
+        """,
+        ("similarity", "knn", "batch"),
+        "batched exact ANN: top-5 per query for a broadcast query set",
+    ))
+    s.append(QuerySpec(
         "kmeans_clusters",
         lambda sp, d: kmeans.kmeans_assignments(_t(sp, d, "embeddings")),
         kmeans.kmeans_sql(),
@@ -2101,6 +2132,39 @@ def _specs() -> list[QuerySpec]:
         "gap-based session windows (session_window vs lag/cumsum oracle)",
     ))
 
+    def _stream_sessions(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.session_windows(streams.stream_events(sp, d)), "complete"
+        )
+
+    s.append(QuerySpec(
+        "stream_session_windows",
+        _stream_sessions,
+        f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id, COUNT(*) AS n_events, {sum_sql("value", "sum_value")}
+        FROM s GROUP BY user_id, sid
+        """,
+        ("streaming", "session", "stateful"),
+        "session_window agg executed AS A STREAM (incremental session "
+        "merge in state store) == the batch lag/cumsum oracle",
+    ))
+
     def _batch_sliding(sp: SparkSession, d: str) -> DataFrame:
         return streams.sliding_counts(_t(sp, d, "events"), watermark=None)
 
@@ -2171,6 +2235,29 @@ def _specs() -> list[QuerySpec]:
         """,
         ("source", "csv"),
         "explicit-schema CSV write→read round-trip + rollup (S3, producer.py:44)",
+    ))
+
+    def _orc_roundtrip(sp: SparkSession, d: str) -> DataFrame:
+        ev = _t(sp, d, "events").select("event_id", "ts", "event_type", "value")
+        out = tempfile.mkdtemp(prefix="bdes_orc_")
+        return orcio.roundtrip(ev, out).groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    s.append(QuerySpec(
+        "orc_roundtrip",
+        _orc_roundtrip,
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {sum_sql("value", "total_value")},
+               MAX(ts) AS last_ts
+        FROM events GROUP BY event_type
+        """,
+        ("source", "orc"),
+        "typed ORC write→read round-trip + rollup (timestamps survive "
+        "the binary format losslessly, unlike CSV)",
     ))
 
     def _json_roundtrip(sp: SparkSession, d: str) -> DataFrame:

@@ -202,3 +202,42 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Batched exact ANN: top-``k`` neighbors for EVERY query in a
+    query set (here: the ``n_queries`` smallest vec_ids), in one plan.
+
+    This is the shape a training pipeline actually runs — thousands of
+    probe vectors against the corpus at once, not one. The query set
+    is broadcast (it is small by definition); the corpus side streams
+    through a single codegen'd cosine per (row, query) pair and a
+    per-query window top-k. The corpus table is never shuffled by the
+    join — only the rank step moves (corpus x n_queries) scored rows,
+    and at scale that window becomes a per-query TakeOrdered by
+    pre-aggregating k candidates per partition.
+
+    Output: (query_id, vec_id, label, cos_sim, rank), self-matches
+    excluded, ties broken on vec_id.
+    """
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "cos_sim", "rank")
+    )

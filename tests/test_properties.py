@@ -502,3 +502,33 @@ def test_kmeans_partitions_all_vectors_and_improves(spark):
     seed_cost = _assign(long_df, seeds).agg(F.sum("dist")).collect()[0][0]
     final_cost = sum(r["dist"] for r in rows)
     assert final_cost <= seed_cost
+
+
+def test_pagerank_invariants(spark):
+    from big_data_exercise_spark.operators.graph import SCALE, pagerank, trade_edges
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    rows = pagerank(trade_edges(orders, lineitem), iters=2, top=15).collect()
+    assert len(rows) == 15
+    assert all(r["kind"] in ("customer", "supplier") for r in rows)
+    assert all(r["rank"] > 0 for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # no single node can exceed the total probability mass
+    assert ranks[0] < SCALE
+
+
+def test_knn_batch_matches_single_query(spark):
+    from big_data_exercise_spark.similarity.knn import cosine_topk, cosine_topk_batch
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch = cosine_topk_batch(emb, n_queries=3, k=5)
+    got = {
+        (r["vec_id"], r["cos_sim"])
+        for r in batch.filter(F.col("query_id") == 0).collect()
+    }
+    want = {
+        (r["vec_id"], r["cos_sim"]) for r in cosine_topk(emb, query_id=0, k=5).collect()
+    }
+    assert got == want
