@@ -84,3 +84,53 @@ def user_days_intersect_all(events: DataFrame, type_a: str, type_b: str) -> Data
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     return a.intersectAll(b)
+
+
+def snapshot_mutate(customer: DataFrame) -> DataFrame:
+    """Deterministic synthetic "tomorrow" snapshot of the customer
+    table — the fixture side of snapshot_diff: every 13th key deleted,
+    every 7th surviving key's balance bumped, every 17th key cloned as
+    an insert under a shifted key."""
+    key = F.col("c_custkey")
+    survivors = customer.filter(key % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(key % 7 == 0, F.col("c_acctbal") + F.lit(10.0)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    inserts = customer.filter(key % 17 == 0).withColumn(
+        "c_custkey", key + F.lit(1000000)
+    )
+    return survivors.unionByName(inserts)
+
+
+def snapshot_diff(base: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot reconciliation: full-outer join two table versions on
+    the key and classify every row as insert / delete / update / same
+    — the anti-entropy check a pipeline runs between a source extract
+    and yesterday's warehouse copy. One shuffle on the key; at 100 TB
+    both sides bucket-join co-located on c_custkey.
+
+    Output: per-status row count and total absolute balance drift.
+    """
+    from big_data_exercise_spark.functions.numeric import exact_sum
+
+    b = base.select(
+        "c_custkey", F.col("c_acctbal").alias("b_bal")
+    )
+    n = new.select(
+        "c_custkey", F.col("c_acctbal").alias("n_bal")
+    )
+    j = b.join(n, "c_custkey", "full_outer")
+    status = (
+        F.when(F.col("b_bal").isNull(), F.lit("insert"))
+        .when(F.col("n_bal").isNull(), F.lit("delete"))
+        .when(F.col("b_bal") != F.col("n_bal"), F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    drift = F.abs(F.coalesce("n_bal", F.lit(0.0)) - F.coalesce("b_bal", F.lit(0.0)))
+    return (
+        j.select(status.alias("status"), drift.alias("drift"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_rows"), exact_sum(F.col("drift")).alias("bal_drift"))
+    )

@@ -142,3 +142,28 @@ def trailing_hour_sums(events: DataFrame) -> DataFrame:
             "trailing_hour_value"
         ),
     )
+
+
+def ntile_histogram(events: DataFrame, buckets: int = 10) -> DataFrame:
+    """Per-group equi-height histogram via NTILE: within each
+    event_type, rows are ranked by (value, event_id) — a total,
+    deterministic order — and split into ``buckets`` equal-count
+    bins; each bin reports its count and [lo, hi] value bounds.
+
+    Scale note: the sort is PARTITIONED by event_type — the unbounded
+    global-NTILE variant would funnel the whole table through one
+    task. For a histogram over an unpartitioned 100 TB column, the
+    scale path is approx_percentile cutpoints (see value_percentiles),
+    not NTILE; this operator is the exact per-group form.
+    """
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select("event_type", "event_id", "value")
+        .withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

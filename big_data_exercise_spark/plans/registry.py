@@ -36,9 +36,11 @@ from big_data_exercise_spark.operators import (
     aggregations as agg,
     graph,
     joins,
+    layout,
     reshape,
     sampling,
     scalars,
+    sequences,
     sets,
     skew,
     timeseries,
@@ -1856,6 +1858,116 @@ def _specs() -> list[QuerySpec]:
         ("similarity", "lsh", "dedup"),
         "random-hyperplane LSH near-dup — label-free scale path; "
         "deterministic hyperplanes replayed literally in the oracle",
+    ))
+    s.append(QuerySpec(
+        "conversion_funnel",
+        lambda sp, d: sequences.conversion_funnel(_t(sp, d, "events")),
+        f"""
+        WITH f AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+          FROM events GROUP BY user_id),
+        r AS (
+          SELECT
+            CAST(COUNT(CASE WHEN t0 IS NOT NULL THEN 1 END) AS BIGINT) AS s0,
+            CAST(COUNT(CASE WHEN t0 IS NOT NULL AND t1 > t0
+                       THEN 1 END) AS BIGINT) AS s1,
+            CAST(COUNT(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+                       THEN 1 END) AS BIGINT) AS s2,
+            CAST(COUNT(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+                            AND t3 > t2 THEN 1 END) AS BIGINT) AS s3
+          FROM f),
+        u AS (
+          SELECT 0 AS stage_idx, 'signup' AS stage, s0 AS n_users, s0 FROM r
+          UNION ALL SELECT 1, 'view', s1, s0 FROM r
+          UNION ALL SELECT 2, 'click', s2, s0 FROM r
+          UNION ALL SELECT 3, 'purchase', s3, s0 FROM r)
+        SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, n_users,
+               {round_det_sql("n_users * 1.0 / s0", 4)} AS conv_pct
+        FROM u
+        """,
+        ("sequence", "funnel"),
+        "strict-order first-touch conversion funnel in one groupBy pass",
+    ))
+    s.append(QuerySpec(
+        "scd2_intervals",
+        lambda sp, d: sequences.scd2_intervals(_t(sp, d, "events")),
+        """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               value, ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               (LEAD(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        ("sequence", "cdc"),
+        "event log -> SCD2 validity intervals (version/valid_from/valid_to)",
+    ))
+    s.append(QuerySpec(
+        "ntile_histogram",
+        lambda sp, d: windows.ntile_histogram(_t(sp, d, "events")),
+        """
+        WITH b AS (
+          SELECT event_type, event_id, value,
+                 CAST(ntile(10) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id)
+                   AS INTEGER) AS bucket
+          FROM events)
+        SELECT event_type, bucket, COUNT(*) AS n_events,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM b GROUP BY 1, 2
+        """,
+        ("window", "histogram"),
+        "per-group equi-height histogram via partitioned NTILE",
+    ))
+    s.append(QuerySpec(
+        "snapshot_diff",
+        lambda sp, d: sets.snapshot_diff(
+            _t(sp, d, "customer"), sets.snapshot_mutate(_t(sp, d, "customer"))
+        ),
+        f"""
+        WITH survivors AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END AS n_bal
+          FROM customer WHERE c_custkey % 13 <> 0),
+        inserts AS (
+          SELECT c_custkey + 1000000 AS c_custkey, c_acctbal AS n_bal
+          FROM customer WHERE c_custkey % 17 = 0),
+        ns AS (SELECT * FROM survivors UNION ALL SELECT * FROM inserts),
+        j AS (
+          SELECT CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                      WHEN n.c_custkey IS NULL THEN 'delete'
+                      WHEN b.c_acctbal <> n.n_bal THEN 'update'
+                      ELSE 'same' END AS status,
+                 ABS(COALESCE(n.n_bal, 0.0) - COALESCE(b.c_acctbal, 0.0))
+                   AS drift
+          FROM customer b FULL OUTER JOIN ns n ON b.c_custkey = n.c_custkey)
+        SELECT status, COUNT(*) AS n_rows, {sum_sql("drift", "bal_drift")}
+        FROM j GROUP BY status
+        """,
+        ("set", "cdc", "reconciliation"),
+        "snapshot reconciliation: full-outer diff classified "
+        "insert/delete/update/same with balance drift",
+    ))
+    s.append(QuerySpec(
+        "zorder_curve",
+        lambda sp, d: layout.zorder_curve(_t(sp, d, "events")),
+        f"""
+        WITH k AS (
+          SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                 CAST(FLOOR(value) AS BIGINT) AS vbucket
+          FROM events)
+        SELECT event_id, user_id, vbucket,
+               {layout.zvalue_sql("user_id", "vbucket")} AS z
+        FROM k ORDER BY z DESC, event_id LIMIT 50
+        """,
+        ("layout", "zorder"),
+        "Morton z-value surface for multi-dimensional layout clustering",
     ))
     s.append(QuerySpec(
         "pagerank_trade",

@@ -532,3 +532,41 @@ def test_knn_batch_matches_single_query(spark):
         (r["vec_id"], r["cos_sim"]) for r in cosine_topk(emb, query_id=0, k=5).collect()
     }
     assert got == want
+
+
+def test_zorder_partitions_cluster_both_dims(spark):
+    from big_data_exercise_spark.operators.layout import zvalue
+
+    events = load_table(spark, SF_DIR, "events")
+    keyed = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.floor(F.col("value")).cast("long").alias("v"),
+        "event_id",
+    )
+
+    def bbox_area_sum(df, sort_col):
+        parts = df.repartitionByRange(16, sort_col).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        bb = parts.groupBy("pid").agg(
+            ((F.max("u") - F.min("u")) * (F.max("v") - F.min("v"))).alias("area")
+        )
+        return bb.agg(F.sum("area")).collect()[0][0]
+
+    z_area = bbox_area_sum(
+        keyed.withColumn("z", zvalue(F.col("u"), F.col("v"))), "z"
+    )
+    natural_area = bbox_area_sum(keyed, "event_id")
+    # the whole point of the layout: z-sorted files cover far smaller
+    # rectangles of (user, value) space than arrival-order files
+    assert z_area < natural_area
+
+
+def test_funnel_counts_monotone_non_increasing(spark):
+    from big_data_exercise_spark.operators.sequences import conversion_funnel
+
+    events = load_table(spark, SF_DIR, "events")
+    rows = sorted(conversion_funnel(events).collect(), key=lambda r: r["stage_idx"])
+    counts = [r["n_users"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert rows[0]["conv_pct"] == 1.0
