@@ -55,6 +55,9 @@ HEADLINE = [
     "dedup_cluster_assignment",
     "stream_stream_join",
     "curated_corpus",
+    "kmeans_clusters",
+    "pagerank_trade",
+    "knn_batch_topk",
 ]
 
 

@@ -134,3 +134,64 @@ def snapshot_diff(base: DataFrame, new: DataFrame) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n_rows"), exact_sum(F.col("drift")).alias("bal_drift"))
     )
+
+
+def incremental_agg_refresh(base: DataFrame, new: DataFrame) -> DataFrame:
+    """Materialized-view maintenance: refresh a per-segment aggregate
+    from a CDC delta WITHOUT rescanning the new snapshot's full
+    grouping — base_agg + per-segment deltas derived from the keyed
+    diff. At 100 TB this is the difference between re-aggregating the
+    whole table and touching only the changed keys.
+
+    Exactness discipline: per-row balance deltas are computed in
+    DECIMAL (cast first, subtract second), so
+    Σ(base) + Σ(delta) ≡ Σ(new) bit-for-bit and the driver's oracle —
+    a FULL recompute over the mutated snapshot — hashes identically.
+    That equality IS the correctness statement for incremental
+    maintenance.
+    """
+    from big_data_exercise_spark.functions.numeric import DEC, round_det
+
+    zero = F.lit(0).cast(DEC)
+    b = base.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("b_bal"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    n = new.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("n_bal"),
+        F.col("c_mktsegment").alias("n_seg"),
+    )
+    delta = (
+        b.join(n, "c_custkey", "full_outer")
+        .select(
+            F.coalesce("n_seg", "b_seg").alias("c_mktsegment"),
+            F.when(F.col("n_bal").isNull(), F.lit(-1))
+            .when(F.col("b_bal").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dn"),
+            (
+                F.coalesce(F.col("n_bal").cast(DEC), zero)
+                - F.coalesce(F.col("b_bal").cast(DEC), zero)
+            ).alias("ds"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    base_agg = base.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n0"), F.sum(F.col("c_acctbal").cast(DEC)).alias("s0")
+    )
+    return base_agg.join(delta, "c_mktsegment", "full_outer").select(
+        "c_mktsegment",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_customers"),
+        round_det(
+            (F.coalesce(F.col("s0"), zero) + F.coalesce(F.col("ds"), zero)).cast(
+                "double"
+            ),
+            2,
+        ).alias("total_acctbal"),
+    )

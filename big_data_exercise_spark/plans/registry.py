@@ -59,7 +59,9 @@ from big_data_exercise_spark.dedup import (
 )
 from big_data_exercise_spark.similarity import kmeans, knn, lsh
 from big_data_exercise_spark.multimodal import audio, codecs, detections
-from big_data_exercise_spark.sources import csvio, jdbcio, jsonio, orcio, pydatasource
+from big_data_exercise_spark.sources import (
+    csvio, jdbcio, jsonio, orcio, pydatasource, textio,
+)
 from big_data_exercise_spark.streaming import pipelines as streams
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -2370,6 +2372,53 @@ def _specs() -> list[QuerySpec]:
         ("source", "orc"),
         "typed ORC write→read round-trip + rollup (timestamps survive "
         "the binary format losslessly, unlike CSV)",
+    ))
+
+    def _text_log_parse(sp: SparkSession, d: str) -> DataFrame:
+        ev = _t(sp, d, "events").select("event_id", "user_id", "event_type", "value")
+        out = tempfile.mkdtemp(prefix="bdes_text_")
+        return textio.roundtrip(ev, out).groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+
+    s.append(QuerySpec(
+        "textfile_log_parse",
+        _text_log_parse,
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {sum_sql("value", "total_value")}
+        FROM events GROUP BY event_type
+        """,
+        ("source", "text"),
+        "raw log-line sink → text scan → regexp_extract parse (lossless "
+        "shortest-repr double round-trip)",
+    ))
+
+    s.append(QuerySpec(
+        "incremental_agg_refresh",
+        lambda sp, d: sets.incremental_agg_refresh(
+            _t(sp, d, "customer"), sets.snapshot_mutate(_t(sp, d, "customer"))
+        ),
+        f"""
+        WITH survivors AS (
+          SELECT c_custkey, c_mktsegment,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END AS n_bal
+          FROM customer WHERE c_custkey % 13 <> 0),
+        inserts AS (
+          SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment,
+                 c_acctbal AS n_bal
+          FROM customer WHERE c_custkey % 17 = 0),
+        ns AS (SELECT * FROM survivors UNION ALL SELECT * FROM inserts)
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               {sum_sql("n_bal", "total_acctbal")}
+        FROM ns GROUP BY c_mktsegment
+        """,
+        ("agg", "cdc", "materialized-view"),
+        "incremental materialized-view refresh: base agg + keyed CDC "
+        "deltas; the oracle is a FULL recompute — hash equality proves "
+        "the maintenance identity",
     ))
 
     def _json_roundtrip(sp: SparkSession, d: str) -> DataFrame:
