@@ -436,3 +436,25 @@ def value_percentiles_disc(events: DataFrame) -> DataFrame:
         F.min("value").alias("p0_disc"),
         F.max("value").alias("p100_disc"),
     )
+
+
+def anomaly_events(events: DataFrame, sigma: float = 3.0) -> DataFrame:
+    """Z-score outlier flagging: events whose value sits more than
+    ``sigma`` sample standard deviations above their event_type's
+    mean. Stats come from value_dispersion's exact-decimal moments and
+    are ROUNDED before the comparison, so the flag decision — not just
+    the reported score — is engine-deterministic (an unrounded
+    boundary z ≈ 3.0000000001 vs 2.9999999999 would otherwise flip
+    rows between engines). One aggregation + one broadcast join-back;
+    no second scan shuffle.
+    """
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    stats = value_dispersion(events)
+    z = (F.col("value") - F.col("mean_value")) / F.col("stddev_value")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", round_det(z, 4))
+        .filter(F.col("zscore") > sigma)
+        .select("event_id", "event_type", "value", "zscore")
+    )

@@ -121,3 +121,32 @@ def pagerank_sql(iters: int = 3, top: int = 20) -> str:
            CAST(u // 2 AS BIGINT) AS entity_id, r AS rank
     FROM r{iters} ORDER BY r DESC, u LIMIT {top}"""
     )
+
+
+def supplier_cooccurrence(
+    orders: DataFrame, lineitem: DataFrame, top: int = 20
+) -> DataFrame:
+    """Co-occurrence mining (the market-basket / collaborative-filter
+    precursor): supplier pairs ranked by how many customers they
+    share. One distinct bipartite edge build, then a self-join on the
+    customer key — cost Σ deg(customer)², the standard co-occurrence
+    bound. At 100 TB, cap or sample per-customer degree before the
+    self-join (a mega-customer's clique dominates the sum) — the same
+    hot-key discipline as LSH band buckets."""
+    e = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    a = e.select("c", F.col("s").alias("s1"))
+    b = e.select("c", F.col("s").alias("s2"))
+    return (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_shared_customers"))
+        .orderBy(F.desc("n_shared_customers"), "s1", "s2")
+        .limit(top)
+    )

@@ -74,3 +74,48 @@ def scd2_intervals(events: DataFrame) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next type | current type), from lag pairs in one
+    partitioned window pass + one small aggregation."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(W.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        round_det(F.col("n_transitions") / total, 4).alias("prob"),
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    distinct actives per (cohort_week, week_offset). Two shuffles
+    total (first-touch agg keyed on user, then the cohort-cell
+    distinct-count) — the shape scales because both keys are the
+    natural partition keys."""
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        events.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            F.expr("CAST(datediff(ts, cohort_week) DIV 7 AS INTEGER)").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1861,6 +1861,86 @@ def _specs() -> list[QuerySpec]:
         "random-hyperplane LSH near-dup — label-free scale path; "
         "deterministic hyperplanes replayed literally in the oracle",
     ))
+    _Z = "(e.value - r.mean_value) / r.stddev_value"
+    s.append(QuerySpec(
+        "anomaly_events",
+        lambda sp, d: agg.anomaly_events(_t(sp, d, "events")),
+        f"""
+        WITH m AS (
+          SELECT event_type, COUNT(value) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+          FROM events GROUP BY event_type),
+        r AS (
+          SELECT event_type,
+                 {round_det_sql("sx / n", 4)} AS mean_value,
+                 {round_det_sql("sqrt((sxx - sx * sx / n) / (n - 1))", 4)}
+                   AS stddev_value
+          FROM m)
+        SELECT e.event_id, e.event_type, e.value,
+               {round_det_sql(_Z, 4)} AS zscore
+        FROM events e JOIN r USING (event_type)
+        WHERE {round_det_sql(_Z, 4)} > 3.0
+        """,
+        ("agg", "anomaly"),
+        "z-score outliers per group; rounded stats make the flag "
+        "decision itself engine-deterministic",
+    ))
+    s.append(QuerySpec(
+        "event_transition_matrix",
+        lambda sp, d: sequences.event_transition_matrix(_t(sp, d, "events")),
+        f"""
+        WITH p AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        c AS (
+          SELECT prev_type, event_type, COUNT(*) AS n_transitions
+          FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, event_type, n_transitions,
+               {round_det_sql(
+                   "n_transitions * 1.0 / SUM(n_transitions)"
+                   " OVER (PARTITION BY prev_type)", 4)} AS prob
+        FROM c
+        """,
+        ("sequence", "markov"),
+        "first-order Markov transition matrix over per-user event streams",
+    ))
+    s.append(QuerySpec(
+        "cohort_retention",
+        lambda sp, d: sequences.cohort_retention(_t(sp, d, "events")),
+        """
+        WITH f AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+          FROM events GROUP BY user_id)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, ts) // 7 AS INTEGER)
+                 AS week_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events JOIN f USING (user_id)
+        GROUP BY 1, 2
+        """,
+        ("sequence", "cohort"),
+        "weekly cohort retention matrix (first-touch week x offset)",
+    ))
+    s.append(QuerySpec(
+        "supplier_cooccurrence",
+        lambda sp, d: graph.supplier_cooccurrence(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        """
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared_customers
+        FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+        ORDER BY n_shared_customers DESC, s1, s2 LIMIT 20
+        """,
+        ("graph", "cooccurrence"),
+        "market-basket co-occurrence: supplier pairs by shared customers",
+    ))
     s.append(QuerySpec(
         "conversion_funnel",
         lambda sp, d: sequences.conversion_funnel(_t(sp, d, "events")),
