@@ -241,3 +241,62 @@ def near_duplicates(
     if threshold > 1.0:
         return cross
     return cross.unionByName(intra)
+
+
+def lsh_recall_report(
+    documents: DataFrame, threshold: float = 0.8, max_doc: int = 30
+) -> DataFrame:
+    """Banding-quality evaluation on a bounded kernel: exact all-pairs
+    Jaccard ground truth (docs with doc_id < ``max_doc``) vs the LSH
+    band candidates over the same subset — the measurement that tells
+    you whether (num_hashes, bands) is tuned for your threshold before
+    you trust it on 100 TB. One row: |truth|, |candidates|,
+    |truth ∩ candidates|, recall, candidate precision.
+
+    The all-pairs truth is the EXPENSIVE thing LSH exists to avoid —
+    bounding it to a fixed kernel (same discipline as
+    ngram.pairwise_jaccard) keeps the report runnable at any corpus
+    size while still auditing the banding on real data.
+    """
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    sub = documents.filter(F.col("doc_id") < max_doc)
+    tt = doc_token_ids(sub, use_vocab_ranks=True).persist()
+    sizes = tt.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t1 = tt.select(F.col("doc_id").alias("id1"), "tok_id")
+    t2 = tt.select(F.col("doc_id").alias("id2"), "tok_id")
+    inter = (
+        t1.join(t2, "tok_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    truth = (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(
+            F.col("n") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("n"))
+            >= threshold
+        )
+        .select("id1", "id2")
+        .persist()
+    )
+    cand = lsh_candidate_pairs(_signatures_from_ids(tt)).persist()
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    fnd = truth.join(cand, ["id1", "id2"]).agg(F.count("*").alias("n_found"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(fnd)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_found",
+            round_det(F.col("n_found") / F.col("n_true"), 4).alias("recall"),
+            round_det(F.col("n_found") / F.col("n_candidates"), 4).alias(
+                "candidate_precision"
+            ),
+        )
+    )

@@ -463,3 +463,33 @@ def chunk_documents(
             F.array_join(F.slice(F.col("toks"), F.col("st") + 1, chunk), " ")
         ).alias("chunk_fp"),
     )
+
+
+def data_card_report(documents: DataFrame, min_tokens: int = 30, min_diversity: float = 0.3) -> DataFrame:
+    """Per-(source, lang) data card: the sign-off table a curation
+    team publishes with a dataset — volume, token budget, quality
+    distribution, and gate pass-rate in one aggregation pass. Gate:
+    token floor + lexical-diversity floor (both computed from exact
+    integer counts, so the pass/fail decision is engine-determined).
+    """
+    from big_data_exercise_spark.functions.numeric import exact_avg, round_det
+
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    passes = (n_tok >= min_tokens) & (diversity >= min_diversity)
+    base = documents.select(
+        "source", "lang", n_tok.alias("n_tok"), diversity.alias("diversity"),
+        passes.alias("passes"),
+    )
+    return base.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        exact_avg(F.col("diversity"), 4).alias("mean_diversity"),
+        round_det(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)) / F.count("*"), 4
+        ).alias("pass_pct"),
+        F.sum(F.when(F.col("passes"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("curated_tokens"),
+    )

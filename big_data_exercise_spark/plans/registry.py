@@ -1722,6 +1722,87 @@ def _specs() -> list[QuerySpec]:
         "end-to-end curation: dedup verdicts ∩ quality gate, per-lang budget",
     ))
     s.append(QuerySpec(
+        "lsh_recall_report",
+        lambda sp, d: minhash.lsh_recall_report(_t(sp, d, "documents")),
+        f"""
+        WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        toks AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM sub),
+        vocab AS (
+          SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
+          FROM (SELECT DISTINCT tok FROM toks) v),
+        tt AS (SELECT doc_id, tok_id FROM toks JOIN vocab USING (tok)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id),
+        inter AS (
+          SELECT t1.doc_id AS id1, t2.doc_id AS id2, COUNT(*) AS n
+          FROM tt t1 JOIN tt t2 ON t1.tok_id = t2.tok_id
+                                AND t1.doc_id < t2.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id1, id2 FROM inter
+          JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+          WHERE n * 1.0 / (s1.sz + s2.sz - n) >= 0.8),
+        sigs AS (
+          SELECT doc_id,
+                 MIN((3*tok_id+1)%8191)    AS h0,  MIN((5*tok_id+2)%8191)    AS h1,
+                 MIN((7*tok_id+4)%8191)    AS h2,  MIN((11*tok_id+8)%8191)   AS h3,
+                 MIN((13*tok_id+16)%8191)  AS h4,  MIN((17*tok_id+32)%8191)  AS h5,
+                 MIN((19*tok_id+64)%8191)  AS h6,  MIN((23*tok_id+128)%8191) AS h7,
+                 MIN((29*tok_id+256)%8191) AS h8,  MIN((31*tok_id+512)%8191) AS h9,
+                 MIN((37*tok_id+1024)%8191) AS h10, MIN((41*tok_id+2048)%8191) AS h11
+          FROM tt GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat_ws('_', h0, h1, h2, h3) AS sig FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, concat_ws('_', h4, h5, h6, h7) FROM sigs
+          UNION ALL
+          SELECT doc_id, 2, concat_ws('_', h8, h9, h10, h11) FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                   AND a.doc_id < b.doc_id),
+        found AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM found) AS n_found,
+               {round_det_sql(
+                   "(SELECT COUNT(*) FROM found) * 1.0"
+                   " / (SELECT COUNT(*) FROM truth)", 4)} AS recall,
+               {round_det_sql(
+                   "(SELECT COUNT(*) FROM found) * 1.0"
+                   " / (SELECT COUNT(*) FROM cand)", 4)} AS candidate_precision
+        """,
+        ("dedup", "minhash", "evaluation"),
+        "LSH banding audit: exact all-pairs truth vs band candidates on "
+        "a bounded kernel — recall/precision of the (12,3) config",
+    ))
+    s.append(QuerySpec(
+        "data_card_report",
+        lambda sp, d: text.data_card_report(_t(sp, d, "documents")),
+        f"""
+        WITH t AS (SELECT source, lang, {_TOKS} AS toks FROM documents),
+        q AS (
+          SELECT source, lang,
+                 CAST(len(toks) AS INTEGER) AS n_tok,
+                 len(list_distinct(toks)) * 1.0 / len(toks) AS diversity
+          FROM t)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               {avg_sql("diversity", "mean_diversity", 4)},
+               {round_det_sql(
+                   "SUM(CASE WHEN n_tok >= 30 AND diversity >= 0.3"
+                   " THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 4)} AS pass_pct,
+               CAST(SUM(CASE WHEN n_tok >= 30 AND diversity >= 0.3
+                             THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS curated_tokens
+        FROM q GROUP BY 1, 2
+        """,
+        ("text", "governance"),
+        "per-(source, lang) data card: volume, token budget, quality "
+        "distribution, gate pass-rate",
+    ))
+    s.append(QuerySpec(
         "ngram_jaccard_pairs",
         lambda sp, d: ngram.pairwise_jaccard(_t(sp, d, "documents")),
         f"""
