@@ -48,13 +48,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def normalize_table(name: str, df: DataFrame) -> DataFrame:
-    """Post-read normalization. events.ts arrives as INT64 nanoseconds
-    (read via spark.sql.legacy.parquet.nanosAsLong) → convert to a
-    proper timestamp with integer ns→µs division — exactly DuckDB's
-    truncation, so the oracle sees identical instants. Integer ``div``
-    (not ``/``) because 1.7e18 ns exceeds double's 2^53 exact range."""
+    """Post-read normalization. Two generator-era variants exist:
+
+    * events.ts as INT64 nanoseconds (read via
+      spark.sql.legacy.parquet.nanosAsLong) → proper timestamp with
+      integer ns→µs division — exactly DuckDB's truncation, so the
+      oracle sees identical instants. Integer ``div`` (not ``/``)
+      because 1.7e18 ns exceeds double's 2^53 exact range.
+    * plain parquet TIMESTAMP with isAdjustedToUTC=false, which Spark 4
+      infers as TIMESTAMP_NTZ → cast to TIMESTAMP. The session timezone
+      is pinned to UTC (session.py), so the cast reinterprets the same
+      wall-clock instant and matches DuckDB's naive timestamps, while
+      restoring the type every instant function (unix_millis, window,
+      watermark) requires.
+    """
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

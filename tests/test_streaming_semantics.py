@@ -110,15 +110,19 @@ def test_append_mode_emits_exactly_closed_windows(spark, tmp_path):
     cutoff = ev.select(
         (F.date_trunc("hour", F.lit(min_ts)) + F.expr("INTERVAL 1 HOUR")).alias("c")
     ).first().c
-    on_time_raw = raw.filter(F.timestamp_micros(F.expr("ts div 1000")) >= F.lit(cutoff))
-    late_raw = raw.filter(F.timestamp_micros(F.expr("ts div 1000")) < F.lit(cutoff))
+    # Stage from the NORMALIZED frame (ts already a timestamp), so the
+    # test is independent of which generator era wrote the fixture
+    # (int64-ns vs parquet TIMESTAMP); normalize_table on the re-read
+    # stream is then a no-op.
+    on_time_raw = ev.filter(F.col("ts") >= F.lit(cutoff))
+    late_raw = ev.filter(F.col("ts") < F.lit(cutoff))
     assert late_raw.count() > 0 and on_time_raw.count() > 0
     staged = str(tmp_path / "staged")
     on_time_raw.coalesce(1).write.parquet(os.path.join(staged, "f00"))
     late_raw.coalesce(1).write.parquet(os.path.join(staged, "f01"))
 
     stream = (
-        spark.readStream.schema(raw.schema)
+        spark.readStream.schema(on_time_raw.schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(staged)
