@@ -15,19 +15,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<float> columns via zip_with +
-    aggregate (JVM codegen; no UDF)."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+# The fixture/embedding vector width (FIXTURES.md). Operators over the
+# embeddings table pass dim=EMBEDDING_DIM to get the codegen'd form.
+EMBEDDING_DIM = 64
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the fixed-width left-associative dot product —
+    ``(((0+x₁y₁)+x₂y₂)+…)``, the exact association of the generic fold
+    below and of the DuckDB oracle's list_sum, so results are
+    bit-identical. Emitted as ONE SQL string because building the same
+    tree Column-by-Column costs thousands of py4j round-trips (~8 s of
+    driver time per 16-projection plan, measured), while parsing one
+    string is a single call; and unlike the zip_with/aggregate fold
+    (CodegenFallback, interpreted per element) the parsed chain
+    compiles under whole-stage codegen. A vector shorter than ``dim``
+    yields NULL (element_at out of range) rather than the fold's silent
+    truncation — the stricter behavior."""
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"CAST(0.0 AS DOUBLE) + {terms}"
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Dot product of two array<float> columns, JVM-side (no UDF).
+
+    ``dim=None``: zip_with + aggregate over Column operands — any
+    length. With a statically known ``dim``, operands must be SQL
+    expression strings and the codegen'd chain from ``dot_sql`` is
+    used instead (same floats, ~10× faster on CPU-bound verifies)."""
+    if dim is None:
+        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    if not isinstance(a, str) or not isinstance(b, str):
+        raise TypeError("fixed-dim dot() takes SQL expression strings")
+    return F.expr(dot_sql(a, b, dim))
+
+
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def argmax_position(a: Column) -> Column:

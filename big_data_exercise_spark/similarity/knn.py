@@ -24,7 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from big_data_exercise_spark.functions.arrays import cosine
+from big_data_exercise_spark.functions.arrays import EMBEDDING_DIM, cosine as _cosine_any
+
+
+def cosine(a: str, b: str):
+    """Fixture-width cosine over column names: codegen'd element_at
+    chain built as one SQL string (bit-identical to the generic fold;
+    see functions.arrays.dot_sql)."""
+    return _cosine_any(a, b, dim=EMBEDDING_DIM)
 
 
 def _query_vector(embeddings: DataFrame, query_id: int) -> DataFrame:
@@ -43,7 +50,7 @@ def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFr
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
@@ -74,7 +81,7 @@ def blocked_near_duplicates(embeddings: DataFrame, threshold: float = 0.35) -> D
     return (
         a.join(b, "label")
         .filter(F.col("id1") < F.col("id2"))
-        .select("label", "id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 4).alias("cos_sim"))
+        .select("label", "id1", "id2", F.round(cosine("e1", "e2"), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -96,7 +103,7 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
         "label",
         "embedding",
         "centroid_id",
-        cosine(F.col("embedding"), F.col("c")).alias("cos_c"),
+        cosine("embedding", "c").alias("cos_c"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
     return (
@@ -143,7 +150,7 @@ def ivf_topk_indexed(
         r.centroid_id
         for r in (
             centroids.crossJoin(F.broadcast(q))
-            .select("centroid_id", cosine(F.col("c"), F.col("q")).alias("cos_q"))
+            .select("centroid_id", cosine("c", "q").alias("cos_q"))
             .orderBy(F.desc("cos_q"), "centroid_id")
             .limit(nprobe)
             .collect()
@@ -159,7 +166,7 @@ def ivf_topk_indexed(
             "vec_id",
             "label",
             F.col("centroid_id").cast("long").alias("centroid_id"),
-            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -184,7 +191,7 @@ def ivf_topk(
     )
     probe = (
         centroids.crossJoin(F.broadcast(q))
-        .select("centroid_id", cosine(F.col("c"), F.col("q")).alias("cos_q"))
+        .select("centroid_id", cosine("c", "q").alias("cos_q"))
         .orderBy(F.desc("cos_q"), "centroid_id")
         .limit(nprobe)
         .select("centroid_id")
@@ -197,7 +204,7 @@ def ivf_topk(
             "vec_id",
             "label",
             "centroid_id",
-            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -232,7 +239,7 @@ def cosine_topk_batch(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim"),
+            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")

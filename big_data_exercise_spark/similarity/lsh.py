@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from big_data_exercise_spark.functions.arrays import cosine
+from big_data_exercise_spark.functions.arrays import EMBEDDING_DIM, cosine
 
 BITS = 16
 BANDS = 4
@@ -41,16 +41,18 @@ def hyperplane(j: int, dim: int = DIM) -> list[float]:
     ]
 
 
-def _dot_lit(vec_col: F.Column, values: list[float]) -> F.Column:
-    """Sequential-fold dot product against a literal vector — the same
-    shape (per-element double cast, in-order sum) as functions.arrays.
-    cosine, so the DuckDB list_sum twin folds identically."""
-    arr = F.array(*[F.lit(v) for v in values])
-    return F.aggregate(
-        F.zip_with(vec_col, arr, lambda x, h: x.cast("double") * h),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _dot_lit(vec_col: str, values: list[float]) -> F.Column:
+    """Left-associative dot product of a column (by SQL name) against a
+    literal vector — the exact in-order sum of the DuckDB list_sum
+    twin, emitted as ONE SQL string: parsing it is a single py4j call
+    (the Column-by-Column tree cost ~8 s of driver round-trips per
+    plan) and the parsed chain compiles under whole-stage codegen
+    (the zip_with/aggregate fold is CodegenFallback — interpreted)."""
+    terms = " + ".join(
+        f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * CAST({v!r} AS DOUBLE)"
+        for i, v in enumerate(values)
     )
+    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
 
 
 def band_keys(embeddings: DataFrame, bits: int = BITS, bands: int = BANDS) -> DataFrame:
@@ -58,7 +60,7 @@ def band_keys(embeddings: DataFrame, bits: int = BITS, bands: int = BANDS) -> Da
     sign-bit pattern as an int."""
     rows = bits // bands
     bit_cols = [
-        (_dot_lit(F.col("embedding"), hyperplane(j)) >= 0).cast("int").alias(f"b{j}")
+        (_dot_lit("embedding", hyperplane(j)) >= 0).cast("int").alias(f"b{j}")
         for j in range(bits)
     ]
     with_bits = embeddings.select("vec_id", *bit_cols)
@@ -88,7 +90,10 @@ def near_duplicates(
     knn.blocked_near_duplicates: pair verification is CPU-bound on a
     bytes-tiny table."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    buckets = band_keys(embeddings, bits, bands)
+    # Persist: the bucket table feeds BOTH sides of the self-join; the
+    # unpersisted plan recomputes all bits×|N| hyperplane projections
+    # twice.
+    buckets = band_keys(embeddings, bits, bands).persist()
     left = buckets.select(F.col("vec_id").alias("id1"), "band", "key")
     right = buckets.select(F.col("vec_id").alias("id2"), "band", "key")
     cand = (
@@ -104,7 +109,9 @@ def near_duplicates(
         cand.join(a, "id1")
         .join(b, "id2")
         .select(
-            "id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 4).alias("cos_sim")
+            "id1",
+            "id2",
+            F.round(cosine("e1", "e2", dim=EMBEDDING_DIM), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
