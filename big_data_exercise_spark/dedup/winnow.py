@@ -50,9 +50,17 @@ def _kgram_hashes(cs, k: int = K):
     return F.transform(F.sequence(F.lit(0), F.size(cs) - k), khash)
 
 
-def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFrame:
-    """Distinct (doc_id, fp) winnowing fingerprints — the bucket-join
-    key for substring-level candidate pairs."""
+def fingerprint_sets_relational(
+    documents: DataFrame, k: int = K, w: int = WIN
+) -> DataFrame:
+    """Distinct (doc_id, fp) winnowing fingerprints, pure-relational:
+    char-code array → transform() k-gram hash → posexplode →
+    window-min. This is the UDF-free formulation (any-engine
+    portable; the DuckDB oracle replays it as CTEs), but transform()
+    is CodegenFallback — interpreted per position × per k-gram term —
+    which makes it the CPU bottleneck of the dedup tier. Kept as the
+    documentation/equivalence twin of ``fingerprint_sets``; a property
+    test asserts both produce identical sets."""
     t = F.lower(F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""))
     codes = F.transform(
         F.split(F.col("t"), ""), lambda c: F.ascii(c).cast("long")
@@ -70,6 +78,72 @@ def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFram
         hashed.withColumn("fp", F.min("h").over(frame))
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFrame:
+    """Distinct (doc_id, fp) winnowing fingerprints — the bucket-join
+    key for substring-level candidate pairs.
+
+    Arrow path: the whole rolling-hash + window-min kernel is exact
+    int64 arithmetic (every k-gram term < 2^45; no modulus), so ANY
+    evaluation order gives identical integers — numpy correlate +
+    sliding-window min inside mapInPandas is bit-identical to the
+    relational formulation (``fingerprint_sets_relational``, which the
+    DuckDB oracle replays) at ~5× less CPU, because the relational
+    transform() lambda is interpreted per term. Per-doc work is linear
+    and partition-local: the operator adds NO shuffle beyond the
+    distinct, exactly like the relational twin."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    pow_ = np.array([31 ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+    strip = re.compile(r"[^\x20-\x7e]")
+
+    def winnow_batches(pdfs):
+        for pdf in pdfs:
+            out_ids, out_fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = "" if text is None else text
+                # strip to printable ASCII FIRST, then lowercase —
+                # the relational twin's exact order; ASCII-only lower
+                # is engine-identical. (C-speed regex: the per-char
+                # Python loop measured as the kernel's bottleneck.)
+                s = strip.sub("", s).lower()
+                if len(s) < k:
+                    continue
+                cs = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                h = np.correlate(cs, pow_)  # h[i] = Σ_j cs[i+j]·31^(k-1-j)
+                n = h.shape[0]
+                # suffix minima replicate the window frame's truncation
+                # at the partition end (rowsBetween(0, w-1) clips).
+                suffix = np.minimum.accumulate(h[::-1])[::-1]
+                if n > w:
+                    full = np.lib.stride_tricks.sliding_window_view(h, w).min(
+                        axis=1
+                    )
+                    mins = np.concatenate([full, suffix[n - w + 1 :]])
+                else:
+                    mins = suffix
+                fps = np.unique(mins)
+                out_ids.append(np.full(fps.shape[0], doc_id, dtype=np.int64))
+                out_fps.append(fps)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_ids),
+                        "fp": np.concatenate(out_fps),
+                    }
+                )
+
+    from big_data_exercise_spark.tables import ensure_parallelism
+
+    return ensure_parallelism(documents.select("doc_id", "text")).mapInPandas(
+        winnow_batches, "doc_id long, fp long"
     )
 
 

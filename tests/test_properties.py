@@ -247,6 +247,26 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
 
 
+def test_winnowing_arrow_equals_relational(spark):
+    """The Arrow (numpy) winnowing kernel and the pure-relational
+    formulation are bit-identical — exact int64 arithmetic has no
+    evaluation-order hazard — including the truncated trailing
+    windows and non-ASCII stripping."""
+    from big_data_exercise_spark.dedup.winnow import (
+        fingerprint_sets,
+        fingerprint_sets_relational,
+    )
+    from big_data_exercise_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    fast = {(r["doc_id"], r["fp"]) for r in fingerprint_sets(docs).collect()}
+    slow = {
+        (r["doc_id"], r["fp"])
+        for r in fingerprint_sets_relational(docs).collect()
+    }
+    assert fast == slow and fast
+
+
 def test_observation_metrics_piggyback_on_action(spark):
     """The Observation API collects metrics during a query's ONE pass
     (no second scan) — the production-monitoring surface for pipeline
