@@ -113,11 +113,29 @@ def test_grouped_python_stages_are_arrow(spark, name, node):
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
-def test_winnowing_is_pure_codegen(spark):
-    # rolling hash + window min: no Python anywhere in the plan
-    plan = _plan(spark, "winnowing_fingerprints")
+def test_winnowing_plan_shapes(spark):
+    """The shipped winnowing kernel is deliberately ONE Arrow stage
+    (mapInPandas; exact int64 math, bit-identical to the relational
+    twin) — never a row-at-a-time Python UDF — while the relational
+    twin stays pure codegen with no Python anywhere."""
+    from big_data_exercise_spark.dedup.winnow import (
+        fingerprint_sets,
+        fingerprint_sets_relational,
+    )
+    from big_data_exercise_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fast = fingerprint_sets(docs)._jdf.queryExecution().executedPlan().toString()
+    assert fast.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in fast  # no pickled row-UDF path
+    slow = (
+        fingerprint_sets_relational(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
-        assert bad not in plan
+        assert bad not in slow
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
