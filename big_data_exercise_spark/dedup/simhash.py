@@ -53,7 +53,98 @@ def hamming(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def near_duplicates(documents: DataFrame, max_distance: int = 3) -> DataFrame:
+# Engine-replayable bit-hash family for the oracle-CHECKED variant:
+# bit_i(tok) = ((BIT_A(i)·rank(tok) + BIT_B(i)) mod P2) mod 2 over the
+# sorted-vocabulary rank — every step is exact integer SQL, so DuckDB
+# replays the full pipeline bit-for-bit (the production xxhash64 mode
+# cannot be replayed and carries the rows-only check instead).
+P2 = 8191
+
+
+def _bit_a(i: int) -> int:
+    return 2 * i + 3
+
+
+def _bit_b(i: int) -> int:
+    return i + 1
+
+
+def signatures_checked(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash long) with the engine-replayable bit family.
+    Same single-shuffle shape as ``simhash_signatures``; the vocabulary
+    ranking join is the test-SF-only concession (exactly like
+    MinHash's vocab_rank mode — production is the xxhash path)."""
+    from big_data_exercise_spark.dedup.minhash import doc_token_ids
+
+    tt = doc_token_ids(documents, use_vocab_ranks=True)
+    bit_sums = [
+        F.sum(
+            F.when(
+                ((F.lit(_bit_a(i)) * F.col("tok_id") + F.lit(_bit_b(i))) % P2) % 2
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(BITS)
+    ]
+    sums = tt.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(BITS):
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def oracle_sql_checked(toks_sql: str, max_distance: int = 3) -> str:
+    """DuckDB twin of ``near_duplicates(checked=True)``. ``toks_sql``
+    is the engine's canonical tokenizer expression over ``text``
+    (must match functions.text.tokens)."""
+    sum_exprs = ", ".join(
+        f"SUM(CASE WHEN (({_bit_a(i)}*tok_id+{_bit_b(i)})%{P2})%2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(BITS)
+    )
+    key_exprs = ", ".join(
+        " + ".join(
+            f"(CASE WHEN s{b * BAND_BITS + r} > 0 THEN {2**r} ELSE 0 END)"
+            for r in range(BAND_BITS)
+        )
+        + f" AS k{b}"
+        for b in range(BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, k{b} AS key FROM keys"
+        for b in range(BANDS)
+    )
+    dist = " + ".join(
+        f"bit_count(xor(x.k{b}, y.k{b}))" for b in range(BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({toks_sql})) AS tok FROM documents),
+    vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
+      FROM (SELECT DISTINCT tok FROM toks) v),
+    tt AS (SELECT doc_id, tok_id FROM toks JOIN vocab USING (tok)),
+    sums AS (SELECT doc_id, {sum_exprs} FROM tt GROUP BY doc_id),
+    keys AS (SELECT doc_id, {key_exprs} FROM sums),
+    bands AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id)
+    SELECT id1, id2, CAST({dist} AS INTEGER) AS distance
+    FROM cand
+    JOIN keys x ON x.doc_id = id1
+    JOIN keys y ON y.doc_id = id2
+    WHERE {dist} <= {max_distance}
+    """
+
+
+def near_duplicates(
+    documents: DataFrame, max_distance: int = 3, checked: bool = False
+) -> DataFrame:
     """Banded SimHash near-dup pairs: (id1, id2, distance ≤ max).
 
     With 4 bands of 16 bits, any pair within Hamming distance 3 shares
@@ -68,7 +159,8 @@ def near_duplicates(documents: DataFrame, max_distance: int = 3) -> DataFrame:
     corpora the bucket join shrinks quadratically with cluster size.
     """
     # Persist: consumed by the groupBy AND the expansion joins.
-    sigs = simhash_signatures(documents).persist()
+    sig_fn = signatures_checked if checked else simhash_signatures
+    sigs = sig_fn(documents).persist()
     reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id")).persist()
 
     banded = None

@@ -1835,6 +1835,20 @@ def _specs() -> list[QuerySpec]:
         ("dedup", "simhash"),
         "banded 64-bit SimHash near-dup pairs",
     ))
+    s.append(QuerySpec(
+        "simhash_checked_near_duplicates",
+        # Same banding/rep-collapse pipeline, but the per-token bit
+        # family is exact integer SQL over the sorted-vocabulary rank
+        # (like MinHash's vocab_rank mode) — so the ENTIRE SimHash
+        # construction is value-hash-checked against DuckDB; only the
+        # production xxhash64 token hash stays rows-only.
+        lambda sp, d: simhash.near_duplicates(
+            _t(sp, d, "documents"), checked=True
+        ),
+        simhash.oracle_sql_checked(_TOKS),
+        ("dedup", "simhash"),
+        "oracle-replayable SimHash (vocab-rank bit family), hash-checked",
+    ))
 
     # ---- similarity search (north star) ---------------------------------
     cos_e_q = _cos_sql("embedding", "qe")
