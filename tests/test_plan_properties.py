@@ -124,6 +124,9 @@ def test_winnowing_plan_shapes(spark):
     )
     from big_data_exercise_spark.tables import load_table
 
+    # Earlier tests persist identical subplans; the CacheManager would
+    # then substitute InMemoryTableScan for the kernel under test.
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     fast = fingerprint_sets(docs)._jdf.queryExecution().executedPlan().toString()
     assert fast.count("MapInPandas") == 1
