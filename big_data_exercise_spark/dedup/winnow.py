@@ -147,6 +147,57 @@ def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFram
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    min_shared: int = 10,
+    k: int = K,
+    w: int = WIN,
+) -> DataFrame:
+    """Asymmetric containment near-dups: pairs where one document's
+    fingerprint set is mostly INSIDE the other's — the excerpt/quote
+    relationship Jaccard-based dedup is structurally blind to (a 50-line
+    excerpt of a 5000-line doc has Jaccard ≈ 0.01 but containment ≈ 1).
+    Standard in training-data curation for catching quoted/boilerplate
+    inclusions that survive symmetric dedup.
+
+    Output per (id1 < id2): shared fingerprint count and both directed
+    containments c1 = shared/|fps(id1)|, c2 = shared/|fps(id2)|; kept
+    when either direction ≥ ``threshold`` (and shared ≥ ``min_shared``
+    to bound noise from tiny sets). Same bucket-join shape and cost as
+    ``overlap_pairs`` — integer counts, so both engines agree exactly;
+    the divisions are single IEEE ops."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    fps = fingerprint_sets(documents, k, w).persist()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = fps.select(F.col("doc_id").alias("id1"), "fp")
+    b = fps.select(F.col("doc_id").alias("id2"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    c1 = F.col("n_shared") / F.col("sz1")
+    c2 = F.col("n_shared") / F.col("sz2")
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(F.greatest(c1, c2) >= threshold)
+        .select(
+            "id1",
+            "id2",
+            "n_shared",
+            round_det(c1, 4).alias("containment1"),
+            round_det(c2, 4).alias("containment2"),
+        )
+    )
+
+
 def winnowing_fingerprints(
     documents: DataFrame, k: int = K, w: int = WIN
 ) -> DataFrame:

@@ -87,3 +87,39 @@ def resample_interpolate(
         F.col("val").isNotNull().alias("observed"),
         filled.alias("filled_value"),
     )
+
+
+def decayed_value_by_type(
+    events: DataFrame,
+    anchor: str = "2024-02-01",
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Half-life time-decayed aggregation: each event's value is
+    weighted by 2^-(floor(age_days / half_life)) relative to a fixed
+    ``anchor`` date — the recency weighting every event-scoring /
+    feature pipeline eventually needs (recent activity dominates,
+    history decays geometrically but never vanishes).
+
+    Exactness contract: the decay uses WEEKLY HALVINGS (an integer
+    power of two), so every weight is an exact dyadic rational and
+    ``value * weight`` is a pure exponent shift — no rounding enters
+    before the decimal-exact sum (functions.numeric). A continuous
+    exp(-λ·age) decay would not be cross-engine reproducible (libm
+    exp differs in the last ulp between engines); the stepped decay is
+    the engine-stable formulation of the same idea. At scale this is
+    one partial-aggregated shuffle, identical to any grouped sum; the
+    anchor pins results regardless of when the job runs (never use
+    current_timestamp() in a reproducible pipeline)."""
+    from big_data_exercise_spark.functions.numeric import exact_sum
+
+    age_days = F.datediff(F.lit(anchor).cast("date"), F.col("ts").cast("date"))
+    halvings = F.floor(age_days / F.lit(float(half_life_days)))
+    weight = F.lit(1.0) / F.pow(F.lit(2.0), halvings.cast("double"))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value") * weight, 4).alias("decayed_value"),
+            exact_sum(F.col("value"), 4).alias("raw_value"),
+        )
+    )

@@ -1608,6 +1608,31 @@ def _specs() -> list[QuerySpec]:
         "substring-level near-dup pairs via shared winnowing fingerprints",
     ))
     s.append(QuerySpec(
+        "containment_pairs",
+        # Asymmetric excerpt/quote detection: containment = shared /
+        # |own fingerprint set| per direction — catches a small doc
+        # embedded in a big one (Jaccard ≈ 0 there). Filter on the raw
+        # IEEE division in BOTH engines; round only for output.
+        lambda sp, d: winnow.containment_pairs(_t(sp, d, "documents")),
+        f"""
+        WITH {_WINNOW_CTES},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        SELECT id1, id2, n_shared,
+               {round_det_sql("n_shared * 1.0 / s1.sz", 4)} AS containment1,
+               {round_det_sql("n_shared * 1.0 / s2.sz", 4)} AS containment2
+        FROM shared
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE greatest(n_shared * 1.0 / s1.sz, n_shared * 1.0 / s2.sz) >= 0.8
+        """,
+        ("dedup", "fingerprint", "containment"),
+        "asymmetric containment pairs (excerpt detection, Jaccard-blind case)",
+    ))
+    s.append(QuerySpec(
         "winnowing_pairs_capped",
         # The adversarial-skew guard: buckets hotter than 50 docs are
         # dropped before the self-join. The cap is a deterministic
@@ -3359,6 +3384,27 @@ def _specs() -> list[QuerySpec]:
         ("agg", "stats"),
         "SQL:2003 regr_* family (slope/intercept/r/R²) from exact "
         "decimal moments — engine-stable where native corr() is not",
+    ))
+    s.append(QuerySpec(
+        "decayed_value_by_type",
+        # Half-life recency weighting with WEEKLY halvings: every
+        # weight is an exact power of two, so value*weight is a pure
+        # exponent shift and the decimal-exact sum kernel sees
+        # engine-identical inputs (a continuous exp(-λt) decay would
+        # differ between libm implementations).
+        lambda sp, d: timeseries.decayed_value_by_type(_t(sp, d, "events")),
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {sum_sql(
+                   "value * (1.0 / POW(2.0, FLOOR("
+                   "date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')"
+                   " / 7.0)))",
+                   "decayed_value", 4)},
+               {sum_sql("value", "raw_value", 4)}
+        FROM events GROUP BY event_type
+        """,
+        ("agg", "timeseries", "decay"),
+        "half-life time-decayed aggregate (exact dyadic weights)",
     ))
     s.append(QuerySpec(
         "resample_interpolate",
