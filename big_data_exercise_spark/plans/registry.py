@@ -55,7 +55,7 @@ from big_data_exercise_spark.functions.numeric import (
 )
 from big_data_exercise_spark.dedup import exact as dedup_exact_mod
 from big_data_exercise_spark.dedup import (
-    cluster, contamination, minhash, ngram, simhash, winnow,
+    cluster, contamination, minhash, ngram, simhash, ssjoin, winnow,
 )
 from big_data_exercise_spark.similarity import kmeans, knn, lsh
 from big_data_exercise_spark.multimodal import audio, codecs, detections
@@ -1859,6 +1859,32 @@ def _specs() -> list[QuerySpec]:
         None,  # xxhash64-based — Spark-internal hash; property-tested instead
         ("dedup", "simhash"),
         "banded 64-bit SimHash near-dup pairs",
+    ))
+    s.append(QuerySpec(
+        "exact_jaccard_pairs",
+        # Prefix-filtered set-similarity self-join (SSJoin/PPJoin-lite):
+        # the EXACT, LSH-free dedup path — zero recall loss, so the
+        # oracle is the brute-force all-pairs join and equality is the
+        # algorithm's correctness proof, not a replay.
+        lambda sp, d: ssjoin.exact_jaccard_pairs(_t(sp, d, "documents")),
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+               {round_det_sql("n * 1.0 / (s1.sz + s2.sz - n)", 4)} AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE n * 1.0 / (s1.sz + s2.sz - n) >= 0.8
+        """,
+        ("dedup", "ssjoin", "exact"),
+        "exact set-similarity join via prefix filtering (no recall loss)",
     ))
     s.append(QuerySpec(
         "simhash_checked_near_duplicates",
