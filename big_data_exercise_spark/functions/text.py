@@ -493,3 +493,57 @@ def data_card_report(documents: DataFrame, min_tokens: int = 30, min_diversity: 
         .cast("long")
         .alias("curated_tokens"),
     )
+
+
+def ngram_novelty(documents: DataFrame) -> DataFrame:
+    """Per-document trigram novelty: the fraction of a doc's DISTINCT
+    word-trigrams whose corpus-wide first occurrence (minimum doc_id)
+    is this document — the "how much of this text has the corpus
+    already seen" signal used for dedup-aware curriculum ordering and
+    memorization-risk scoring (a near-copy of earlier material scores
+    ~0, genuinely new text ~1).
+
+    Two map-side-combinable aggregations (per-gram min over the corpus,
+    per-doc counts) and one doc_id-keyed join — the same shuffle shape
+    as idf. Docs with fewer than 3 tokens have no trigrams and are
+    absent from the output (both engines agree by construction)."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    m1 = F.greatest(n - 1, F.lit(0))
+    m2 = F.greatest(n - 2, F.lit(0))
+    trigrams = F.zip_with(
+        F.slice(toks, 1, m2),
+        F.slice(
+            F.zip_with(
+                F.slice(toks, 2, m1),
+                F.slice(toks, 3, m1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            1,
+            m2,
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    grams = documents.select(
+        "doc_id", "lang", F.explode(F.array_distinct(trigrams)).alias("g")
+    ).persist()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "n_novel",
+        round_det(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
+    )

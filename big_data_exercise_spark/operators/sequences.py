@@ -119,3 +119,33 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def common_event_paths(events: DataFrame, top: int = 20) -> DataFrame:
+    """Top 3-step event paths (path mining): for every consecutive
+    triple of one user's events (ordered by ts, event_id), the path
+    string "a>b>c", counted corpus-wide — the next step up from the
+    first-order transition matrix (event_transition_matrix), and the
+    query behind "what do users do right before purchasing/erroring".
+
+    One partitioned window (two leads) + one grouped count: the window
+    never crosses users, the count is map-side combinable over at most
+    |event_types|³ distinct paths, and the final top-k is a
+    TakeOrderedAndProject. Deterministic tie-break on the path string
+    so the limit cannot truncate arbitrarily."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        stepped.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(top)
+    )

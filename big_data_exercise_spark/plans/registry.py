@@ -2054,6 +2054,50 @@ def _specs() -> list[QuerySpec]:
         "first-order Markov transition matrix over per-user event streams",
     ))
     s.append(QuerySpec(
+        "common_event_paths",
+        lambda sp, d: sequences.common_event_paths(_t(sp, d, "events")),
+        """
+        WITH stepped AS (
+          SELECT event_type AS e1,
+                 LEAD(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                 LEAD(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e3
+          FROM events)
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths
+        FROM stepped WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
+        """,
+        ("sequence", "paths"),
+        "top 3-step event paths (deterministic tie-broken top-k)",
+    ))
+    s.append(QuerySpec(
+        "ngram_novelty",
+        # Corpus-order novelty: fraction of a doc's distinct trigrams
+        # first seen IN this doc — dedup-aware curriculum signal.
+        lambda sp, d: text.ngram_novelty(_t(sp, d, "documents")),
+        f"""
+        WITH w AS (SELECT doc_id, lang, {_TOKS} AS ws FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, lang, g FROM (
+            SELECT doc_id, lang,
+                   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           for i in range(1, len(ws) - 1)]) AS g
+            FROM w WHERE len(ws) >= 3) u),
+        firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT doc_id, lang, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               {round_det_sql(
+                   "SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                   " * 1.0 / COUNT(*)", 4)} AS novelty
+        FROM grams JOIN firsts USING (g)
+        GROUP BY doc_id, lang
+        """,
+        ("text", "novelty"),
+        "per-doc trigram novelty vs corpus first-occurrence order",
+    ))
+    s.append(QuerySpec(
         "cohort_retention",
         lambda sp, d: sequences.cohort_retention(_t(sp, d, "events")),
         """
