@@ -123,3 +123,48 @@ def decayed_value_by_type(
             exact_sum(F.col("value"), 4).alias("raw_value"),
         )
     )
+
+
+def daily_active_windows(events: DataFrame) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    analytics staple ("weekly active users") computed the scale-right
+    way: instead of a day-grid range join (whose probe side re-scans
+    the event log per day), every event row fans out to the ≤7 window
+    days it participates in via a bounded ``sequence`` explode, and one
+    distinct aggregation per day does the rest. Fanout is a constant
+    (the window length), the only shuffle is the final groupBy(day),
+    and COUNT(DISTINCT) stays exact — swap in approx_count_distinct at
+    100 TB for the mergeable-sketch version (hll_reach_report shows
+    that path). Output days are restricted to days with ≥1 event (the
+    dashboard convention)."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    ev = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    days = ev.select(F.col("d").alias("day")).distinct()
+    expanded = ev.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("day"),
+    ).withColumn("offset", F.datediff("day", "d"))
+    per_day = (
+        expanded.join(days, "day")
+        .groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("offset") == 0, F.col("user_id"))
+            ).alias("dau_users"),
+            F.count_distinct("user_id").alias("wau_users"),
+        )
+    )
+    return per_day.select(
+        "day",
+        "dau_users",
+        "wau_users",
+        round_det(F.col("dau_users") / F.col("wau_users"), 4).alias(
+            "stickiness"
+        ),
+    )

@@ -3456,6 +3456,31 @@ def _specs() -> list[QuerySpec]:
         "decimal moments — engine-stable where native corr() is not",
     ))
     s.append(QuerySpec(
+        "daily_active_windows",
+        # DAU / trailing-7d WAU / stickiness: bounded explode (≤7 rows
+        # per event) + one distinct agg — never a day-grid range join.
+        lambda sp, d: timeseries.daily_active_windows(_t(sp, d, "events")),
+        f"""
+        WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+        days AS (SELECT DISTINCT d AS day FROM ev),
+        expanded AS (
+          SELECT user_id, d, d + unnest([0, 1, 2, 3, 4, 5, 6]) AS day
+          FROM ev),
+        g AS (
+          SELECT day,
+                 COUNT(DISTINCT CASE WHEN day = d THEN user_id END)
+                   AS dau_users,
+                 COUNT(DISTINCT user_id) AS wau_users
+          FROM expanded JOIN days USING (day)
+          GROUP BY day)
+        SELECT day, dau_users, wau_users,
+               {round_det_sql("dau_users * 1.0 / wau_users", 4)} AS stickiness
+        FROM g
+        """,
+        ("agg", "timeseries", "distinct"),
+        "DAU / trailing-7d WAU / stickiness per day (bounded-fanout form)",
+    ))
+    s.append(QuerySpec(
         "decayed_value_by_type",
         # Half-life recency weighting with WEEKLY halvings: every
         # weight is an exact power of two, so value*weight is a pure
