@@ -160,8 +160,12 @@ def daily_active_windows(events: DataFrame) -> DataFrame:
             F.count_distinct("user_id").alias("wau_users"),
         )
     )
+    # Emit the day as a timestamp (repo convention for temporal output
+    # columns): DATE round-trips as python date on the Spark side but
+    # pandas Timestamp from DuckDB, so a DATE output column would
+    # stringify differently in the comparators.
     return per_day.select(
-        "day",
+        F.col("day").cast("timestamp").alias("day"),
         "dau_users",
         "wau_users",
         round_det(F.col("dau_users") / F.col("wau_users"), 4).alias(

@@ -3473,7 +3473,7 @@ def _specs() -> list[QuerySpec]:
                  COUNT(DISTINCT user_id) AS wau_users
           FROM expanded JOIN days USING (day)
           GROUP BY day)
-        SELECT day, dau_users, wau_users,
+        SELECT CAST(day AS TIMESTAMP) AS day, dau_users, wau_users,
                {round_det_sql("dau_users * 1.0 / wau_users", 4)} AS stickiness
         FROM g
         """,
