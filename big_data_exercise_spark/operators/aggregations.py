@@ -458,3 +458,89 @@ def anomaly_events(events: DataFrame, sigma: float = 3.0) -> DataFrame:
         .filter(F.col("zscore") > sigma)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+def mad_outlier_stats(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust outlier accounting per group: median, MAD (median
+    absolute deviation), and the count of values beyond median ±
+    k·MAD — the robust sibling of the z-score flags (anomaly_events),
+    immune to the outliers themselves inflating the threshold (mean
+    and stddev both break down at 50% contamination; median/MAD have
+    the maximal 50% breakdown point).
+
+    Two grouped exact-percentile passes (median of values, then median
+    of |v − median|) joined back on the group key — at 100 TB both
+    become percentile_approx (mergeable t-digest) with the identical
+    plan shape. The outlier comparison runs on raw doubles (single
+    IEEE subtract/compare — engine-identical); only the reported stats
+    are rounded."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    stats = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.first("med").alias("med_v"),
+        F.count("*").alias("n_events"),
+    )
+    # The outlier count needs the finished MAD per group — second pass
+    # against the broadcast (group, med, mad) table.
+    flagged = (
+        events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med_v"))
+                    > F.lit(k) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        stats.join(flagged, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            round_det(F.col("med_v"), 4).alias("median_value"),
+            round_det(F.col("mad"), 4).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+def user_behavior_gini(events: DataFrame) -> DataFrame:
+    """Per-user behavioral diversity as Gini impurity over the
+    event-type distribution: 1 − Σ_t (c_t/n)² — 0 for a single-minded
+    user, →1−1/|types| for uniform behavior. Chosen over Shannon
+    entropy deliberately: entropy needs log(), whose last-ulp varies
+    between libm implementations, while Gini is pure rational
+    arithmetic — Σc² is an exact integer (order-independent), so
+    ``1 − Σc²/n²`` is ONE IEEE division both engines evaluate
+    bit-identically. Two map-side-combinable aggregations keyed on the
+    user — the same shuffle shape as any per-user profile."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        round_det(
+            F.lit(1.0)
+            - F.col("sum_c2") / (F.col("n_events") * F.col("n_events")),
+            4,
+        ).alias("gini"),
+    )

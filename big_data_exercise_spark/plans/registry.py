@@ -355,6 +355,57 @@ def _specs() -> list[QuerySpec]:
         ("agg", "quantile"),
         "exact percentiles per group (declared gap: quantiles)",
     ))
+    s.append(QuerySpec(
+        "mad_outlier_stats",
+        lambda sp, d: agg.mad_outlier_stats(_t(sp, d, "events")),
+        f"""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type),
+        stats AS (
+          SELECT e.event_type,
+                 quantile_cont(abs(value - med), 0.5) AS mad,
+                 any_value(med) AS med_v, COUNT(*) AS n_events
+          FROM events e JOIN med USING (event_type)
+          GROUP BY e.event_type),
+        flagged AS (
+          SELECT e.event_type,
+                 CAST(SUM(CASE WHEN abs(value - med_v) > 3.0 * mad
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM events e JOIN stats USING (event_type)
+          GROUP BY e.event_type)
+        SELECT event_type, n_events,
+               {round_det_sql("med_v", 4)} AS median_value,
+               {round_det_sql("mad", 4)} AS mad,
+               n_outliers
+        FROM stats JOIN flagged USING (event_type)
+        """,
+        ("agg", "robust"),
+        "median/MAD robust outlier accounting (50% breakdown point)",
+    ))
+    s.append(QuerySpec(
+        "user_behavior_gini",
+        # Gini impurity, not entropy: Σc² is an exact integer, so the
+        # diversity score is one IEEE division — no libm log() whose
+        # last ulp differs between engines.
+        lambda sp, d: agg.user_behavior_gini(_t(sp, d, "events")),
+        f"""
+        WITH pt AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        pu AS (
+          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c * c) AS BIGINT) AS sum_c2
+          FROM pt GROUP BY user_id)
+        SELECT user_id, n_events, n_types,
+               {round_det_sql(
+                   "1.0 - sum_c2 * 1.0 / (n_events * n_events)", 4)} AS gini
+        FROM pu
+        """,
+        ("agg", "diversity"),
+        "per-user Gini behavioral diversity (exact integer moments)",
+    ))
 
     s.append(QuerySpec(
         "salted_top_revenue",
