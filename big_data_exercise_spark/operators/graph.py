@@ -150,3 +150,87 @@ def supplier_cooccurrence(
         .orderBy(F.desc("n_shared_customers"), "s1", "s2")
         .limit(top)
     )
+
+
+def supplier_triangles(
+    orders: DataFrame, lineitem: DataFrame, min_weight: int = 3
+) -> DataFrame:
+    """Strong-tie triangle census over the supplier co-occurrence
+    graph: nodes are suppliers, an edge connects two suppliers sharing
+    ≥ ``min_weight`` customers, and the output is one row of global
+    graph stats — edge count, wedge count (paths of length 2), triangle
+    count, and the global clustering coefficient 3·T/W.
+
+    The algorithm is the degree-ordered orientation [Schank & Wagner
+    '05 / MapReduce folklore]: orient every edge from its
+    (degree, id)-smaller endpoint to the larger one; each triangle then
+    has exactly ONE node with two outgoing edges, so joining the
+    oriented wedge (a→b, a→c) against the oriented edge (b→c) counts
+    every triangle once and never enumerates a wedge at a high-degree
+    hub — out-degrees are O(√m), which is what makes triangle counting
+    feasible on power-law graphs at scale. The ``min_weight`` floor is
+    the semantic knob that keeps a dense co-purchase graph's edge set
+    meaningful (and bounded) before any join.
+
+    The clustering coefficient divides two exact integers — one IEEE
+    division, engine-identical."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("s").alias("u"), "c")
+    b = cs.select(F.col("s").alias("v"), "c")
+    edges = (
+        a.join(b, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("u", "v")
+        .persist()
+    )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    keyed = (
+        sym.join(deg.withColumnRenamed("u", "u_"), F.col("u") == F.col("u_"))
+        .select("u", "v", F.col("d").alias("du"))
+        .join(
+            deg.select(F.col("u").alias("v_"), F.col("d").alias("dv")),
+            F.col("v") == F.col("v_"),
+        )
+        .select("u", "v", "du", "dv")
+    )
+    oriented = keyed.filter(
+        F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    ).select("u", "v").persist()
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    tri_edges = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).union(oriented.select(F.col("v").alias("x"), F.col("u").alias("y")))
+    closed = wedges.join(
+        tri_edges, (F.col("b") == F.col("x")) & (F.col("c") == F.col("y"))
+    )
+    # Pure-plan scalars (no driver collect): three 1-row aggregates
+    # cross-joined, the same shape as lsh_recall_report.
+    e_cnt = edges.agg(F.count("*").alias("n_edges"))
+    w_cnt = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    t_cnt = closed.agg(F.count("*").alias("n_triangles"))
+    return (
+        e_cnt.crossJoin(w_cnt)
+        .crossJoin(t_cnt)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            round_det(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -2183,6 +2183,48 @@ def _specs() -> list[QuerySpec]:
         "market-basket co-occurrence: supplier pairs by shared customers",
     ))
     s.append(QuerySpec(
+        "supplier_triangles",
+        # Degree-ordered triangle counting: each triangle has exactly
+        # one node with two outgoing oriented edges, so wedges never
+        # fan out at high-degree hubs (out-degree O(sqrt m)).
+        lambda sp, d: graph.supplier_triangles(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        f"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT a.s AS u, b.s AS v
+          FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+        oriented AS (
+          SELECT s.u, s.v
+          FROM sym s JOIN deg d1 ON d1.u = s.u JOIN deg d2 ON d2.u = s.v
+          WHERE (d1.d, s.u) < (d2.d, s.v)),
+        wedges AS (
+          SELECT w1.v AS b, w2.v AS c
+          FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v < w2.v),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM wedges JOIN (SELECT u AS x, v AS y FROM oriented
+                            UNION ALL SELECT v, u FROM oriented) t
+               ON b = t.x AND c = t.y),
+        ec AS (SELECT COUNT(*) AS n_edges FROM edges),
+        wc AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+               FROM deg)
+        SELECT n_edges, n_wedges, n_triangles,
+               {round_det_sql("3.0 * n_triangles / n_wedges", 4)}
+                 AS clustering_coeff
+        FROM ec, wc, tri
+        """,
+        ("graph", "triangles"),
+        "strong-tie triangle census + clustering coefficient "
+        "(degree-ordered orientation)",
+    ))
+    s.append(QuerySpec(
         "conversion_funnel",
         lambda sp, d: sequences.conversion_funnel(_t(sp, d, "events")),
         f"""
