@@ -1065,6 +1065,44 @@ def _specs() -> list[QuerySpec]:
             exact_sum(F.col("value")).alias("total_value"),
         )
 
+    def _schema_evolution(sp: SparkSession, d: str) -> DataFrame:
+        # Parquet schema evolution: half the table written with the v1
+        # schema (no event_type), half with v2 (event_type added);
+        # mergeSchema=true reconciles by NAME and NULL-fills the column
+        # for v1 files — the append-only-evolution contract a long-lived
+        # 100 TB table depends on (per-file pruning still applies; the
+        # merged read costs one extra footer pass at planning).
+        ev = _t(sp, d, "events").select("event_id", "user_id", "event_type")
+        out = tempfile.mkdtemp(prefix="bdes_evo_")
+        v1 = ev.filter(F.col("event_id") % 2 == 0).drop("event_type")
+        v2 = ev.filter(F.col("event_id") % 2 == 1)
+        v1.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+        merged = sp.read.option("mergeSchema", "true").parquet(
+            os.path.join(out, "v1"), os.path.join(out, "v2")
+        )
+        return merged.groupBy(
+            F.coalesce("event_type", F.lit("<pre-schema>")).alias("event_type")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+
+    s.append(QuerySpec(
+        "schema_evolution_read",
+        _schema_evolution,
+        """
+        SELECT CASE WHEN event_id % 2 = 0 THEN '<pre-schema>'
+                    ELSE event_type END AS event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+        """,
+        ("source", "schema-evolution"),
+        "mergeSchema parquet read across file-schema generations",
+    ))
+
     s.append(QuerySpec(
         "partitioned_day_rollup",
         _partitioned_day,
