@@ -149,3 +149,46 @@ def common_event_paths(events: DataFrame, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(top)
     )
+
+
+def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Peak concurrent sessions per day — the interval-analytics
+    staple (capacity planning: "how many users were on AT ONCE").
+    Sessions come from the same gap-based session_window as
+    session_windows; the sweep-line turns each session into a (+1 at
+    start, −1 at exclusive end) point and a running sum over the
+    point stream reads off the concurrency step function; max per day
+    is the peak. Tie order (t, delta) processes ends before starts at
+    the same instant — exclusive-end semantics, engine-deterministic:
+    within a peer group of equal (t, delta) the running values are a
+    permutation of base+1..base+k, whose maximum is the full k
+    regardless of peer order, so the daily MAX is stable.
+
+    The running sum is a single global-ordered window — fine for the
+    point stream (2 rows per session, not per event). At 100 TB,
+    partition the sweep by day and carry each day's closing count into
+    the next (one tiny second pass) instead of a global sort."""
+    from pyspark.sql import Window as W
+
+    sessions = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("st"),
+            F.col("w.end").alias("en"),
+        )
+    )
+    pts = sessions.select(
+        F.col("st").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(sessions.select(F.col("en").alias("t"), F.lit(-1).alias("delta")))
+    w = W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = pts.withColumn("c", F.sum("delta").over(w))
+    return (
+        run.groupBy(F.to_date("t").cast("timestamp").alias("day"))
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+    )

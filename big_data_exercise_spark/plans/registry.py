@@ -2647,6 +2647,43 @@ def _specs() -> list[QuerySpec]:
         "gap-based session windows (session_window vs lag/cumsum oracle)",
     ))
 
+    s.append(QuerySpec(
+        "session_peak_concurrency",
+        lambda sp, d: sequences.session_peak_concurrency(_t(sp, d, "events")),
+        f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        sess AS (
+          SELECT MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en
+          FROM s GROUP BY user_id, sid),
+        pts AS (
+          SELECT st AS t, 1 AS delta FROM sess
+          UNION ALL SELECT en, -1 FROM sess),
+        run AS (
+          SELECT t, delta, SUM(delta) OVER (
+            ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c
+          FROM pts)
+        SELECT CAST(CAST(t AS DATE) AS TIMESTAMP) AS day,
+               CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sessions_started
+        FROM run GROUP BY 1
+        """,
+        ("sequence", "interval", "sweep"),
+        "peak concurrent sessions per day (sweep-line over session intervals)",
+    ))
+
     def _stream_sessions(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         return streams.run_to_memory(
