@@ -921,3 +921,58 @@ def waiting_suppliers(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(k)
     )
+
+
+def fuzzy_supplier_matches(supplier: DataFrame) -> DataFrame:
+    """Exact edit-distance-≤1 self-join via deletion-neighborhood
+    blocking (the SymSpell construction): every name generates itself
+    plus its |s| single-character deletions; two strings within edit
+    distance 1 MUST share one of these variants (substitution → delete
+    the differing position from both; insert/delete → the shorter
+    string is itself a deletion of the longer), so the variant
+    equi-join finds every qualifying pair with zero recall loss and a
+    bounded |s|+1 fanout per row — no all-pairs Levenshtein, which is
+    the difference between O(n²·L²) and O(n·L) work at catalog scale.
+    Candidates sharing a variant can still be distance 2 (two
+    different deletions colliding), so each is verified with one exact
+    Levenshtein — integer DP, engine-identical by definition.
+
+    This is the scalable record-linkage sibling of the bounded
+    all-pairs kernel (prefix_edit_distances); the fixture's
+    sequential supplier names make a dense distance-1 graph, a good
+    stress of the dedup-by-blocking shape."""
+    base = supplier.select(
+        F.col("s_suppkey").alias("sk"), F.col("s_name").alias("name")
+    )
+    variants = base.select(
+        "sk",
+        "name",
+        F.explode(
+            F.concat(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)), i ->"
+                    " concat(substring(name, 1, i - 1),"
+                    " substring(name, i + 1, length(name))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("sk").alias("id1"), F.col("name").alias("n1"), "v"
+    )
+    b = variants.select(
+        F.col("sk").alias("id2"), F.col("name").alias("n2"), "v"
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "n1", "n2")
+        .distinct()
+        .filter(F.levenshtein("n1", "n2") <= 1)
+        .select(
+            "id1",
+            "id2",
+            F.levenshtein("n1", "n2").cast("int").alias("edit_distance"),
+        )
+    )

@@ -1373,6 +1373,22 @@ def _specs() -> list[QuerySpec]:
         "bounded kernel)",
     ))
     s.append(QuerySpec(
+        "fuzzy_supplier_matches",
+        # SymSpell deletion-neighborhood blocking: exact ED<=1 join
+        # with |s|+1 fanout per row; the oracle is the brute-force
+        # all-pairs join, so the hash check proves zero recall loss.
+        lambda sp, d: joins.fuzzy_supplier_matches(_t(sp, d, "supplier")),
+        """
+        SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER)
+                 AS edit_distance
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        ("join", "fuzzy", "dedup"),
+        "exact edit-distance-1 join via deletion-neighborhood blocking",
+    ))
+    s.append(QuerySpec(
         "calendar_features",
         lambda sp, d: scalars.calendar_features(_t(sp, d, "events")),
         """
