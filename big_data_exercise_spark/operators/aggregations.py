@@ -544,3 +544,95 @@ def user_behavior_gini(events: DataFrame) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+def rfm_segments(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
+    """RFM segmentation — the marketing-analytics classic: per
+    customer, Recency (days since last order at a FIXED anchor —
+    reproducibility forbids current_date), Frequency (order count),
+    Monetary (exact-decimal revenue sum); each quartile-scored with
+    ntile(4) under a fully tie-broken order (metric, then custkey —
+    ntile over a partial order is nondeterministic), then customers
+    aggregated per three-digit segment. Shuffle shape: one grouped
+    aggregate + three global ntile windows over ONE row per customer
+    (the windows sort customer-count rows, not order rows — at 100 TB
+    that is the small side by construction)."""
+    from big_data_exercise_spark.functions.numeric import exact_sum, round_det
+    from pyspark.sql import Window as W
+
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor).cast("date"), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        exact_sum(F.col("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r"),
+        F.ntile(4).over(f_w).alias("f"),
+        F.ntile(4).over(m_w).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("", F.col("r"), F.col("f"), F.col("m")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            round_det(
+                F.sum(F.col("monetary").cast("decimal(30,8)")).cast("double")
+                / F.count("*"),
+                2,
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+def abc_revenue_classes(orders: DataFrame) -> DataFrame:
+    """ABC / Pareto analysis: customers ranked by revenue; class A =
+    the head up to 80% cumulative revenue share, B to 95%, C the tail.
+    The cumulative sum runs over exact integer CENTS — a running
+    double sum would be re-association-sensitive (Spark accumulates
+    running windows incrementally, DuckDB may segment-tree them;
+    different association → different last-ulp → a class boundary can
+    flip), while integer addition is exact under any association.
+    One grouped aggregate + one global window over one row per
+    customer."""
+    from big_data_exercise_spark.functions.numeric import exact_sum, round_det
+    from pyspark.sql import Window as W
+
+    rev = orders.groupBy("o_custkey").agg(
+        exact_sum(F.col("o_totalprice"), 2).alias("rev")
+    )
+    cents = rev.select(
+        "o_custkey",
+        F.floor(F.col("rev") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    w = W.orderBy(F.desc("c"), F.asc("o_custkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    total = cents.agg(F.sum("c").cast("long").alias("t"))
+    ranked = cents.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    share = F.col("cum") / F.col("t")
+    classed = ranked.select(
+        "o_custkey",
+        "c",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            round_det(F.sum("c").cast("double") / 100.0, 2).alias(
+                "class_revenue"
+            ),
+        )
+    )

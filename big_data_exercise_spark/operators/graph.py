@@ -234,3 +234,66 @@ def supplier_triangles(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def association_rules(
+    orders: DataFrame, lineitem: DataFrame, top: int = 15, min_pairs: int = 3
+) -> DataFrame:
+    """Association rules over the customer→supplier basket relation:
+    for supplier pairs sharing ≥ ``min_pairs`` customers, support
+    (share of all customers buying both), confidence in each direction
+    (P(s2|s1), P(s1|s2)) and lift (observed co-occurrence over the
+    independence expectation). Every metric is a ratio of exact
+    integer counts — products first, ONE IEEE division each, so both
+    engines agree bit-for-bit; ordering is by raw lift with a full
+    (s1, s2) tie-break so the top-k cannot truncate arbitrarily.
+
+    Shuffle shape: the distinct basket relation, one count per
+    supplier, one count per pair — all map-side combinable; the final
+    top-k is a TakeOrderedAndProject."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    n_c = cs.select("c").distinct().agg(F.count("*").alias("n_customers"))
+    per_s = cs.groupBy("s").agg(F.count("*").alias("cnt"))
+    a = cs.select(F.col("s").alias("s1"), "c")
+    b = cs.select(F.col("s").alias("s2"), "c")
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n12"))
+        .filter(F.col("n12") >= min_pairs)
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(per_s.select(F.col("s").alias("s1"), F.col("cnt").alias("c1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(per_s.select(F.col("s").alias("s2"), F.col("cnt").alias("c2"))),
+            "s2",
+        )
+        .crossJoin(F.broadcast(n_c))
+    )
+    lift = (F.col("n12") * F.col("n_customers")) / (F.col("c1") * F.col("c2"))
+    return (
+        joined.select(
+            "s1",
+            "s2",
+            "n12",
+            round_det(F.col("n12") / F.col("n_customers"), 4).alias("support"),
+            round_det(F.col("n12") / F.col("c1"), 4).alias("conf_1to2"),
+            round_det(F.col("n12") / F.col("c2"), 4).alias("conf_2to1"),
+            round_det(lift, 4).alias("lift"),
+            lift.alias("_lift_raw"),
+        )
+        .orderBy(F.desc("_lift_raw"), "s1", "s2")
+        .limit(top)
+        .drop("_lift_raw")
+    )

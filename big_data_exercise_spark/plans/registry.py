@@ -2237,6 +2237,94 @@ def _specs() -> list[QuerySpec]:
         "market-basket co-occurrence: supplier pairs by shared customers",
     ))
     s.append(QuerySpec(
+        "rfm_segments",
+        lambda sp, d: agg.rfm_segments(_t(sp, d, "orders")),
+        f"""
+        WITH cust AS (
+          SELECT o_custkey,
+                 date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                           DATE '2002-01-01') AS recency_days,
+                 COUNT(*) AS frequency,
+                 {sum_sql("o_totalprice", "monetary")}
+          FROM orders GROUP BY o_custkey),
+        scored AS (
+          SELECT o_custkey, monetary,
+                 NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+                 NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+                 NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+          FROM cust)
+        SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+                 AS segment,
+               COUNT(*) AS n_customers,
+               {round_det_sql(
+                   "CAST(SUM(CAST(monetary AS DECIMAL(30,8))) AS DOUBLE)"
+                   " / COUNT(*)", 2)} AS avg_monetary
+        FROM scored GROUP BY 1
+        """,
+        ("agg", "rfm", "window"),
+        "RFM quartile segmentation (fixed anchor, tie-broken ntile)",
+    ))
+    s.append(QuerySpec(
+        "abc_revenue_classes",
+        # Pareto/ABC with an integer-cents cumulative sum: running
+        # double sums are re-association-sensitive across engines; the
+        # integer sweep is exact under any association.
+        lambda sp, d: agg.abc_revenue_classes(_t(sp, d, "orders")),
+        f"""
+        WITH rev AS (
+          SELECT o_custkey, {sum_sql("o_totalprice", "rev")}
+          FROM orders GROUP BY o_custkey),
+        cents AS (
+          SELECT o_custkey, CAST(FLOOR(rev * 100 + 0.5) AS BIGINT) AS c
+          FROM rev),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cents),
+        ranked AS (
+          SELECT o_custkey, c, SUM(c) OVER (
+            ORDER BY c DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum
+          FROM cents),
+        classed AS (
+          SELECT c, CASE WHEN cum * 1.0 / t.t <= 0.8 THEN 'A'
+                         WHEN cum * 1.0 / t.t <= 0.95 THEN 'B'
+                         ELSE 'C' END AS abc_class
+          FROM ranked, t)
+        SELECT abc_class, COUNT(*) AS n_customers,
+               {round_det_sql("CAST(SUM(c) AS DOUBLE) / 100.0", 2)}
+                 AS class_revenue
+        FROM classed GROUP BY abc_class
+        """,
+        ("agg", "pareto", "window"),
+        "ABC/Pareto revenue classes (integer-cents cumulative sweep)",
+    ))
+    s.append(QuerySpec(
+        "association_rules",
+        lambda sp, d: graph.association_rules(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        f"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        nc AS (SELECT COUNT(DISTINCT c) AS n_customers FROM cs),
+        ps AS (SELECT s, COUNT(*) AS cnt FROM cs GROUP BY s),
+        pr AS (
+          SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n12
+          FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        SELECT s1, s2, n12,
+               {round_det_sql("n12 * 1.0 / n_customers", 4)} AS support,
+               {round_det_sql("n12 * 1.0 / p1.cnt", 4)} AS conf_1to2,
+               {round_det_sql("n12 * 1.0 / p2.cnt", 4)} AS conf_2to1,
+               {round_det_sql(
+                   "(n12 * n_customers) * 1.0 / (p1.cnt * p2.cnt)", 4)}
+                 AS lift
+        FROM pr JOIN ps p1 ON p1.s = s1 JOIN ps p2 ON p2.s = s2, nc
+        ORDER BY (n12 * n_customers) * 1.0 / (p1.cnt * p2.cnt) DESC, s1, s2
+        LIMIT 15
+        """,
+        ("graph", "association"),
+        "association rules: support/confidence/lift from exact counts",
+    ))
+    s.append(QuerySpec(
         "supplier_triangles",
         # Degree-ordered triangle counting: each triangle has exactly
         # one node with two outgoing oriented edges, so wedges never
