@@ -590,3 +590,43 @@ def test_funnel_counts_monotone_non_increasing(spark):
     counts = [r["n_users"] for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert rows[0]["conv_pct"] == 1.0
+
+
+def test_triangle_census_on_known_k4(spark):
+    """Degree-oriented triangle counting on a constructed K4: 3
+    customers each buying from all 4 suppliers → every supplier pair
+    shares 3 customers (meets the min_weight floor) → the complete
+    graph K4: 6 edges, 12 wedges, 4 triangles, clustering 1.0."""
+    from big_data_exercise_spark.operators.graph import supplier_triangles
+
+    orders = spark.createDataFrame(
+        [(c * 10, c) for c in (1, 2, 3)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(c * 10, s) for c in (1, 2, 3) for s in (1, 2, 3, 4)],
+        "l_orderkey long, l_suppkey long",
+    )
+    row = supplier_triangles(orders, lineitem).collect()[0]
+    assert (
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+        row["clustering_coeff"],
+    ) == (6, 12, 4, 1.0)
+
+
+def test_symspell_join_finds_every_ed1_pair(spark):
+    """Deletion-neighborhood blocking is exact for edit distance ≤ 1:
+    substitutions, insertions and deletions are all found; unrelated
+    strings are not."""
+    from big_data_exercise_spark.operators.joins import fuzzy_supplier_matches
+
+    sup = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abcd"), (4, "xyz")],
+        "s_suppkey long, s_name string",
+    )
+    got = {
+        (r["id1"], r["id2"], r["edit_distance"])
+        for r in fuzzy_supplier_matches(sup).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 1)}
