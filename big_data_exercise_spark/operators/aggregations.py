@@ -636,3 +636,30 @@ def abc_revenue_classes(orders: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def value_equiwidth_histogram(events: DataFrame, width: float = 50.0) -> DataFrame:
+    """Equi-width histogram of ``value`` with EMPTY interior bins
+    materialized — the chart-ready complement to the equi-height NTILE
+    histogram (which adapts bin edges) and the categorical domain fill
+    (histogram_domain_fill): a plotting layer needs every bin between
+    global min and max present, zero or not. Bin assignment is
+    floor(value / width) (exact IEEE divide + floor); the bin grid is
+    one sequence() explode between two global aggregates — no
+    driver-side loop, no shuffle beyond the bin count."""
+    binned = events.select(
+        F.floor(F.col("value") / F.lit(width)).cast("long").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("n"))
+    bounds = binned.agg(
+        F.min("bin").alias("b0"), F.max("bin").alias("b1")
+    )
+    grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(width)).alias("bin_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

@@ -172,3 +172,86 @@ def daily_active_windows(events: DataFrame) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# Wilson 95% lower bound; ONE formula text parsed by BOTH engines
+# (Spark F.expr and DuckDB) — identical parse tree → identical IEEE
+# evaluation order. Constants are literal doubles (z = 1.96,
+# z² = 3.8416), explicitly cast because a bare decimal literal parses
+# as DECIMAL in Spark but DOUBLE in DuckDB.
+WILSON_LOW = (
+    "((p + CAST(3.8416 AS DOUBLE) / (2.0 * nd)"
+    " - CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / nd"
+    " + CAST(3.8416 AS DOUBLE) / (4.0 * nd * nd)))"
+    " / (1.0 + CAST(3.8416 AS DOUBLE) / nd))"
+)
+
+
+def daily_conversion_wilson(events: DataFrame) -> DataFrame:
+    """Daily conversion rate with a Wilson-score 95% lower bound — the
+    statistically honest dashboard number: a day with 2/3 users
+    converting is NOT a 67%-conversion day, and the Wilson bound says
+    so while converging to p̂ as n grows. k and n are exact distinct
+    counts; the bound is a fixed chain of IEEE ops (sqrt is
+    correctly-rounded by the standard), evaluated from the same
+    formula text in both engines."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    per_day = (
+        events.select(
+            F.to_date("ts").cast("timestamp").alias("day"),
+            "user_id",
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(F.when(F.col("is_p"), F.col("user_id"))).alias(
+                "n_converted"
+            ),
+        )
+    )
+    prepped = per_day.withColumn(
+        "p", F.col("n_converted") / F.col("n_users")
+    ).withColumn("nd", F.col("n_users").cast("double"))
+    return prepped.select(
+        "day",
+        "n_users",
+        "n_converted",
+        round_det(F.col("p"), 4).alias("conversion_rate"),
+        round_det(F.expr(WILSON_LOW), 4).alias("wilson_low_95"),
+    )
+
+
+def session_bounce_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one
+    event — the engagement-quality staple. Sessions from the same
+    gap-based session_window as session_windows; one grouped count on
+    top. Exact integer ratio, one IEEE division."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    sessions = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.to_date(F.col("w.start")).cast("timestamp").alias("day"),
+            F.col("n_events"),
+        )
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            round_det(F.col("n_bounces") / F.col("n_sessions"), 4).alias(
+                "bounce_rate"
+            ),
+        )
+    )

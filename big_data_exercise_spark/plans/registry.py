@@ -2236,6 +2236,82 @@ def _specs() -> list[QuerySpec]:
         ("graph", "cooccurrence"),
         "market-basket co-occurrence: supplier pairs by shared customers",
     ))
+    from big_data_exercise_spark.operators.timeseries import WILSON_LOW
+
+    s.append(QuerySpec(
+        "daily_conversion_wilson",
+        # The Wilson bound is ONE formula text parsed by both engines
+        # → identical IEEE evaluation order (sqrt is correctly-rounded
+        # by the standard).
+        lambda sp, d: timeseries.daily_conversion_wilson(_t(sp, d, "events")),
+        f"""
+        WITH g AS (
+          SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                 COUNT(DISTINCT user_id) AS n_users,
+                 COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                     THEN user_id END) AS n_converted
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT day, n_users, n_converted,
+                 n_converted * 1.0 / n_users AS p,
+                 CAST(n_users AS DOUBLE) AS nd
+          FROM g)
+        SELECT day, n_users, n_converted,
+               {round_det_sql("p", 4)} AS conversion_rate,
+               {round_det_sql(WILSON_LOW, 4)} AS wilson_low_95
+        FROM p
+        """,
+        ("agg", "stats", "conversion"),
+        "daily conversion with Wilson 95% lower bound (shared formula text)",
+    ))
+    s.append(QuerySpec(
+        "session_bounce_stats",
+        lambda sp, d: timeseries.session_bounce_stats(_t(sp, d, "events")),
+        f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        sess AS (
+          SELECT CAST(CAST(MIN(ts) AS DATE) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sid)
+        SELECT day, COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               {round_det_sql(
+                   "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+                   " * 1.0 / COUNT(*)", 4)} AS bounce_rate
+        FROM sess GROUP BY day
+        """,
+        ("sequence", "session", "bounce"),
+        "daily session bounce rate (single-event sessions share)",
+    ))
+    s.append(QuerySpec(
+        "value_equiwidth_histogram",
+        lambda sp, d: agg.value_equiwidth_histogram(_t(sp, d, "events")),
+        """
+        WITH binned AS (
+          SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin FROM events),
+        counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+        bounds AS (SELECT MIN(bin) AS b0, MAX(bin) AS b1 FROM binned),
+        grid AS (SELECT unnest(generate_series(b0, b1)) AS bin FROM bounds)
+        SELECT g.bin, g.bin * 50.0 AS bin_start,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN counts c ON c.bin = g.bin
+        """,
+        ("agg", "histogram"),
+        "equi-width value histogram with empty interior bins materialized",
+    ))
     s.append(QuerySpec(
         "rfm_segments",
         lambda sp, d: agg.rfm_segments(_t(sp, d, "orders")),
