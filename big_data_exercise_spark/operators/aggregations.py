@@ -663,3 +663,86 @@ def value_equiwidth_histogram(events: DataFrame, width: float = 50.0) -> DataFra
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def monthly_revenue_change(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue report: per-month exact revenue, the
+    previous month's value (lag over the month series), and the
+    percent change — the period-over-period shape every BI layer
+    reports. The lag window runs over one row per month (the grouped
+    aggregate output), so the global order costs nothing; the percent
+    change divides two already-rounded doubles (deterministic single
+    IEEE ops)."""
+    from big_data_exercise_spark.functions.numeric import exact_sum, round_det
+    from pyspark.sql import Window as W
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(exact_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    with_prev = monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+    return with_prev.select(
+        "month",
+        "revenue",
+        "prev_revenue",
+        round_det(
+            (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"),
+            4,
+        ).alias("mom_change"),
+    )
+
+
+def key_skew_report(events: DataFrame) -> DataFrame:
+    """Join-key skew diagnostics — the report to run BEFORE a big join:
+    per candidate key column, the distinct-key count, the hottest
+    key's row count and share, and the p99/p50 frequency ratio (a
+    skew-factor proxy: >>1 means AQE skew-split or salting territory).
+    Two grouped counts per key column plus a tiny percentile over the
+    frequency table (one row per distinct key — the small side)."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    def profile(col: str):
+        freqs = events.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        return freqs.agg(
+            F.lit(col).alias("key_column"),
+            F.count("*").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_freq"),
+            round_det(F.max("c") / F.sum("c"), 4).alias("top_share"),
+            round_det(
+                F.expr("percentile(c, 0.99)") / F.expr("percentile(c, 0.5)"), 4
+            ).alias("p99_p50_ratio"),
+        )
+    return profile("user_id").unionByName(profile("event_type"))
+
+
+def top_types_with_other(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k groups by revenue with the tail rolled into 'Other' — the
+    standard reporting/chart shape (never plot 40 slivers). Rank under
+    a fully tie-broken order, relabel ranks > k, re-aggregate: the
+    second sum runs over per-group values already decimal-exact and
+    rounded, re-accumulated in decimal, so the 'Other' total is
+    order-independent too."""
+    from big_data_exercise_spark.functions.numeric import DEC, exact_sum, round_det
+    from pyspark.sql import Window as W
+
+    per_type = events.groupBy("event_type").agg(
+        exact_sum(F.col("value"), 2).alias("revenue"),
+        F.count("*").alias("n_events"),
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("event_type"))
+    labeled = per_type.withColumn("rk", F.row_number().over(w)).select(
+        F.when(F.col("rk") <= k, F.col("event_type"))
+        .otherwise(F.lit("Other"))
+        .alias("label"),
+        "revenue",
+        "n_events",
+    )
+    return labeled.groupBy("label").agg(
+        round_det(F.sum(F.col("revenue").cast(DEC)).cast("double"), 2).alias(
+            "revenue"
+        ),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )

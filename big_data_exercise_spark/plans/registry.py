@@ -2239,6 +2239,77 @@ def _specs() -> list[QuerySpec]:
     from big_data_exercise_spark.operators.timeseries import WILSON_LOW
 
     s.append(QuerySpec(
+        "monthly_revenue_change",
+        lambda sp, d: agg.monthly_revenue_change(_t(sp, d, "orders")),
+        f"""
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 {sum_sql("o_totalprice", "revenue")}
+          FROM orders GROUP BY 1),
+        p AS (
+          SELECT month, revenue,
+                 LAG(revenue) OVER (ORDER BY month) AS prev_revenue
+          FROM m)
+        SELECT month, revenue, prev_revenue,
+               {round_det_sql(
+                   "(revenue - prev_revenue) / prev_revenue", 4)}
+                 AS mom_change
+        FROM p
+        """,
+        ("agg", "timeseries", "bi"),
+        "month-over-month revenue change (lag over the month series)",
+    ))
+    s.append(QuerySpec(
+        "key_skew_report",
+        lambda sp, d: agg.key_skew_report(_t(sp, d, "events")),
+        f"""
+        WITH fu AS (
+          SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+          FROM events GROUP BY 1),
+        ft AS (
+          SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY 1)
+        SELECT 'user_id' AS key_column, COUNT(*) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_freq,
+               {round_det_sql("MAX(c) * 1.0 / SUM(c)", 4)} AS top_share,
+               {round_det_sql(
+                   "quantile_cont(c, 0.99) / quantile_cont(c, 0.5)", 4)}
+                 AS p99_p50_ratio
+        FROM fu
+        UNION ALL
+        SELECT 'event_type', COUNT(*), CAST(SUM(c) AS BIGINT),
+               CAST(MAX(c) AS BIGINT),
+               {round_det_sql("MAX(c) * 1.0 / SUM(c)", 4)},
+               {round_det_sql(
+                   "quantile_cont(c, 0.99) / quantile_cont(c, 0.5)", 4)}
+        FROM ft
+        """,
+        ("agg", "skew", "ops"),
+        "join-key skew diagnostics (top share, p99/p50 frequency ratio)",
+    ))
+    s.append(QuerySpec(
+        "top_types_with_other",
+        lambda sp, d: agg.top_types_with_other(_t(sp, d, "events")),
+        f"""
+        WITH per_type AS (
+          SELECT event_type, {sum_sql("value", "revenue")},
+                 COUNT(*) AS n_events
+          FROM events GROUP BY event_type),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            ORDER BY revenue DESC, event_type ASC) AS rk
+          FROM per_type)
+        SELECT CASE WHEN rk <= 3 THEN event_type ELSE 'Other' END AS label,
+               {round_det_sql(
+                   "CAST(SUM(CAST(revenue AS DECIMAL(30,8))) AS DOUBLE)", 2)}
+                 AS revenue,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM ranked GROUP BY 1
+        """,
+        ("agg", "topk", "bi"),
+        "top-k groups with 'Other' tail rollup (chart-ready shape)",
+    ))
+    s.append(QuerySpec(
         "daily_conversion_wilson",
         # The Wilson bound is ONE formula text parsed by both engines
         # → identical IEEE evaluation order (sqrt is correctly-rounded
