@@ -976,3 +976,29 @@ def fuzzy_supplier_matches(supplier: DataFrame) -> DataFrame:
             F.levenshtein("n1", "n2").cast("int").alias("edit_distance"),
         )
     )
+
+
+def fulfillment_lag_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship lag per order priority: the operational SLA
+    report (did urgent orders actually ship faster?). One fact⋈fact
+    equi-join on the order key, then integer day-lag stats — min/max
+    exact, the mean from an exact integer sum over one IEEE division,
+    and an exact p90 (mergeable percentile_approx at 100 TB)."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select("o_orderpriority", lag.alias("lag_days"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("lag_days").cast("int").alias("min_lag"),
+            F.max("lag_days").cast("int").alias("max_lag"),
+            round_det(
+                F.sum("lag_days").cast("double") / F.count("*"), 4
+            ).alias("avg_lag"),
+            round_det(F.expr("percentile(lag_days, 0.9)"), 4).alias("p90_lag"),
+        )
+    )

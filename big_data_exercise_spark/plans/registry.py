@@ -1373,6 +1373,28 @@ def _specs() -> list[QuerySpec]:
         "bounded kernel)",
     ))
     s.append(QuerySpec(
+        "fulfillment_lag_stats",
+        lambda sp, d: joins.fulfillment_lag_stats(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")
+        ),
+        f"""
+        WITH j AS (
+          SELECT o_orderpriority,
+                 date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS lag_days
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               CAST(MIN(lag_days) AS INTEGER) AS min_lag,
+               CAST(MAX(lag_days) AS INTEGER) AS max_lag,
+               {round_det_sql("SUM(lag_days) * 1.0 / COUNT(*)", 4)}
+                 AS avg_lag,
+               {round_det_sql("quantile_cont(lag_days, 0.9)", 4)} AS p90_lag
+        FROM j GROUP BY o_orderpriority
+        """,
+        ("join", "sla", "bi"),
+        "order-to-ship lag stats per priority (SLA report)",
+    ))
+    s.append(QuerySpec(
         "fuzzy_supplier_matches",
         # SymSpell deletion-neighborhood blocking: exact ED<=1 join
         # with |s|+1 fanout per row; the oracle is the brute-force
