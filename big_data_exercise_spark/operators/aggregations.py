@@ -746,3 +746,64 @@ def top_types_with_other(events: DataFrame, k: int = 3) -> DataFrame:
         ),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+
+
+def winsorized_value_stats(events: DataFrame) -> DataFrame:
+    """Winsorization effect report per group: clip ``value`` to its
+    group's [p01, p99] band and account for what changed — clipped-row
+    counts and the exact sums before/after. This is the standard
+    outlier-taming preprocessing for training features, reported
+    instead of silently applied (every governance gate in this repo
+    follows that rule). Exact percentiles define the band (mergeable
+    percentile_approx at 100 TB); the clip itself is two comparisons;
+    both sums accumulate in decimal so the before/after delta is
+    order-independent."""
+    from big_data_exercise_spark.functions.numeric import exact_sum, round_det
+
+    bands = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = events.join(F.broadcast(bands), "event_type").select(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "w_value"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("value") != F.col("w_value"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            round_det(F.first("lo"), 4).alias("p01"),
+            round_det(F.first("hi"), 4).alias("p99"),
+            exact_sum(F.col("value"), 2).alias("raw_sum"),
+            exact_sum(F.col("w_value"), 2).alias("winsorized_sum"),
+        )
+    )
+
+
+def doc_length_bands(documents: DataFrame) -> DataFrame:
+    """Per-language document-length distribution — the corpus-budget
+    planning table (how many chars/tokens a language contributes and
+    how skewed its docs are): counts, total chars, and the exact
+    p25/p50/p75/p95 length band. Lengths are exact integers, so every
+    statistic is either an integer or one interpolated percentile both
+    engines compute identically."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        round_det(F.expr("percentile(n_chars, 0.25)"), 2).alias("p25_chars"),
+        round_det(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        round_det(F.expr("percentile(n_chars, 0.75)"), 2).alias("p75_chars"),
+        round_det(F.expr("percentile(n_chars, 0.95)"), 2).alias("p95_chars"),
+    )

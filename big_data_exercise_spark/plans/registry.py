@@ -2261,6 +2261,46 @@ def _specs() -> list[QuerySpec]:
     from big_data_exercise_spark.operators.timeseries import WILSON_LOW
 
     s.append(QuerySpec(
+        "winsorized_value_stats",
+        lambda sp, d: agg.winsorized_value_stats(_t(sp, d, "events")),
+        f"""
+        WITH bands AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.01) AS lo,
+                 quantile_cont(value, 0.99) AS hi
+          FROM events GROUP BY event_type),
+        c AS (
+          SELECT e.event_type, value, lo, hi,
+                 LEAST(GREATEST(value, lo), hi) AS w_value
+          FROM events e JOIN bands USING (event_type))
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN value <> w_value THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped,
+               {round_det_sql("any_value(lo)", 4)} AS p01,
+               {round_det_sql("any_value(hi)", 4)} AS p99,
+               {sum_sql("value", "raw_sum")},
+               {sum_sql("w_value", "winsorized_sum")}
+        FROM c GROUP BY event_type
+        """,
+        ("agg", "robust", "training-prep"),
+        "winsorization effect report (clip to [p01,p99], exact accounting)",
+    ))
+    s.append(QuerySpec(
+        "doc_length_bands",
+        lambda sp, d: agg.doc_length_bands(_t(sp, d, "documents")),
+        f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               {round_det_sql("quantile_cont(n_chars, 0.25)", 2)} AS p25_chars,
+               {round_det_sql("quantile_cont(n_chars, 0.5)", 2)} AS p50_chars,
+               {round_det_sql("quantile_cont(n_chars, 0.75)", 2)} AS p75_chars,
+               {round_det_sql("quantile_cont(n_chars, 0.95)", 2)} AS p95_chars
+        FROM documents GROUP BY lang
+        """,
+        ("text", "quantile", "training-prep"),
+        "per-language doc-length bands (corpus budget planning)",
+    ))
+    s.append(QuerySpec(
         "monthly_revenue_change",
         lambda sp, d: agg.monthly_revenue_change(_t(sp, d, "orders")),
         f"""
