@@ -807,3 +807,29 @@ def doc_length_bands(documents: DataFrame) -> DataFrame:
         round_det(F.expr("percentile(n_chars, 0.75)"), 2).alias("p75_chars"),
         round_det(F.expr("percentile(n_chars, 0.95)"), 2).alias("p95_chars"),
     )
+
+
+def activity_heatmap(events: DataFrame) -> DataFrame:
+    """Weekday × hour activity matrix — the dashboard heatmap behind
+    "when are users active". The weekday index is computed as
+    arithmetic from a known Monday (2024-01-01), NOT an engine
+    day-of-week function: Spark's dayofweek is 1=Sunday, DuckDB's is
+    0=Sunday, and name-based formats are locale-dependent — the
+    modulo-from-epoch-Monday form is the only convention both engines
+    share by construction. One grouped count; the 7×24 output is
+    constant-size at any SF."""
+    from big_data_exercise_spark.functions.numeric import exact_sum
+
+    dow = F.pmod(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")), F.lit(7)
+    ).cast("int")
+    return (
+        events.groupBy(
+            dow.alias("dow_monday0"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+    )

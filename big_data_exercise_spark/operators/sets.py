@@ -195,3 +195,42 @@ def incremental_agg_refresh(base: DataFrame, new: DataFrame) -> DataFrame:
             2,
         ).alias("total_acctbal"),
     )
+
+
+def referential_integrity_audit(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Foreign-key integrity audit across the star schema: orphan
+    counts for each declared relationship (lineitems without an order,
+    orders without a customer) plus childless parents (orders with no
+    lineitem) — the data-quality gate to run after any ingest. Each
+    check is ONE anti-join (left_anti drops the probe payload before
+    the shuffle and never duplicates rows); output is one row per
+    relationship so the report is constant-size at any SF."""
+    from pyspark.sql import functions as F
+
+    li_orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    ).agg(
+        F.lit("lineitem->orders").alias("relationship"),
+        F.count("*").alias("n_orphans"),
+    )
+    ord_orphans = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == customer.c_custkey,
+        "left_anti",
+    ).agg(
+        F.lit("orders->customer").alias("relationship"),
+        F.count("*").alias("n_orphans"),
+    )
+    childless = orders.join(
+        lineitem.select("l_orderkey"),
+        orders.o_orderkey == lineitem.l_orderkey,
+        "left_anti",
+    ).agg(
+        F.lit("orders-without-lineitems").alias("relationship"),
+        F.count("*").alias("n_orphans"),
+    )
+    return li_orphans.unionByName(ord_orphans).unionByName(childless)

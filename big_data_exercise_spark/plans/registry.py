@@ -2261,6 +2261,43 @@ def _specs() -> list[QuerySpec]:
     from big_data_exercise_spark.operators.timeseries import WILSON_LOW
 
     s.append(QuerySpec(
+        "referential_integrity_audit",
+        lambda sp, d: sets.referential_integrity_audit(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "customer")
+        ),
+        """
+        SELECT 'lineitem->orders' AS relationship, COUNT(*) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders->customer', COUNT(*)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'orders-without-lineitems', COUNT(*)
+        FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        """,
+        ("set", "anti-join", "dq"),
+        "foreign-key orphan audit via anti-joins (constant-size report)",
+    ))
+    s.append(QuerySpec(
+        "activity_heatmap",
+        # Weekday index as modulo-from-known-Monday arithmetic — the
+        # only day-of-week convention both engines share (Spark
+        # dayofweek is 1=Sunday, DuckDB's 0=Sunday, names are
+        # locale-dependent).
+        lambda sp, d: agg.activity_heatmap(_t(sp, d, "events")),
+        f"""
+        SELECT CAST(((date_diff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) % 7) + 7) % 7 AS INTEGER)
+                 AS dow_monday0,
+               CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+               COUNT(*) AS n_events,
+               {sum_sql("value", "total_value")}
+        FROM events GROUP BY 1, 2
+        """,
+        ("agg", "heatmap", "bi"),
+        "weekday x hour activity matrix (engine-stable dow arithmetic)",
+    ))
+    s.append(QuerySpec(
         "winsorized_value_stats",
         lambda sp, d: agg.winsorized_value_stats(_t(sp, d, "events")),
         f"""
