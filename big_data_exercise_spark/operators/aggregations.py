@@ -553,12 +553,22 @@ def rfm_segments(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
     Monetary (exact-decimal revenue sum); each quartile-scored with
     ntile(4) under a fully tie-broken order (metric, then custkey —
     ntile over a partial order is nondeterministic), then customers
-    aggregated per three-digit segment. Shuffle shape: one grouped
-    aggregate + three global ntile windows over ONE row per customer
-    (the windows sort customer-count rows, not order rows — at 100 TB
-    that is the small side by construction)."""
+    aggregated per three-digit segment.
+
+    Scale shape: NO global ntile windows — each quartile score is an
+    exact distributed rank (range partition + partitioned local
+    window + broadcast partition-prefix offsets,
+    :func:`windows.global_row_number`) fed through the SQL-standard
+    NTILE bucket formula (:func:`windows.ntile_from_rank`) against
+    the broadcast customer count.  Identical buckets to NTILE(4) over
+    the same total order — the oracle keeps plain NTILE — but every
+    window in the plan is partitioned; 10⁹ customers never funnel
+    through one task."""
     from big_data_exercise_spark.functions.numeric import exact_sum, round_det
-    from pyspark.sql import Window as W
+    from big_data_exercise_spark.operators.windows import (
+        global_row_number,
+        ntile_from_rank,
+    )
 
     cust = orders.groupBy("o_custkey").agg(
         F.datediff(F.lit(anchor).cast("date"), F.max("o_orderdate")).alias(
@@ -567,15 +577,23 @@ def rfm_segments(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
         F.count("*").alias("frequency"),
         exact_sum(F.col("o_totalprice"), 2).alias("monetary"),
     )
-    r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = cust.select(
+    n = cust.agg(F.count("*").cast("long").alias("_n"))
+    base = cust.crossJoin(F.broadcast(n))
+    ranked = global_row_number(
+        base, [F.asc("recency_days"), F.asc("o_custkey")], "_r_rank"
+    )
+    ranked = global_row_number(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], "_f_rank"
+    )
+    ranked = global_row_number(
+        ranked, [F.desc("monetary"), F.asc("o_custkey")], "_m_rank"
+    )
+    scored = ranked.select(
         "o_custkey",
         "monetary",
-        F.ntile(4).over(r_w).alias("r"),
-        F.ntile(4).over(f_w).alias("f"),
-        F.ntile(4).over(m_w).alias("m"),
+        ntile_from_rank(F.col("_r_rank"), F.col("_n"), 4).alias("r"),
+        ntile_from_rank(F.col("_f_rank"), F.col("_n"), 4).alias("f"),
+        ntile_from_rank(F.col("_m_rank"), F.col("_n"), 4).alias("m"),
     )
     return (
         scored.groupBy(
@@ -600,10 +618,16 @@ def abc_revenue_classes(orders: DataFrame) -> DataFrame:
     running windows incrementally, DuckDB may segment-tree them;
     different association → different last-ulp → a class boundary can
     flip), while integer addition is exact under any association.
-    One grouped aggregate + one global window over one row per
-    customer."""
+
+    Scale shape: the cumulative sum is a DISTRIBUTED prefix sum
+    (:func:`windows.global_running_sum` — range partition by revenue
+    desc, partition-local running sums, broadcast partition-prefix
+    offsets), not a global single-partition window; integer addition
+    being exact under any association is precisely what makes the
+    two-pass decomposition bit-identical to the oracle's global
+    window."""
     from big_data_exercise_spark.functions.numeric import exact_sum, round_det
-    from pyspark.sql import Window as W
+    from big_data_exercise_spark.operators.windows import global_running_sum
 
     rev = orders.groupBy("o_custkey").agg(
         exact_sum(F.col("o_totalprice"), 2).alias("rev")
@@ -612,13 +636,10 @@ def abc_revenue_classes(orders: DataFrame) -> DataFrame:
         "o_custkey",
         F.floor(F.col("rev") * 100 + F.lit(0.5)).cast("long").alias("c"),
     )
-    w = W.orderBy(F.desc("c"), F.asc("o_custkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
     total = cents.agg(F.sum("c").cast("long").alias("t"))
-    ranked = cents.withColumn("cum", F.sum("c").over(w)).crossJoin(
-        F.broadcast(total)
-    )
+    ranked = global_running_sum(
+        cents, [F.desc("c"), F.asc("o_custkey")], F.col("c"), "cum"
+    ).crossJoin(F.broadcast(total))
     share = F.col("cum") / F.col("t")
     classed = ranked.select(
         "o_custkey",

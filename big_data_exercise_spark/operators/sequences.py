@@ -164,11 +164,20 @@ def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> Data
     permutation of base+1..base+k, whose maximum is the full k
     regardless of peer order, so the daily MAX is stable.
 
-    The running sum is a single global-ordered window — fine for the
-    point stream (2 rows per session, not per event). At 100 TB,
-    partition the sweep by day and carry each day's closing count into
-    the next (one tiny second pass) instead of a global sort."""
+    Scale shape: the sweep is PARTITIONED BY DAY — each day's points
+    run their local (t, delta)-ordered running sum in a partitioned
+    window, and each day inherits a carry (the sum of all prior days'
+    deltas, i.e. the count of sessions open at its midnight) computed
+    on the tiny one-row-per-day totals table with a broadcast
+    triangular prefix join (:func:`windows.broadcast_prefix_offsets`
+    — no window at all).  carry + local running ≡ the global running
+    sum, because the global (t, delta) order visits days contiguously;
+    no single-partition sort anywhere in the plan."""
     from pyspark.sql import Window as W
+
+    from big_data_exercise_spark.operators.windows import (
+        broadcast_prefix_offsets,
+    )
 
     sessions = (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -181,8 +190,19 @@ def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> Data
     pts = sessions.select(
         F.col("st").alias("t"), F.lit(1).alias("delta")
     ).unionAll(sessions.select(F.col("en").alias("t"), F.lit(-1).alias("delta")))
-    w = W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, W.currentRow)
-    run = pts.withColumn("c", F.sum("delta").over(w))
+    pts = pts.withColumn("d", F.to_date("t"))
+    day_totals = pts.groupBy("d").agg(
+        F.sum("delta").cast("long").alias("d_tot")
+    )
+    carries = broadcast_prefix_offsets(day_totals, "d", "d_tot", "carry")
+    w = (
+        W.partitionBy("d")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = pts.withColumn("c_local", F.sum("delta").over(w)).join(
+        F.broadcast(carries.select("d", "carry")), "d"
+    ).withColumn("c", F.col("c_local") + F.col("carry"))
     return (
         run.groupBy(F.to_date("t").cast("timestamp").alias("day"))
         .agg(

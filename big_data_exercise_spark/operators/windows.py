@@ -167,3 +167,122 @@ def ntile_histogram(events: DataFrame, buckets: int = 10) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix sums — the scale-safe replacement for GLOBAL
+# (unpartitioned) ordered windows.  A `W.orderBy(...)` window with no
+# partitionBy funnels every row through ONE task ("WindowExec: No
+# Partition Defined"); the helpers below compute the identical result
+# with parallelism = the number of range partitions.
+# ---------------------------------------------------------------------------
+
+
+def broadcast_prefix_offsets(
+    totals: DataFrame, key: str, value: str, out: str
+) -> DataFrame:
+    """For a TINY keyed table (one row per partition / day / bucket —
+    at most a few thousand rows), compute each key's *exclusive*
+    prefix sum — the sum of ``value`` over all strictly-smaller keys —
+    WITHOUT any window function: a broadcast triangular self-join plus
+    a grouped sum.  O(K²) pair comparisons on K rows is trivial for
+    the intended inputs, and the plan contains no global sort and no
+    single-partition exchange beyond the broadcast itself.
+
+    Returns ``totals`` with ``out`` added (0 for the smallest key).
+    """
+    left = totals
+    right = totals.select(
+        F.col(key).alias("__bk"), F.col(value).alias("__bv")
+    )
+    return (
+        left.join(F.broadcast(right), F.col("__bk") < F.col(key), "left")
+        .groupBy(*[F.col(c) for c in totals.columns])
+        .agg(F.coalesce(F.sum("__bv"), F.lit(0)).cast("long").alias(out))
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum (inclusive) of ``value`` under a TOTAL
+    order, without a single-partition window — the textbook
+    distributed prefix sum:
+
+    1. ``repartitionByRange`` on the order columns: partition *i*
+       holds a contiguous slice of the total order strictly before
+       partition *i+1*'s (the order is total, so equal keys cannot
+       straddle a boundary).
+    2. Stamp ``spark_partition_id()`` and run the running sum inside a
+       window PARTITIONED by that id — parallelism = number of range
+       partitions, never 1.
+    3. Per-partition totals form a tiny (≤ #partitions rows) table;
+       each partition's exclusive prefix offset comes from
+       ``broadcast_prefix_offsets`` (no window), broadcast-joined
+       back; running = local running + partition offset.
+
+    The pid-stamped frame is persisted: ``spark_partition_id()`` must
+    agree between the offsets branch and the join-back branch, and
+    range partitioning re-samples its bounds on recomputation.
+
+    ``global_row_number`` is the ``value = lit(1)`` special case.
+    Pass fully tie-broken ``order_cols`` (e.g. ``[F.desc("c"),
+    F.asc("key")]``) — a partial order is nondeterministic in any
+    engine.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("__run", F.sum(value).over(local_w)).persist()
+    totals = local.groupBy("__pid").agg(F.max("__run").alias("__tot"))
+    offsets = broadcast_prefix_offsets(totals, "__pid", "__tot", "__off")
+    return (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__off")), "__pid"
+        )
+        .withColumn(out, (F.col("__run") + F.col("__off")).cast("long"))
+        .drop("__pid", "__run", "__off")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number under a total order — the
+    ``value = 1`` case of :func:`global_running_sum`: no
+    single-partition sort, parallelism = range-partition count."""
+    return global_running_sum(df, order_cols, F.lit(1), out, num_partitions)
+
+
+def ntile_from_rank(rank, n, k: int):
+    """SQL-standard NTILE bucket from an exact 1-based ``rank`` and
+    total count ``n`` (both Columns): with q = n div k and rem =
+    n mod k, the first ``rem`` buckets hold q+1 rows, the rest q —
+    identical to Spark's and DuckDB's NTILE over the same total
+    order.  Pure integer arithmetic (floor on exact sub-2^53 doubles),
+    so the bucketing is engine-independent; combined with
+    :func:`global_row_number` it replaces a global NTILE window with
+    a fully parallel plan.
+    """
+    q = F.floor(n / F.lit(k)).cast("long")
+    rem = (n - q * F.lit(k)).cast("long")
+    big = (q + F.lit(1)) * rem  # rows covered by the q+1-sized buckets
+    return F.when(
+        rank <= big, F.floor((rank + q) / (q + F.lit(1)))
+    ).otherwise(
+        rem + F.floor((rank - big + q - F.lit(1)) / q)
+    ).cast("int")

@@ -220,11 +220,20 @@ def cosine_topk_batch(
     This is the shape a training pipeline actually runs — thousands of
     probe vectors against the corpus at once, not one. The query set
     is broadcast (it is small by definition); the corpus side streams
-    through a single codegen'd cosine per (row, query) pair and a
-    per-query window top-k. The corpus table is never shuffled by the
-    join — only the rank step moves (corpus x n_queries) scored rows,
-    and at scale that window becomes a per-query TakeOrdered by
-    pre-aggregating k candidates per partition.
+    through a single codegen'd cosine per (row, query) pair, never
+    shuffled by the join.
+
+    Scale shape — partition-local top-k, then merge: each scan
+    partition truncates its own scored slice to k rows per query
+    inside ONE Arrow ``mapInPandas`` pass (narrow — nothing moves),
+    so the only shuffle in the plan carries ≤ k·partitions rows per
+    query into a small PARTITIONED merge window.  The naive
+    alternative — `row_number` over `partitionBy(query_id)` on the
+    full scored relation — shuffles corpus×queries rows and caps
+    parallelism at n_queries with each query's whole scored corpus in
+    one task.  Local top-k under the same total order (cos_sim desc,
+    vec_id asc) is superset-safe: every global top-k row is a local
+    top-k row in its partition.
 
     Output: (query_id, vec_id, label, cos_sim, rank), self-matches
     excluded, ties broken on vec_id.
@@ -242,9 +251,26 @@ def cosine_topk_batch(
             F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
     )
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            cur = pdf if carry is None else pd.concat([carry, pdf])
+            cur = cur.sort_values(
+                ["query_id", "cos_sim", "vec_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            carry = cur.groupby("query_id", sort=False).head(k)
+        if carry is not None:
+            yield carry[["query_id", "vec_id", "label", "cos_sim"]]
+
+    local = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "label", "cos_sim", "rank")
     )

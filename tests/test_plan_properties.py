@@ -213,3 +213,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rfm_segments",
+        "abc_revenue_classes",
+        "session_peak_concurrency",
+        "knn_batch_topk",
+    ],
+)
+def test_no_unpartitioned_windows(spark, name):
+    """Round-3 de-globalization contract: every Window node in these
+    plans carries a non-empty partition spec — the global ntile /
+    cumulative-sum / sweep-line / per-query-top-k forms were replaced
+    by distributed prefix sums, day-partitioned sweeps and
+    partition-local top-k (operators/windows.py helpers).  An
+    unpartitioned Window prints `Window [fns], [], [order]` — the
+    empty middle list is the single-partition funnel this test bans.
+    """
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "], [], [" not in line, f"unpartitioned window: {line.strip()[:200]}"
+    assert "windowspecdefinition" in plan or name == "session_peak_concurrency"
