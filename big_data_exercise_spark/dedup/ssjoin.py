@@ -69,11 +69,20 @@ def exact_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
         F.sort_array(F.collect_list("key")).alias("sorted_keys"),
         F.count("*").alias("sz"),
     )
-    # Prefix length ⌊(1−t)·sz⌋+1: any partner with J ≥ t must share a
-    # token in this prefix (standard prefix-filter bound for Jaccard).
+    # Prefix length sz − ⌈t·sz⌉ + 1: any partner with J ≥ t must share
+    # a token in this prefix (standard prefix-filter bound for
+    # Jaccard).  Computed FLOAT-SAFELY: the algebraically equal
+    # ⌊(1−t)·sz⌋+1 under-counts by one whenever (1−t) rounds down in
+    # IEEE (1−0.8 = 0.19999…96, so sz=20 gives ⌊3.9999…⌋+1 = 4, not
+    # the required 5) and a pair at exactly J = t escapes candidate
+    # generation.  The epsilon biases ⌈⌉ DOWN, which can only LENGTHEN
+    # the prefix — a superset of candidates is always safe because
+    # verification below is exact.
     prefix_len = (
-        F.floor(F.lit(1.0 - threshold) * F.col("sz")).cast("int") + F.lit(1)
-    )
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
     prefixes = per_doc.select(
         "doc_id",
         F.explode(F.slice("sorted_keys", 1, prefix_len)).alias("p"),

@@ -630,3 +630,31 @@ def test_symspell_join_finds_every_ed1_pair(spark):
         for r in fuzzy_supplier_matches(sup).collect()
     }
     assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 1)}
+
+
+def test_ssjoin_finds_pair_at_exact_threshold_boundary(spark):
+    """Prefix-filter float-safety (round-3 advisor finding): with
+    t=0.8 and |A| divisible by 5, the naive ⌊(1−t)·sz⌋+1 prefix is one
+    token short (1−0.8 = 0.19999…96 in IEEE) and a pair at exactly
+    J = t escapes candidate generation.  |A|=20, B = 16 tokens of A →
+    J = 16/20 = 0.8 exactly: the pair MUST surface with jaccard 0.8,
+    and a 15/20 pair (J = 0.75... wait 15/(20+15-15)=0.75) must not."""
+    from big_data_exercise_spark.dedup.ssjoin import exact_jaccard_pairs
+
+    a_toks = [f"w{i:02d}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(a_toks)),
+            (2, " ".join(a_toks[4:])),   # 16 shared / 20 union → J=0.8
+            (3, " ".join(a_toks[5:])),   # 15 shared / 20 union → J=0.75
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.8) < 1e-12
+    assert (1, 3) not in got
+    # B⊂C with |B∩C|=15, |B∪C|=16 → J=0.9375 ≥ 0.8: also required.
+    assert (2, 3) in got
