@@ -124,15 +124,25 @@ def pagerank_sql(iters: int = 3, top: int = 20) -> str:
 
 
 def supplier_cooccurrence(
-    orders: DataFrame, lineitem: DataFrame, top: int = 20
+    orders: DataFrame, lineitem: DataFrame, top: int = 20, min_shared: int = 2
 ) -> DataFrame:
     """Co-occurrence mining (the market-basket / collaborative-filter
     precursor): supplier pairs ranked by how many customers they
-    share. One distinct bipartite edge build, then a self-join on the
-    customer key — cost Σ deg(customer)², the standard co-occurrence
-    bound. At 100 TB, cap or sample per-customer degree before the
-    self-join (a mega-customer's clique dominates the sum) — the same
-    hot-key discipline as LSH band buckets."""
+    share, among pairs sharing at least ``min_shared`` customers.
+
+    Hot-key discipline (the round-3 fix): the customer-key self-join
+    fans out quadratically in per-customer basket size BEFORE any
+    count filter can prune, so the basket relation is first pruned by
+    A-PRIORI MONOTONICITY — a pair's shared-customer count is bounded
+    by each member's own customer count (n_shared ≤ min(cnt₁, cnt₂)),
+    so suppliers appearing for fewer than ``min_shared`` customers
+    cannot participate in any qualifying pair and are dropped before
+    the join.  Provably exact for the ``min_shared`` floor: pruning a
+    supplier never changes the count of a SURVIVING pair (counts are
+    per-pair), and every pruned pair fails the floor anyway.  Cost
+    falls from Σ deg(c)² over all baskets to Σ over frequent-supplier
+    baskets — the long tail of one-customer suppliers (the bulk of a
+    real catalog) never enters the join."""
     e = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
@@ -140,6 +150,13 @@ def supplier_cooccurrence(
         )
         .distinct()
     )
+    frequent = (
+        e.groupBy("s")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_shared)
+        .select("s")
+    )
+    e = e.join(frequent, "s", "semi")
     a = e.select("c", F.col("s").alias("s1"))
     b = e.select("c", F.col("s").alias("s2"))
     return (
@@ -147,6 +164,7 @@ def supplier_cooccurrence(
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("n_shared_customers"))
+        .filter(F.col("n_shared_customers") >= min_shared)
         .orderBy(F.desc("n_shared_customers"), "s1", "s2")
         .limit(top)
     )
@@ -250,7 +268,17 @@ def association_rules(
 
     Shuffle shape: the distinct basket relation, one count per
     supplier, one count per pair — all map-side combinable; the final
-    top-k is a TakeOrderedAndProject."""
+    top-k is a TakeOrderedAndProject.
+
+    Hot-key discipline (the round-3 fix): before the quadratic
+    customer-key self-join, the basket relation is pruned to suppliers
+    bought by ≥ ``min_pairs`` customers — a-priori monotonicity
+    (n12 ≤ min(c1, c2)) makes this provably lossless for the
+    ``min_pairs`` support floor, while the rare-supplier long tail
+    (the bulk of Σ deg(c)² on a power-law catalog) never enters the
+    join.  n_customers and the per-supplier counts feeding
+    support/confidence/lift still come from the UNPRUNED relation, so
+    every emitted metric is identical to the unpruned plan's."""
     from big_data_exercise_spark.functions.numeric import round_det
 
     cs = (
@@ -261,8 +289,11 @@ def association_rules(
     )
     n_c = cs.select("c").distinct().agg(F.count("*").alias("n_customers"))
     per_s = cs.groupBy("s").agg(F.count("*").alias("cnt"))
-    a = cs.select(F.col("s").alias("s1"), "c")
-    b = cs.select(F.col("s").alias("s2"), "c")
+    cs_f = cs.join(
+        per_s.filter(F.col("cnt") >= min_pairs).select("s"), "s", "semi"
+    )
+    a = cs_f.select(F.col("s").alias("s1"), "c")
+    b = cs_f.select(F.col("s").alias("s2"), "c")
     pairs = (
         a.join(b, "c")
         .filter(F.col("s1") < F.col("s2"))

@@ -2252,11 +2252,12 @@ def _specs() -> list[QuerySpec]:
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
         SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared_customers
         FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
-        GROUP BY 1, 2
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ORDER BY n_shared_customers DESC, s1, s2 LIMIT 20
         """,
         ("graph", "cooccurrence"),
-        "market-basket co-occurrence: supplier pairs by shared customers",
+        "market-basket co-occurrence: supplier pairs sharing >= 2 customers "
+        "(a-priori-pruned pair join)",
     ))
     from big_data_exercise_spark.operators.timeseries import WILSON_LOW
 

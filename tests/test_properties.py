@@ -658,3 +658,49 @@ def test_ssjoin_finds_pair_at_exact_threshold_boundary(spark):
     assert (1, 3) not in got
     # B⊂C with |B∩C|=15, |B∪C|=16 → J=0.9375 ≥ 0.8: also required.
     assert (2, 3) in got
+
+
+def test_apriori_prune_exact_with_synthetic_hot_customer(spark):
+    """Round-3 hot-key fix: one mega-customer whose basket holds 60
+    suppliers that nobody else buys.  A-priori pruning must drop every
+    one of them before the pair join (they can never reach the support
+    floor), while pair counts, support, confidence and lift for the
+    surviving frequent suppliers are identical to the unpruned
+    formulation."""
+    from big_data_exercise_spark.operators.graph import (
+        association_rules,
+        supplier_cooccurrence,
+    )
+
+    rows_o, rows_l, ok = [], [], 0
+    for c in range(1, 6):          # five customers buy 10 & 11; three buy 12
+        ok += 1
+        rows_o.append((ok, c))
+        rows_l.append((ok, 10))
+        rows_l.append((ok, 11))
+        if c <= 3:
+            rows_l.append((ok, 12))
+    ok += 1                        # hot customer: 60 rare suppliers
+    rows_o.append((ok, 99))
+    for s in range(100, 160):
+        rows_l.append((ok, s))
+    orders = spark.createDataFrame(rows_o, "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(rows_l, "l_orderkey long, l_suppkey long")
+
+    got = {
+        (r["s1"], r["s2"]): r
+        for r in association_rules(orders, li, top=50, min_pairs=3).collect()
+    }
+    assert set(got) == {(10, 11), (10, 12), (11, 12)}
+    r = got[(10, 11)]
+    # metrics must reflect the UNPRUNED relation: 6 customers total
+    assert r["n12"] == 5 and abs(r["support"] - round(5 / 6, 4)) < 1e-12
+    assert r["conf_1to2"] == 1.0 and abs(r["lift"] - 1.2) < 1e-12
+    r = got[(10, 12)]
+    assert r["n12"] == 3 and abs(r["conf_1to2"] - 0.6) < 1e-12
+
+    co = {
+        (r["s1"], r["s2"]): r["n_shared_customers"]
+        for r in supplier_cooccurrence(orders, li, top=50).collect()
+    }
+    assert co == {(10, 11): 5, (10, 12): 3, (11, 12): 3}
