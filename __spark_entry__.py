@@ -15,8 +15,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from big_data_exercise_spark.plans.registry import all_queries
-from big_data_exercise_spark.session import tune_session
+from big_data_exercise_spark.session import _pin_pythonpath, tune_session
 from big_data_exercise_spark.tables import load_table
+
+# This is an ENTRY SCRIPT (the driver's contract surface), not a
+# library import: pin the repo root onto PYTHONPATH here so a driver
+# that builds its SparkSession after importing us gets workers that
+# can import this package by name. Library users are unaffected —
+# importing big_data_exercise_spark itself mutates nothing; the pin
+# otherwise happens inside session.get_spark().
+_pin_pythonpath()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -27,23 +27,10 @@ PySpark API and the reference repo's observable behavior.
 
 __version__ = "0.1.0"
 
-import os as _os
-import sys as _sys
-
-# Self-locate for Spark Python workers: pickled UDFs / Python data
-# sources reference this package by module name, and local-mode workers
-# resolve imports through the PYTHONPATH captured when the JVM starts.
-# If the driver process imported us via sys.path manipulation (or an
-# unrelated cwd), workers would fail with ModuleNotFoundError — so pin
-# the repo root into PYTHONPATH *before* any SparkSession exists.
-_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-_pp = _os.environ.get("PYTHONPATH", "")
-if _repo_root not in _pp.split(_os.pathsep):
-    _os.environ["PYTHONPATH"] = (
-        _repo_root + (_os.pathsep + _pp if _pp else "")
-    )
-if _repo_root not in _sys.path:
-    _sys.path.insert(0, _repo_root)
+# Worker self-location (PYTHONPATH pinning for pickled UDF imports)
+# happens in session.get_spark() immediately before SparkSession
+# construction — importing this package mutates no process-global
+# state (see session._pin_pythonpath).
 
 from big_data_exercise_spark.session import get_spark, tune_session  # noqa: F401
 from big_data_exercise_spark.tables import TABLES, load_table, register_views  # noqa: F401

@@ -659,7 +659,9 @@ def abc_revenue_classes(orders: DataFrame) -> DataFrame:
     )
 
 
-def value_equiwidth_histogram(events: DataFrame, width: float = 50.0) -> DataFrame:
+def value_equiwidth_histogram(
+    events: DataFrame, width: float = 50.0, max_bins: int = 100_000
+) -> DataFrame:
     """Equi-width histogram of ``value`` with EMPTY interior bins
     materialized — the chart-ready complement to the equi-height NTILE
     histogram (which adapts bin edges) and the categorical domain fill
@@ -667,15 +669,37 @@ def value_equiwidth_histogram(events: DataFrame, width: float = 50.0) -> DataFra
     global min and max present, zero or not. Bin assignment is
     floor(value / width) (exact IEEE divide + floor); the bin grid is
     one sequence() explode between two global aggregates — no
-    driver-side loop, no shuffle beyond the bin count."""
+    driver-side loop, no shuffle beyond the bin count.
+
+    Failure-mode guard (round-3 advisor finding): ``sequence(b0, b1)``
+    is unbounded in the data — ONE extreme outlier row would explode
+    the grid (Spark errors past ~2³¹ elements, and degrades long
+    before), turning a bad row into a whole-query failure.  The grid
+    is therefore capped at ``max_bins`` bins anchored at the true
+    minimum: bins past ``b0 + max_bins − 1`` collapse into the last
+    bin (an overflow bucket), mirrored exactly in the oracle with
+    LEAST.  Clean data (span ≤ max_bins) is bit-identical to the
+    uncapped form; pathological data degrades to a labelled tail
+    bucket instead of failing.  The clamp runs on the post-aggregation
+    distinct-bin table, not per row."""
     binned = events.select(
         F.floor(F.col("value") / F.lit(width)).cast("long").alias("bin")
     )
-    counts = binned.groupBy("bin").agg(F.count("*").alias("n"))
+    raw_counts = binned.groupBy("bin").agg(F.count("*").alias("n"))
     bounds = binned.agg(
         F.min("bin").alias("b0"), F.max("bin").alias("b1")
     )
-    grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("bin"))
+    cap = (F.col("b0") + F.lit(max_bins) - 1).alias("cap")
+    counts = (
+        raw_counts.crossJoin(F.broadcast(bounds.select(cap)))
+        .groupBy(F.least("bin", F.col("cap")).alias("bin"))
+        .agg(F.sum("n").alias("n"))
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("b0", F.least("b1", F.col("b0") + F.lit(max_bins) - 1))
+        ).alias("bin")
+    )
     return (
         grid.join(counts, "bin", "left")
         .select(

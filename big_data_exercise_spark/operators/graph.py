@@ -247,9 +247,18 @@ def supplier_triangles(
             "n_edges",
             "n_wedges",
             "n_triangles",
-            round_det(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
-            ).alias("clustering_coeff"),
+            # Degenerate-graph guard: if the min_weight floor empties
+            # the edge set, n_wedges is 0 (or NULL from an empty sum)
+            # and an unguarded division yields engine-dependent
+            # NULL/NaN — both engines emit NULL via the same CASE.
+            F.when(
+                F.col("n_wedges") > 0,
+                round_det(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("clustering_coeff"),
         )
     )
 

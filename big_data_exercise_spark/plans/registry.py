@@ -2473,15 +2473,20 @@ def _specs() -> list[QuerySpec]:
         """
         WITH binned AS (
           SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin FROM events),
-        counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+        raw_counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
         bounds AS (SELECT MIN(bin) AS b0, MAX(bin) AS b1 FROM binned),
-        grid AS (SELECT unnest(generate_series(b0, b1)) AS bin FROM bounds)
+        counts AS (
+          SELECT LEAST(bin, b0 + 99999) AS bin, SUM(n) AS n
+          FROM raw_counts, bounds GROUP BY 1),
+        grid AS (SELECT unnest(generate_series(b0, LEAST(b1, b0 + 99999)))
+                   AS bin FROM bounds)
         SELECT g.bin, g.bin * 50.0 AS bin_start,
                CAST(COALESCE(n, 0) AS BIGINT) AS n_events
         FROM grid g LEFT JOIN counts c ON c.bin = g.bin
         """,
         ("agg", "histogram"),
-        "equi-width value histogram with empty interior bins materialized",
+        "equi-width value histogram, empty interior bins materialized, "
+        "grid capped at 100k bins (outlier overflow bucket)",
     ))
     s.append(QuerySpec(
         "rfm_segments",
@@ -2605,8 +2610,9 @@ def _specs() -> list[QuerySpec]:
         wc AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
                FROM deg)
         SELECT n_edges, n_wedges, n_triangles,
-               {round_det_sql("3.0 * n_triangles / n_wedges", 4)}
-                 AS clustering_coeff
+               CASE WHEN n_wedges > 0
+                    THEN {round_det_sql("3.0 * n_triangles / n_wedges", 4)}
+                    ELSE NULL END AS clustering_coeff
         FROM ec, wc, tri
         """,
         ("graph", "triangles"),

@@ -52,6 +52,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+def _pin_pythonpath() -> None:
+    """Self-locate for Spark Python workers: pickled UDFs / Python data
+    sources reference this package by module name, and local-mode
+    workers resolve imports through the PYTHONPATH captured when the
+    JVM starts.  Called from :func:`get_spark` immediately before
+    session construction — NOT at package import — so embedding
+    applications that merely ``import big_data_exercise_spark`` see no
+    process-global mutation (round-3 advisor finding); the side effect
+    happens only when a session is actually being created."""
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+
+
 def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent).
 
@@ -81,6 +102,7 @@ def get_spark(
     thresholds) is configured identically to what a cluster deployment
     would use, so plans observed locally are the plans we'd get at scale.
     """
+    _pin_pythonpath()
     n = cpus or default_parallelism()
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))

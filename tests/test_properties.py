@@ -704,3 +704,40 @@ def test_apriori_prune_exact_with_synthetic_hot_customer(spark):
         for r in supplier_cooccurrence(orders, li, top=50).collect()
     }
     assert co == {(10, 11): 5, (10, 12): 3, (11, 12): 3}
+
+
+def test_triangle_census_null_coeff_on_wedge_free_graph(spark):
+    """Degenerate-graph guard: a min_weight floor that empties (or
+    disconnects) the edge set must yield clustering_coeff NULL, not an
+    engine-dependent NULL/NaN division artifact."""
+    from big_data_exercise_spark.operators.graph import supplier_triangles
+
+    # two customers, disjoint supplier pairs → no pair shares >= 3
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "l_orderkey long, l_suppkey long",
+    )
+    row = supplier_triangles(orders, li, min_weight=3).collect()[0]
+    assert row["n_edges"] == 0
+    assert row["clustering_coeff"] is None
+
+
+def test_equiwidth_histogram_outlier_collapses_to_overflow_bucket(spark):
+    """Grid cap: one extreme outlier must NOT explode the bin grid —
+    with max_bins=10 the outlier lands in the last (overflow) bin and
+    the grid stays 10 bins wide."""
+    from big_data_exercise_spark.operators.aggregations import (
+        value_equiwidth_histogram,
+    )
+
+    vals = [(float(v),) for v in (0, 10, 20, 99)] + [(10_000_000.0,)]
+    events = spark.createDataFrame(vals, "value double")
+    rows = value_equiwidth_histogram(events, width=10.0, max_bins=10).collect()
+    assert len(rows) == 10                     # capped, not 10^6 bins
+    by_bin = {r["bin"]: r["n_events"] for r in rows}
+    assert by_bin[0] == 1 and by_bin[1] == 1 and by_bin[2] == 1
+    assert by_bin[9] == 2                      # 99 (bin 9) + clamped outlier
+    assert sum(by_bin.values()) == 5           # nothing lost
