@@ -105,23 +105,42 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert result.count() == 10
 
 
-def test_transform_with_state_guarded(spark):
+def test_transform_with_state_runs_everywhere(spark):
     """transformWithStateInPandas needs google.protobuf for its state
-    server; where protobuf is broken (this container) the operator
-    must stay import-safe and the applyInPandasWithState twin covers
-    the capability. Where protobuf exists, the plan must build."""
-    import pytest
+    server; where protobuf is missing the operator must DELEGATE to
+    the applyInPandasWithState twin rather than skip or fail — so this
+    test runs the operator end-to-end as a stream in EVERY
+    environment and checks the per-user (count, max) state against the
+    batch aggregate.  Where protobuf exists the same assertion
+    exercises the real typed-handle path."""
+    import pyspark.sql.functions as F
 
     from big_data_exercise_spark.streaming import pipelines as streams
     from big_data_exercise_spark.tables import load_table
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable; tws operator dormant")
-    ev = load_table(spark, SF_DIR, "events")
-    # plan construction only (batch twin does not exist for tws)
-    assert streams.stateful_user_stats_tws is not None
+    result = streams.run_to_memory(
+        streams.stateful_user_stats_tws(streams.stream_events(spark, SF_DIR)),
+        "update",
+    )
+    # update-mode memory sink may hold several emissions per key; the
+    # LAST (max n_events) row per user is the final state.
+    final = (
+        result.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    expected = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    diff = final.exceptAll(expected).union(expected.exceptAll(final))
+    assert diff.count() == 0
 
 
 def test_kafka_plan_construction(spark):
