@@ -3450,6 +3450,29 @@ def _specs() -> list[QuerySpec]:
         "binary frame synth → mapInPandas metadata decode round-trip",
     ))
 
+    s.append(QuerySpec(
+        "png_pixel_stats",
+        # REAL codec in the plan: spec-compliant PNG encode (all five
+        # scanline filters, cycling on event_id % 5) then FULL decode
+        # (CRC check + inflate + unfilter) inside mapInPandas;
+        # width/height/mean come from reconstructed pixels while the
+        # oracle recomputes them from the synthesis formula — the hash
+        # match proves the codec round-trips exactly.
+        lambda sp, d: codecs.png_pixel_stats(_t(sp, d, "events")),
+        """
+        SELECT user_id AS camera_id,
+               COUNT(*) AS n_frames,
+               CAST(SUM(16 + (user_id % 4) * 8) AS BIGINT) AS sum_width,
+               CAST(SUM(12 + (event_id % 3) * 4) AS BIGINT) AS sum_height,
+               CAST(SUM(event_id % 251) AS BIGINT) AS sum_mean_pixel
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY 1
+        """,
+        ("multimodal", "codec", "png"),
+        "real PNG codec round-trip: encode w/ all spec filters, full "
+        "decode in mapInPandas, pixel-derived stats vs formula oracle",
+    ))
+
     def _sampled_frames(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)
