@@ -41,7 +41,8 @@ HEADLINE = [
     "text_quality_stats",
     "dedup_exact",
     "minhash_near_duplicates",
-    "simhash_near_duplicates",
+    "minhash_near_duplicates_prod",  # the plan users actually run
+    "simhash_near_duplicates",       # production xxhash64 mode
     "knn_cosine_topk",
     "embedding_near_duplicates",
     "embedding_lsh_near_duplicates",
@@ -58,6 +59,11 @@ HEADLINE = [
     "kmeans_clusters",
     "pagerank_trade",
     "knn_batch_topk",
+    # round-3 de-globalized window plans — benched so the per-round
+    # log shows them running with zero single-partition windows
+    "rfm_segments",
+    "abc_revenue_classes",
+    "session_peak_concurrency",
 ]
 
 

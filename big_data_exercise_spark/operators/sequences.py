@@ -46,15 +46,19 @@ def conversion_funnel(events: DataFrame) -> DataFrame:
     stack = ", ".join(
         f"{i}, '{name}', s{i}" for i, name in enumerate(FUNNEL_STAGES)
     )
+    # ``counts`` is ONE row, so the funnel base (stage-0 count) rides
+    # along the stack() projection — no window at all (a first_value
+    # window here, even constant-keyed, funnels through a warned
+    # single partition; a generator + sibling column does not).
     rows = counts.selectExpr(
-        f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage_idx, stage, n_users)"
+        f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage_idx, stage, n_users)",
+        "s0 AS _base",
     )
-    base = F.first("n_users").over(W.orderBy("stage_idx"))
     return rows.select(
         "stage_idx",
         "stage",
         "n_users",
-        round_det(F.col("n_users") / base, 4).alias("conv_pct"),
+        round_det(F.col("n_users") / F.col("_base"), 4).alias("conv_pct"),
     )
 
 

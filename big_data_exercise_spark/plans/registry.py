@@ -1657,6 +1657,21 @@ def _specs() -> list[QuerySpec]:
         "MinHash+LSH near-dup: banding candidates, exact-Jaccard verify",
     ))
     s.append(QuerySpec(
+        "minhash_near_duplicates_prod",
+        # PRODUCTION default: xxhash64 token ids — no vocabulary pass,
+        # no global rank, the only mode that scales to 100 TB. The
+        # verify stage is the same exact-Jaccard filter, so every
+        # emitted pair is a true >= threshold pair; only LSH candidate
+        # RECALL depends on the hash family, which is why this mode is
+        # rows-only (the engine-replayable vocab twin above is the
+        # hash-checked one) and why the bench must measure THIS plan:
+        # it is the one users run.
+        lambda sp, d: minhash.near_duplicates(_t(sp, d, "documents")),
+        None,
+        ("dedup", "lsh", "production"),
+        "MinHash+LSH near-dup, production xxhash64 ids (no vocab pass)",
+    ))
+    s.append(QuerySpec(
         "dedup_cluster_assignment",
         # The full dedup answer: verified near-dup pairs (same
         # vocab-rank MinHash pipeline as above) → connected components

@@ -89,7 +89,18 @@ def kmeans_assignments(
         .distinct()
         .orderBy("vid")
         .limit(k)
-        .select("vid", (F.row_number().over(W.orderBy("vid")) - 1).alias("cid"))
+        # rank the k seed rows WITHOUT a window (a constant partition
+        # key gets constant-folded out of the spec and still warns):
+        # cid = count of smaller vids, via the k²-cheap broadcast
+        # triangular join — k rows, no sort, no single-partition stage.
+        .withColumn("_one", F.lit(1))
+    )
+    from big_data_exercise_spark.operators.windows import (
+        broadcast_prefix_offsets,
+    )
+
+    seeds = broadcast_prefix_offsets(seeds, "vid", "_one", "cid").select(
+        "vid", F.col("cid").cast("int").alias("cid")
     )
     cents = (
         long_df.join(seeds, "vid")
