@@ -129,3 +129,93 @@ def exact_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
         .filter(jac >= threshold)
         .select("id1", "id2", round_det(jac, 4).alias("jaccard"))
     )
+
+
+def incremental_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.8, new_mod: int = 10
+) -> DataFrame:
+    """Incremental-ingestion dedup: which docs of a NEW batch
+    (doc_id % ``new_mod`` == 0 — the deterministic stand-in for
+    "today's crawl") are near-duplicates of the EXISTING corpus.
+    This asymmetric shape is what a production pipeline actually runs
+    daily — re-deduping the full corpus on every ingest is the O(N²)
+    bill the incremental form exists to avoid.
+
+    Same exact prefix-filter machinery as :func:`exact_jaccard_pairs`
+    (document frequencies still computed over the FULL collection, so
+    both sides order tokens identically — a per-batch vocabulary
+    would break the shared prefix bound), but candidates come only
+    from the cross-side join new-prefix × corpus-prefix: the
+    corpus × corpus quadrant — the overwhelming bulk at 100 TB —
+    is never generated.  Verification is exact, so the brute-force
+    new × corpus join is the oracle and equality proves zero recall
+    loss.
+
+    Output: (new_id, corpus_id, jaccard ≥ threshold rounded 4).
+    """
+    from big_data_exercise_spark.functions.numeric import round_det
+    from big_data_exercise_spark.tables import ensure_parallelism
+
+    documents = ensure_parallelism(documents)
+    is_new = F.col("doc_id") % new_mod == 0
+    toks = doc_token_sets(documents).select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).persist()
+
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    keyed = toks.join(df_counts, "tok").select(
+        "doc_id", F.struct(F.col("df"), F.col("tok")).alias("key")
+    )
+    per_doc = keyed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("key")).alias("sorted_keys"),
+        F.count("*").alias("sz"),
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    prefixes = per_doc.select(
+        "doc_id",
+        F.explode(F.slice("sorted_keys", 1, prefix_len)).alias("p"),
+    ).select("doc_id", F.col("p.tok").alias("tok"))
+    cand = (
+        prefixes.filter(is_new)
+        .select(F.col("doc_id").alias("new_id"), "tok")
+        .join(
+            prefixes.filter(~is_new).select(
+                F.col("doc_id").alias("corpus_id"), "tok"
+            ),
+            "tok",
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+    sets = (
+        toks.select("doc_id", F.abs(F.xxhash64("tok")).alias("tok_id"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok_id")).alias("toks"))
+    )
+    a = sets.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("toks").alias("toks1"),
+        F.size("toks").alias("sz1"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("toks").alias("toks2"),
+        F.size("toks").alias("sz2"),
+    )
+    ratio_ok = (F.col("sz1") >= F.col("sz2") * threshold) & (
+        F.col("sz2") >= F.col("sz1") * threshold
+    )
+    inter = F.size(F.array_intersect("toks1", "toks2"))
+    jac = inter / (F.col("sz1") + F.col("sz2") - inter)
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .filter(ratio_ok)
+        .filter(jac >= threshold)
+        .select("new_id", "corpus_id", round_det(jac, 4).alias("jaccard"))
+    )

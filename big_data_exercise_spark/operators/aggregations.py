@@ -878,3 +878,80 @@ def activity_heatmap(events: DataFrame) -> DataFrame:
             exact_sum(F.col("value")).alias("total_value"),
         )
     )
+
+
+def pareto_frontier_parts(part: DataFrame) -> DataFrame:
+    """Skyline / Pareto-frontier query over (p_retailprice ↓ better,
+    p_size ↑ better): a part survives iff NO strictly cheaper part has
+    size ≥ its own — the classic skyline operator [Börzsönyi et al.,
+    ICDE'01], which naive formulations compute as an O(n²) dominance
+    anti-join.
+
+    Scale shape: collapse to one row per distinct price (max size —
+    dominance within a price group only goes through size), then ONE
+    distributed EXCLUSIVE running max over price order
+    (:func:`windows.global_exclusive_running_max` — range partition +
+    partitioned window + broadcast prefix max; no n² join, no global
+    sort), broadcast-join the per-price frontier bound back and keep
+    rows with size > bound (NULL bound = cheapest price band, always
+    on the frontier).  Every comparison is on raw parquet values, so
+    both engines agree exactly."""
+    from big_data_exercise_spark.operators.windows import (
+        global_exclusive_running_max,
+    )
+
+    pm = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    bounds = global_exclusive_running_max(
+        pm, [F.asc("price")], F.col("msize"), "pmax"
+    )
+    return (
+        part.join(
+            bounds.select("price", "pmax"),
+            part.p_retailprice == F.col("price"),
+        )
+        .filter(F.col("pmax").isNull() | (F.col("p_size") > F.col("pmax")))
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+    )
+
+
+def exact_value_quantiles(events: DataFrame) -> DataFrame:
+    """EXACT global quantiles of an unpartitioned 100 TB column — the
+    scale path the approx_percentile sketch approximates, done
+    exactly: one distributed rank pass
+    (:func:`windows.global_row_number`) and a 5-row broadcast join
+    against integer-safe target ranks ⌈q·n⌉ = (n·num + den − 1) div
+    den (pure integer arithmetic — no float q·n whose rounding could
+    differ between engines).  Order is fully tie-broken on
+    (value, event_id); the oracle replays the same rank arithmetic
+    with a window, so the hash match proves the distributed
+    decomposition, not just the numbers."""
+    from big_data_exercise_spark.operators.windows import global_row_number
+
+    ranked = global_row_number(
+        events.select("value", "event_id"),
+        [F.asc("value"), F.asc("event_id")],
+        "rk",
+    )
+    n = events.agg(F.count("*").cast("long").alias("n"))
+    quants = events.sparkSession.createDataFrame(
+        [(25, 100), (50, 100), (75, 100), (90, 100), (99, 100)],
+        "num int, den int",
+    )
+    targets = quants.crossJoin(F.broadcast(n)).select(
+        (F.col("num").cast("double") / F.col("den")).alias("quantile"),
+        F.floor(
+            (F.col("n") * F.col("num") + F.col("den") - 1) / F.col("den")
+        ).cast("long").alias("target"),
+    )
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    return (
+        ranked.join(F.broadcast(targets), F.col("rk") == F.col("target"))
+        .select("quantile", round_det(F.col("value"), 2).alias("value"))
+    )

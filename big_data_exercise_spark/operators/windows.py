@@ -286,3 +286,58 @@ def ntile_from_rank(rank, n, k: int):
     ).otherwise(
         rem + F.floor((rank - big + q - F.lit(1)) / q)
     ).cast("int")
+
+
+def broadcast_prefix_max(
+    totals: DataFrame, key: str, value: str, out: str
+) -> DataFrame:
+    """MAX sibling of :func:`broadcast_prefix_offsets`: each key's
+    EXCLUSIVE prefix maximum (max of ``value`` over strictly-smaller
+    keys; NULL when no predecessor — the natural identity for max).
+    Same tiny-table triangular broadcast join, no window."""
+    left = totals
+    right = totals.select(
+        F.col(key).alias("__bk"), F.col(value).alias("__bv")
+    )
+    return (
+        left.join(F.broadcast(right), F.col("__bk") < F.col(key), "left")
+        .groupBy(*[F.col(c) for c in totals.columns])
+        .agg(F.max("__bv").alias(out))
+    )
+
+
+def global_exclusive_running_max(
+    df: DataFrame,
+    order_cols: list,
+    value,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact EXCLUSIVE global running max of ``value`` under a total
+    order — max over all strictly-preceding rows, NULL for the first —
+    without a single-partition window.  Same two-pass decomposition as
+    :func:`global_running_sum` (max is associative, which is all the
+    decomposition needs): range partition → pid-partitioned local
+    window with an UNBOUNDED..-1 frame → broadcast triangular prefix
+    max of per-partition totals → ``greatest`` of the two (Spark's
+    greatest skips NULLs, so partition/row boundaries need no special
+    cases).  This is the skyline/Pareto-frontier workhorse: 'the best
+    value among everything ranked before me'."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__lex", F.max(value).over(local_w)).persist()
+    totals = local.groupBy("__pid").agg(F.max(value).alias("__tot"))
+    offsets = broadcast_prefix_max(totals, "__pid", "__tot", "__off")
+    return (
+        local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(out, F.greatest("__lex", "__off"))
+        .drop("__pid", "__lex", "__off")
+    )

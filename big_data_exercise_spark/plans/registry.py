@@ -2029,6 +2029,37 @@ def _specs() -> list[QuerySpec]:
         "exact set-similarity join via prefix filtering (no recall loss)",
     ))
     s.append(QuerySpec(
+        "incremental_dedup_new_docs",
+        # The daily-ingest shape: new batch vs existing corpus only —
+        # the corpus×corpus quadrant is never generated. Exact prefix
+        # filtering (shared full-collection token order), so the
+        # brute-force new×corpus join is the oracle and equality
+        # proves zero recall loss on the asymmetric path too.
+        lambda sp, d: ssjoin.incremental_jaccard_pairs(
+            _t(sp, d, "documents")
+        ),
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS n
+          FROM toks a JOIN toks b
+            ON a.tok = b.tok AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          GROUP BY 1, 2)
+        SELECT new_id, corpus_id,
+               {round_det_sql("n * 1.0 / (s1.sz + s2.sz - n)", 4)} AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = new_id
+        JOIN sizes s2 ON s2.doc_id = corpus_id
+        WHERE n * 1.0 / (s1.sz + s2.sz - n) >= 0.8
+        """,
+        ("dedup", "ssjoin", "incremental"),
+        "incremental-ingest dedup: new batch vs corpus, exact "
+        "asymmetric prefix-filter join",
+    ))
+    s.append(QuerySpec(
         "simhash_checked_near_duplicates",
         # Same banding/rep-collapse pipeline, but the per-token bit
         # family is exact integer SQL over the sorted-vocabulary rank
@@ -2530,6 +2561,51 @@ def _specs() -> list[QuerySpec]:
         """,
         ("agg", "rfm", "window"),
         "RFM quartile segmentation (fixed anchor, tie-broken ntile)",
+    ))
+    s.append(QuerySpec(
+        "exact_value_quantiles",
+        # Exact global quantiles of an unpartitioned column via the
+        # distributed-rank helper — the scale path approx_percentile
+        # approximates, done exactly; the oracle replays the identical
+        # integer target-rank arithmetic with a window.
+        lambda sp, d: agg.exact_value_quantiles(_t(sp, d, "events")),
+        f"""
+        WITH o AS (
+          SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+          FROM events),
+        n AS (SELECT COUNT(*) AS n FROM events),
+        q AS (SELECT * FROM (VALUES (25,100),(50,100),(75,100),(90,100),
+                                    (99,100)) t(num, den))
+        SELECT CAST(num AS DOUBLE) / den AS quantile,
+               {round_det_sql("o.value", 2)} AS value
+        FROM q, n, o WHERE o.rk = (n.n * num + den - 1) // den
+        """,
+        ("agg", "quantile", "distributed-rank"),
+        "exact global percentiles via distributed rank (no global sort)",
+    ))
+    s.append(QuerySpec(
+        "pareto_frontier_parts",
+        # Skyline via ONE distributed exclusive running max over the
+        # per-price maxima — no O(n²) dominance anti-join, no global
+        # sort window; the oracle computes the same bound with a
+        # ROWS UNBOUNDED..1 PRECEDING window.
+        lambda sp, d: agg.pareto_frontier_parts(_t(sp, d, "part")),
+        """
+        WITH pm AS (
+          SELECT p_retailprice AS price, MAX(p_size) AS msize
+          FROM part GROUP BY 1),
+        pf AS (
+          SELECT price, MAX(msize) OVER (
+            ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING) AS pmax
+          FROM pm)
+        SELECT p_partkey, p_retailprice AS price, p_size AS size
+        FROM part JOIN pf ON p_retailprice = pf.price
+        WHERE pmax IS NULL OR p_size > pmax
+        """,
+        ("agg", "skyline", "distributed-max"),
+        "Pareto/skyline frontier (cheapest-dominant parts) via "
+        "distributed exclusive running max",
     ))
     s.append(QuerySpec(
         "abc_revenue_classes",

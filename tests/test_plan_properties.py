@@ -222,6 +222,10 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         "abc_revenue_classes",
         "session_peak_concurrency",
         "knn_batch_topk",
+        "exact_value_quantiles",
+        "pareto_frontier_parts",
+        "kmeans_clusters",
+        "conversion_funnel",
     ],
 )
 def test_no_unpartitioned_windows(spark, name):
@@ -234,7 +238,17 @@ def test_no_unpartitioned_windows(spark, name):
     empty middle list is the single-partition funnel this test bans.
     """
     plan = _plan(spark, name)
+    windowed = False
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
+            windowed = True
             assert "], [], [" not in line, f"unpartitioned window: {line.strip()[:200]}"
-    assert "windowspecdefinition" in plan or name == "session_peak_concurrency"
+    # queries rewritten to need NO window at all (triangular broadcast
+    # prefix joins / stack-projected base) are the strongest outcome;
+    # everything else must still carry its partitioned window.
+    window_free_ok = {
+        "session_peak_concurrency",  # prefix join + partitioned sweep
+        "kmeans_clusters",           # seed rank via triangular join
+        "conversion_funnel",         # base rides the stack() projection
+    }
+    assert windowed or name in window_free_ok

@@ -760,3 +760,77 @@ def test_equiwidth_histogram_outlier_collapses_to_overflow_bucket(spark):
     assert by_bin[0] == 1 and by_bin[1] == 1 and by_bin[2] == 1
     assert by_bin[9] == 2                      # 99 (bin 9) + clamped outlier
     assert sum(by_bin.values()) == 5           # nothing lost
+
+
+def test_distributed_prefix_helpers_match_local_reference(spark):
+    """global_running_sum / global_row_number /
+    global_exclusive_running_max must equal the single-machine
+    reference on shuffled random data — including duplicate order-key
+    values (the tie-break column keeps the order total)."""
+    import random
+
+    from big_data_exercise_spark.operators.windows import (
+        global_exclusive_running_max,
+        global_row_number,
+        global_running_sum,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 50), rng.randint(-5, 100)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    order = [F.asc("k"), F.asc("id")]
+
+    ref = sorted(rows, key=lambda r: (r[1], r[0]))
+    run, runsum = {}, 0
+    rn, emax = {}, {}
+    cur_max = None
+    for i, (rid, _k, v) in enumerate(ref):
+        runsum += v
+        run[rid] = runsum
+        rn[rid] = i + 1
+        emax[rid] = cur_max
+        cur_max = v if cur_max is None else max(cur_max, v)
+
+    got_sum = {
+        r["id"]: r["rs"]
+        for r in global_running_sum(df, order, F.col("v"), "rs", 7).collect()
+    }
+    assert got_sum == run
+    got_rn = {
+        r["id"]: r["rn"] for r in global_row_number(df, order, "rn", 7).collect()
+    }
+    assert got_rn == rn
+    got_max = {
+        r["id"]: r["mx"]
+        for r in global_exclusive_running_max(
+            df, order, F.col("v"), "mx", 7
+        ).collect()
+    }
+    assert got_max == emax
+
+
+def test_incremental_dedup_is_asymmetric_and_exact_at_boundary(spark):
+    """The incremental join must (a) only emit new×corpus pairs —
+    never corpus×corpus even when two corpus docs are identical — and
+    (b) keep the float-safe prefix bound: a new doc at exactly
+    J = 0.8 against a corpus doc must surface."""
+    from big_data_exercise_spark.dedup.ssjoin import incremental_jaccard_pairs
+
+    a_toks = [f"w{i:02d}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (10, " ".join(a_toks)),        # new batch (id % 10 == 0)
+            (3, " ".join(a_toks[4:])),     # corpus: J(10,3) = 16/20 = 0.8
+            (7, " ".join(a_toks)),         # corpus dup of the new doc
+            (9, " ".join(a_toks)),         # corpus dup of corpus doc 7
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_jaccard_pairs(docs).collect()
+    }
+    assert set(got) == {(10, 3), (10, 7), (10, 9)}  # no (7,9) pair
+    assert abs(got[(10, 3)] - 0.8) < 1e-12
+    assert got[(10, 7)] == 1.0
