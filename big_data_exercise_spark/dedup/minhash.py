@@ -9,8 +9,10 @@ Pipeline (all relational, no UDFs):
      corpus is billions of entries, so never materialize it).
    * ``vocab_rank``: ids are the rank of the token in the sorted
      global vocabulary. Fully engine-independent → the whole pipeline
-     is DuckDB-oracle-checkable; the ranking window is a single
-     partition, so this mode is for oracle parity at test SF only.
+     is DuckDB-oracle-checkable. The rank is the distributed
+     range-partitioned row_number (operators.windows.global_row_number)
+     — no single-partition window — but the mode still materializes
+     the vocabulary, so production stays xxhash.
 3. k universal-hash functions h_j(x) = (a_j·x + b_j) mod P; MinHash
    signature = per-doc min of each h_j (one groupBy, k mins);
 4. LSH banding: split the k mins into b bands of r rows; docs sharing
@@ -34,7 +36,7 @@ defaults (k=12, b=3, r=4) target t ≈ 0.76.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from big_data_exercise_spark.functions.text import tokens
 
@@ -63,13 +65,12 @@ def doc_token_ids(documents: DataFrame, use_vocab_ranks: bool = False) -> DataFr
         return exploded.select(
             "doc_id", F.abs(F.xxhash64("tok")).alias("tok_id")
         )
-    vocab = (
-        exploded.select("tok")
-        .distinct()
-        .withColumn("tok_id", F.row_number().over(W.orderBy("tok")) - 1)
-    )
-    # Single-partition ranking window — acceptable only because this
-    # mode exists for oracle parity at test SF; production is xxhash.
+    from big_data_exercise_spark.operators.windows import global_row_number
+
+    # Exact global vocab rank via the distributed range-partitioned
+    # row_number — no single-partition window even in replay mode.
+    vocab = global_row_number(exploded.select("tok").distinct(), ["tok"], "__rn")
+    vocab = vocab.select("tok", (F.col("__rn") - 1).alias("tok_id"))
     return exploded.join(F.broadcast(vocab), "tok").select("doc_id", "tok_id")
 
 
@@ -169,11 +170,15 @@ def near_duplicates(
     else:
         # Vocabulary over rep sets == vocabulary over all docs (every
         # set has a representative), so ranks match the per-doc oracle.
-        vocab = (
-            exploded.select("tok")
-            .distinct()
-            .withColumn("tok_id", F.row_number().over(W.orderBy("tok")) - 1)
-        )
+        # Exact global rank WITHOUT a single-partition window: the
+        # distributed range-partitioned row_number (same two-pass plan
+        # rfm_segments uses), so even this replay mode carries no
+        # `WindowExec: No Partition Defined` plan node.
+        from big_data_exercise_spark.operators.windows import global_row_number
+
+        vocab = global_row_number(
+            exploded.select("tok").distinct(), ["tok"], "__rn"
+        ).select("tok", (F.col("__rn") - 1).alias("tok_id"))
         tt = exploded.join(F.broadcast(vocab), "tok").select("doc_id", "tok_id")
     tt = tt.persist()
     sigs = _signatures_from_ids(tt, num_hashes)

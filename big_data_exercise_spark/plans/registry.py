@@ -34,6 +34,7 @@ from big_data_exercise_spark.session import tune_session
 from big_data_exercise_spark.tables import load_table, register_views
 from big_data_exercise_spark.operators import (
     aggregations as agg,
+    bucketing,
     graph,
     joins,
     layout,
@@ -1114,6 +1115,37 @@ def _specs() -> list[QuerySpec]:
         """,
         ("etl", "partition", "sink"),
         "write-time day partitioning + partition-pruned scan rollup",
+    ))
+
+    s.append(QuerySpec(
+        "bucketed_order_revenue",
+        lambda sp, d: bucketing.bucketed_order_revenue(
+            sp, d, _t(sp, d, "orders"), _t(sp, d, "lineitem")),
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               {sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        ("etl", "bucketing", "join"),
+        "co-located fact⋈fact join over write-time bucketed tables — "
+        "zero Exchange before the join (plan-test pinned)",
+    ))
+
+    s.append(QuerySpec(
+        "bucketed_point_lookup",
+        lambda sp, d: bucketing.bucketed_point_lookup(
+            sp, d, _t(sp, d, "orders"), _t(sp, d, "lineitem")),
+        f"""
+        SELECT l_orderkey, COUNT(*) AS n_items,
+               {sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem
+        WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
+        GROUP BY l_orderkey
+        """,
+        ("etl", "bucketing", "pruning"),
+        "index-style point lookup pruned to one bucket "
+        "(SelectedBucketsCount pinned by plan test)",
     ))
 
     s.append(QuerySpec(

@@ -252,3 +252,22 @@ def test_no_unpartitioned_windows(spark, name):
         "conversion_funnel",         # base rides the stack() projection
     }
     assert windowed or name in window_free_ok
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    """The co-located bucketed SMJ zips bucket i of both sides —
+    NO shuffle on either join input. The only Exchange in the whole
+    query is the final 5-row priority rollup."""
+    plan = _plan(spark, "bucketed_order_revenue")
+    assert "SortMergeJoin" in plan
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    # everything below the join node reads straight from the bucketed
+    # scans — an Exchange here would mean bucketing was ignored
+    assert "Exchange" not in join_subtree
+    # above the join only the tiny 5-row rollup + its ORDER BY remain
+    assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark):
+    plan = _plan(spark, "bucketed_point_lookup")
+    assert "SelectedBucketsCount: 1 out of 8" in plan
