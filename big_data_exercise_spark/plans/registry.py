@@ -58,7 +58,7 @@ from big_data_exercise_spark.dedup import exact as dedup_exact_mod
 from big_data_exercise_spark.dedup import (
     cluster, contamination, minhash, ngram, simhash, ssjoin, winnow,
 )
-from big_data_exercise_spark.similarity import kmeans, knn, lsh
+from big_data_exercise_spark.similarity import kmeans, knn, lsh, pq
 from big_data_exercise_spark.multimodal import audio, codecs, detections
 from big_data_exercise_spark.sources import (
     csvio, jdbcio, jsonio, orcio, pydatasource, textio,
@@ -2881,6 +2881,16 @@ def _specs() -> list[QuerySpec]:
         """,
         ("similarity", "knn", "batch"),
         "batched exact ANN: top-5 per query for a broadcast query set",
+    ))
+    s.append(QuerySpec(
+        "pq_topk",
+        lambda sp, d: pq.pq_topk(_t(sp, d, "embeddings")),
+        pq.pq_sql(),
+        ("similarity", "pq", "ann"),
+        "product-quantization ANN: per-sub-space integer Lloyd codebooks, "
+        "broadcast ADC lookup-table scoring over the code table, "
+        "partition-local shortlist, exact integer-L2 re-rank — the memory "
+        "scale path (codes ≪ vectors); oracle unrolls the whole pipeline",
     ))
     s.append(QuerySpec(
         "kmeans_clusters",

@@ -1,0 +1,258 @@
+"""Product quantization (PQ) ANN: trained sub-space codebooks,
+asymmetric-distance (ADC) shortlist, exact re-rank.
+
+The third leg of the similarity tier (knn.py = brute/IVF, lsh.py =
+hyperplane buckets): PQ is the *memory* scale path. Each vector is
+stored as m sub-space code bytes instead of 4·d float bytes (here
+64 dims → 4 codes: 64× smaller), so a 100 TB float corpus compresses
+to the point where the scored relation is a join of a code table
+against a broadcast lookup table — the scan reads codes, never the
+vectors. Jégou et al.'s public PQ construction, relationally:
+
+1. **Train** — split dims into m contiguous sub-spaces and run the
+   same engine-exact integer Lloyd loop as similarity/kmeans.py in
+   each, all sub-spaces in ONE relational pipeline (keyed by
+   ``sub = dim DIV dsub``; dims are disjoint across sub-spaces so one
+   join on ``dim`` trains all m codebooks at once). Fixed-point
+   quantization, floor-div centroid updates, argmin ties → lower cid:
+   every step replays bit-for-bit in the DuckDB oracle (pq_sql()).
+2. **Encode** — final per-(vid, sub) argmin: the code table, m rows
+   per vector (m bytes in a columnar layout; the full-width vectors
+   are never touched again until re-rank).
+3. **ADC score** — per query, the distance from the query's sub-vector
+   to EVERY centroid of every sub-space is a (n_queries · m · k)-row
+   lookup table — tiny by construction, broadcast. Approximate
+   distance = SUM of m LUT probes, one hash-join + partial agg over
+   the code table; no vector math in the corpus pass.
+4. **Shortlist + exact re-rank** — partition-local top-(r·k) per query
+   under the total order (adist, vec_id) inside one Arrow mapInPandas
+   pass (superset-safe: a global top row is a local top row), merged
+   in a small partitioned window, then exact integer L2 re-rank of the
+   ≤ n_queries·r·k survivors against the true vectors.
+
+Scale shape: the only full-corpus operations are the Lloyd joins
+(broadcast centroid table, same as kmeans.py) and the code-table agg
+(broadcast LUT). Nothing all-pairs, nothing single-partition, no
+driver collect; the re-rank input is bounded by the shortlist size,
+not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from big_data_exercise_spark.similarity.kmeans import quantized_long
+
+N_DIMS = 64
+M_SUBS = 4          # sub-spaces → dsub = 16 dims each
+K_CENTS = 4         # centroids per sub-space (256 in a production byte code)
+ITERS = 2           # fixed Lloyd rounds (deterministic, oracle-unrollable)
+RERANK = 4          # shortlist factor: re-rank r·k ADC candidates
+
+
+def _long_with_sub(embeddings: DataFrame, m: int, n_dims: int) -> DataFrame:
+    dsub = n_dims // m
+    return quantized_long(embeddings).withColumn(
+        "sub", F.expr(f"CAST(dim DIV {dsub} AS INT)")
+    )
+
+
+def _assign(lf: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per (vid, sub): join on dim (dim implies sub),
+    integer squared-L2 per (vid, sub, cid), struct-min argmin."""
+    diff = F.col("q") - F.col("qc")
+    dists = (
+        lf.join(F.broadcast(cents.select("cid", "dim", "qc")), "dim")
+        .groupBy("vid", "sub", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    best = dists.groupBy("vid", "sub").agg(F.min(F.struct("dist", "cid")).alias("b"))
+    return best.select("vid", "sub", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
+
+
+def pq_codebooks(lf: DataFrame, k: int = K_CENTS, iters: int = ITERS) -> DataFrame:
+    """(sub, cid, dim, qc) codebooks for every sub-space, trained by
+    ``iters`` integer Lloyd rounds. Seeds: the k smallest vids seed
+    every sub-space (cid = seed rank — deterministic, no RNG)."""
+    from big_data_exercise_spark.operators.windows import broadcast_prefix_offsets
+
+    seeds = (
+        lf.select("vid").distinct().orderBy("vid").limit(k)
+        .withColumn("_one", F.lit(1))
+    )
+    seeds = broadcast_prefix_offsets(seeds, "vid", "_one", "cid").select(
+        "vid", F.col("cid").cast("int").alias("cid")
+    )
+    cents = (
+        lf.join(F.broadcast(seeds), "vid")
+        .select("sub", "cid", "dim", F.col("q").alias("qc"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _assign(lf, cents)
+        cents = (
+            lf.join(assigned.select("vid", "sub", "cid"), ["vid", "sub"])
+            .groupBy("sub", "cid", "dim")
+            .agg(F.expr("CAST(sum(q) DIV count(1) AS BIGINT)").alias("qc"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = M_SUBS,
+    kcent: int = K_CENTS,
+    iters: int = ITERS,
+    n_dims: int = N_DIMS,
+    rerank: int = RERANK,
+) -> DataFrame:
+    """Top-``k`` per query (the ``n_queries`` smallest vec_ids) via
+    PQ-ADC shortlist + exact re-rank. Output: (query_id, vec_id,
+    adist, dist, rank) — approximate AND exact integer squared-L2, so
+    the quantization error is visible in the result itself."""
+    lf = _long_with_sub(embeddings, m, n_dims).localCheckpoint()
+    cents = pq_codebooks(lf, kcent, iters)
+    codes = _assign(lf, cents).select("vid", "sub", "cid")
+
+    qlf = lf.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("qid"), "sub", "dim", F.col("q").alias("qq")
+    )
+    # ADC lookup table: n_queries × m × k rows — broadcast by size.
+    dq = F.col("qq") - F.col("qc")
+    lut = (
+        qlf.join(cents.select("cid", "dim", "qc"), "dim")
+        .groupBy("qid", "sub", "cid")
+        .agg(F.sum(dq * dq).alias("pdist"))
+    )
+    scores = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("qid", "vid")
+        .agg(F.sum("pdist").alias("adist"))
+        .filter(F.col("vid") != F.col("qid"))
+    )
+
+    shortlist_n = rerank * k
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            cur = pdf if carry is None else pd.concat([carry, pdf])
+            cur = cur.sort_values(["qid", "adist", "vid"], kind="mergesort")
+            carry = cur.groupby("qid", sort=False).head(shortlist_n)
+        if carry is not None:
+            yield carry
+
+    local = scores.mapInPandas(_local_topk, schema=scores.schema)
+    wq = W.partitionBy("qid").orderBy("adist", "vid")
+    shortlist = (
+        local.withColumn("srank", F.row_number().over(wq))
+        .filter(F.col("srank") <= shortlist_n)
+        .select("qid", "vid", "adist")
+    )
+
+    # Exact integer L2 re-rank over the bounded shortlist: pair each
+    # candidate's dims with its query's dims. The shortlist is tiny
+    # (≤ n_queries·r·k rows) → broadcast; the corpus long form is
+    # probed once, pre-shrunk by a semi join on the candidate vids.
+    cand_vecs = lf.join(
+        F.broadcast(shortlist.select("vid").distinct()), "vid", "left_semi"
+    )
+    paired = cand_vecs.join(
+        F.broadcast(qlf.select("qid", "dim", "qq")), "dim"
+    ).join(F.broadcast(shortlist), ["qid", "vid"])
+    de = F.col("q") - F.col("qq")
+    reranked = paired.groupBy("qid", "vid", "adist").agg(
+        F.sum(de * de).alias("dist")
+    )
+    wf = W.partitionBy("qid").orderBy("dist", "vid")
+    return (
+        reranked.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("vec_id"),
+            "adist",
+            "dist",
+            "rank",
+        )
+    )
+
+
+def pq_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = M_SUBS,
+    kcent: int = K_CENTS,
+    iters: int = ITERS,
+    n_dims: int = N_DIMS,
+    rerank: int = RERANK,
+) -> str:
+    """DuckDB oracle replaying pq_topk bit-for-bit (unrolled Lloyd
+    CTEs per sub-space, ADC LUT, shortlist window, exact re-rank)."""
+    dsub = n_dims // m
+    lf = f"""lf AS (
+      SELECT vid, u.dim AS dim, CAST(u.dim // {dsub} AS INTEGER) AS sub,
+             u.q AS q FROM (
+        SELECT vec_id AS vid,
+               unnest([{{'dim': i - 1,
+                        'q': CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0)
+                                        * 1000000.0) AS BIGINT)}}
+                       for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings) t),
+    init AS (
+      SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS cid
+      FROM (SELECT DISTINCT vid FROM lf ORDER BY vid LIMIT {kcent}) s),
+    c0 AS (
+      SELECT l.sub, i.cid, l.dim, l.q AS qc FROM lf l JOIN init i USING (vid))"""
+    parts = [lf]
+    for it in range(1, iters + 2):
+        parts.append(f"""d{it} AS (
+      SELECT l.vid, l.sub, c.cid,
+             CAST(SUM((l.q - c.qc) * (l.q - c.qc)) AS BIGINT) AS dist
+      FROM lf l JOIN c{it - 1} c USING (dim) GROUP BY 1, 2, 3),
+    a{it} AS (
+      SELECT vid, sub, cid FROM (
+        SELECT vid, sub, cid,
+               row_number() OVER (PARTITION BY vid, sub ORDER BY dist, cid) AS rn
+        FROM d{it}) r WHERE rn = 1)""")
+        if it <= iters:
+            parts.append(f"""c{it} AS (
+      SELECT l.sub, a.cid, l.dim, CAST(SUM(l.q) // COUNT(*) AS BIGINT) AS qc
+      FROM lf l JOIN a{it} a ON l.vid = a.vid AND l.sub = a.sub
+      GROUP BY 1, 2, 3)""")
+    fin = iters + 1
+    parts.append(f"""qlf AS (
+      SELECT vid AS qid, sub, dim, q AS qq FROM lf WHERE vid < {n_queries}),
+    lut AS (
+      SELECT ql.qid, ql.sub, c.cid,
+             CAST(SUM((ql.qq - c.qc) * (ql.qq - c.qc)) AS BIGINT) AS pdist
+      FROM qlf ql JOIN c{iters} c USING (dim) GROUP BY 1, 2, 3),
+    scores AS (
+      SELECT t.qid, co.vid, CAST(SUM(t.pdist) AS BIGINT) AS adist
+      FROM a{fin} co JOIN lut t ON co.sub = t.sub AND co.cid = t.cid
+      WHERE co.vid <> t.qid GROUP BY 1, 2),
+    shortlist AS (
+      SELECT qid, vid, adist FROM (
+        SELECT qid, vid, adist,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn
+        FROM scores) r WHERE rn <= {rerank * k}),
+    reranked AS (
+      SELECT s.qid, s.vid, s.adist,
+             CAST(SUM((l.q - ql.qq) * (l.q - ql.qq)) AS BIGINT) AS dist
+      FROM shortlist s
+      JOIN lf l ON l.vid = s.vid
+      JOIN qlf ql ON ql.qid = s.qid AND ql.dim = l.dim
+      GROUP BY 1, 2, 3)""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT qid AS query_id, vid AS vec_id, adist, dist,
+           CAST(rank AS INTEGER) AS rank FROM (
+      SELECT qid, vid, adist, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rank
+      FROM reranked) r WHERE rank <= {k}"""
+    )
