@@ -3429,6 +3429,59 @@ def _specs() -> list[QuerySpec]:
         "stream-stream time-bounded attribution join == batch self-join",
     ))
 
+    def _stream_stream_outer(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.click_purchase_attribution(
+                streams.stream_events(sp, d),
+                streams.stream_events(sp, d),
+                watermark="10 minutes",
+                how="left_outer",
+            ),
+            "append",
+        )
+
+    s.append(QuerySpec(
+        "stream_stream_left_outer",
+        _stream_stream_outer,
+        """
+        WITH mx AS (
+          SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS m),
+        wm AS (
+          -- Spark watermarks are millisecond-truncated; the filter is
+          -- pushed below the watermark node so each side tracks its
+          -- FILTERED max event time, and the global watermark is the
+          -- min of the two sides minus the delay.
+          SELECT make_timestamp((epoch_us(m) // 1000) * 1000)
+                 - INTERVAL 10 MINUTE AS w FROM mx),
+        matched AS (
+          SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                 p.user_id,
+                 epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+          FROM events c JOIN events p
+            ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
+        unmatched AS (
+          -- state eviction: a click's join window [ts, ts + 1 HOUR]
+          -- is closed once it lies entirely below the watermark
+          SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+                 c.user_id, CAST(NULL AS BIGINT) AS gap_us
+          FROM events c, wm
+          WHERE c.event_type = 'click'
+            AND NOT EXISTS (SELECT 1 FROM matched m
+                            WHERE m.click_id = c.event_id)
+            AND c.ts < wm.w - INTERVAL 1 HOUR)
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        """,
+        ("streaming", "join", "outer"),
+        "watermarked LEFT OUTER stream-stream join: null-extended "
+        "unmatched clicks flush on state eviction; the oracle replays "
+        "the exact emission rule (min-of-filtered-sides ms watermark)",
+    ))
+
     def _stream_wm_dedup(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         return streams.run_to_memory(

@@ -194,9 +194,20 @@ def click_purchase_attribution(
 
     ``how="left_outer"`` emits unmatched clicks with NULL purchase
     columns — but only once the watermark has closed their join
-    window, so on a finite stream the LAST batch's unmatched rows may
-    be withheld (there is no later trigger to flush them). The inner
-    join has no such caveat; batch equivalence is exact.
+    window. On a finite stream the final emission set is exactly
+    characterizable (and the `stream_stream_left_outer` oracle checks
+    it): an unmatched click emits iff ``click_ts < W - within`` where
+    ``W = min(max click ts, max purchase ts)`` (ms-truncated) minus
+    the watermark delay. Two subtleties pinned by that oracle:
+    (a) Catalyst pushes the event_type filter BELOW the
+    EventTimeWatermark node, so each side's watermark tracks the max
+    event time of its *filtered* stream, not the source stream, and
+    the global watermark is the min of the two; (b) the no-data
+    micro-batch after the last data batch performs the eviction, so
+    the rows do flush without requiring new input. Unmatched clicks
+    younger than ``W - within`` stay in state forever on a finite
+    input. The inner join has no such caveat; batch equivalence is
+    exact.
 
     Spark's state-store mechanics make this scale: each side is
     hash-partitioned on user_id, rows are buffered in per-partition
