@@ -47,7 +47,7 @@ from big_data_exercise_spark.operators import (
     timeseries,
     windows,
 )
-from big_data_exercise_spark.functions import arrays, grouped, pii, sentiment, text
+from big_data_exercise_spark.functions import arrays, bpe, grouped, pii, sentiment, text
 from big_data_exercise_spark.functions.numeric import (
     avg_sql,
     exact_sum,
@@ -4120,6 +4120,15 @@ def _specs() -> list[QuerySpec]:
         ("text", "quality"),
         "Gopher-style repetition filters: top-token count/char "
         "fractions + duplicate bigram/trigram fractions per document",
+    ))
+    s.append(QuerySpec(
+        "bpe_merge_rules",
+        lambda sp, d: bpe.learn_merges(_t(sp, d, "documents")),
+        bpe.bpe_sql(),
+        ("text", "bpe", "iterative"),
+        "distributed BPE tokenizer induction: corpus → weighted word-type "
+        "vocabulary → per-round pair-count agg + broadcast best pair + "
+        "windowed greedy merge; oracle unrolls the rounds",
     ))
     s.append(QuerySpec(
         "idf_top_terms",
