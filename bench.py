@@ -64,6 +64,11 @@ HEADLINE = [
     "rfm_segments",
     "abc_revenue_classes",
     "session_peak_concurrency",
+    # round-3 additions: new first-class surfaces
+    "bucketed_order_revenue",
+    "pq_topk",
+    "bpe_merge_rules",
+    "stream_stream_left_outer",
 ]
 
 
@@ -110,6 +115,13 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED after {timings[name]:.3f}s: {errors[name]}",
                   file=sys.stderr)
+        finally:
+            # Per-query isolation: drop datasets the query persisted.
+            # Dead cache blocks from earlier queries otherwise squeeze
+            # execution memory and the later join-heavy queries spill
+            # (measured: minhash verify 5-6× slower by headline
+            # position ~15 without this).
+            spark.catalog.clearCache()
 
     # Frame-pipeline throughput over the FULL events table — directly
     # comparable to BASELINE.md's frames/min numbers (vehicle: ~600

@@ -35,6 +35,7 @@ from big_data_exercise_spark.tables import load_table, register_views
 from big_data_exercise_spark.operators import (
     aggregations as agg,
     bucketing,
+    frequency,
     graph,
     joins,
     layout,
@@ -1146,6 +1147,35 @@ def _specs() -> list[QuerySpec]:
         ("etl", "bucketing", "pruning"),
         "index-style point lookup pruned to one bucket "
         "(SelectedBucketsCount pinned by plan test)",
+    ))
+
+    def _heavy_hitters(sp: SparkSession, d: str) -> DataFrame:
+        ev = _t(sp, d, "events")
+        # deterministic skew fold: every 10th user collapses into hot
+        # key 0, so the n/k threshold actually discriminates at bench
+        # SF (the raw fixture keys are uniform).
+        keyed = ev.select(
+            F.when(F.col("user_id") % 10 == 0, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("user_key")
+        )
+        return frequency.heavy_hitters(keyed, key="user_key")
+
+    s.append(QuerySpec(
+        "heavy_hitter_users",
+        _heavy_hitters,
+        f"""
+        SELECT user_key, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END
+                AS user_key FROM events) t
+        GROUP BY user_key
+        HAVING COUNT(*) * {frequency.K_COUNTERS} > (SELECT COUNT(*) FROM events)
+        ORDER BY user_key
+        """,
+        ("agg", "sketch", "heavy-hitters"),
+        "exact heavy hitters via per-partition Misra-Gries candidates + "
+        "exact verify — bounded state, no full-cardinality shuffle; "
+        "oracle is the naive plan (hash equality = supersetness proof)",
     ))
 
     s.append(QuerySpec(

@@ -834,3 +834,28 @@ def test_incremental_dedup_is_asymmetric_and_exact_at_boundary(spark):
     assert set(got) == {(10, 3), (10, 7), (10, 9)}  # no (7,9) pair
     assert abs(got[(10, 3)] - 0.8) < 1e-12
     assert got[(10, 7)] == 1.0
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Force the Misra-Gries eviction branch (distinct keys ≫ k) with
+    a synthetic skewed stream and check the sketch-prefiltered result
+    equals the naive full groupBy — the supersetness guarantee under
+    real decrement pressure, which the uniform fixtures (cardinality
+    < k) never exercise."""
+    from big_data_exercise_spark.operators import frequency
+
+    # 5000 distinct background keys (one row each) + 3 hot keys
+    rows = spark.range(5000).select((F.col("id") + 100).alias("k"))
+    hot = spark.range(900).select((F.col("id") % 3).alias("k"))
+    data = rows.unionAll(hot).repartition(8)
+
+    k = 64  # n = 5900, n/k ≈ 92 → exactly the 3 hot keys (300 each)
+    got = frequency.heavy_hitters(data, key="k", k=k).collect()
+    expect = (
+        data.groupBy("k").agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(data.agg(F.count("*").alias("n"))))
+        .filter(F.col("n_events") * k > F.col("n"))
+        .select("k", "n_events").orderBy("k").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    assert len(got) == 3
