@@ -74,3 +74,29 @@ def zorder_write(events: DataFrame, path: str, n_files: int = 16) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def fragment_write(events: DataFrame, path: str, n_files: int = 200) -> None:
+    """Simulate the small-files problem: round-robin the table into
+    ``n_files`` shards (what a high-frequency streaming sink or
+    over-parallel ETL leaves behind). At 100 TB the cost is real:
+    NameNode/manifest pressure, per-file open overhead, and scan tasks
+    far smaller than a split."""
+    events.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def compact(spark, src_path: str, dst_path: str, target_files: int = 8):
+    """Compaction pass: coalesce the fragmented layout down to
+    ``target_files`` parquet files. ``coalesce`` (not ``repartition``)
+    — file merging needs NO shuffle, each output task just concatenates
+    input splits; on a cluster this runs at read-bandwidth. Returns the
+    compacted DataFrame reader.
+
+    This is the OPTIMIZE/rewrite step a long-lived table needs after
+    streaming ingest (reference analog: the Postgres sink tables absorb
+    per-micro-batch inserts and rely on the DB's own storage to stay
+    scannable; a parquet lake must compact explicitly)."""
+    spark.read.parquet(src_path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return spark.read.parquet(dst_path)

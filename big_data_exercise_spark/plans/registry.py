@@ -1149,6 +1149,31 @@ def _specs() -> list[QuerySpec]:
         "(SelectedBucketsCount pinned by plan test)",
     ))
 
+    def _compacted_rollup(sp: SparkSession, d: str) -> DataFrame:
+        ev = _t(sp, d, "events")
+        base = tempfile.mkdtemp(prefix="bdes_compact_")
+        frag, dst = os.path.join(base, "frag"), os.path.join(base, "compact")
+        layout.fragment_write(ev.select("event_type", "value"), frag)
+        compacted = layout.compact(sp, frag, dst)
+        return compacted.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+
+    s.append(QuerySpec(
+        "compacted_rollup",
+        _compacted_rollup,
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {sum_sql("value", "total_value")}
+        FROM events GROUP BY event_type
+        """,
+        ("etl", "compaction", "layout"),
+        "small-files remediation: 200-shard fragmented write → "
+        "shuffle-free coalesce compaction → rollup over the compacted "
+        "copy (file counts pinned by property test)",
+    ))
+
     def _heavy_hitters(sp: SparkSession, d: str) -> DataFrame:
         ev = _t(sp, d, "events")
         # deterministic skew fold: every 10th user collapses into hot

@@ -859,3 +859,33 @@ def test_heavy_hitters_exact_under_eviction(spark):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in expect]
     assert len(got) == 3
+
+
+def test_compaction_reduces_file_count_without_changing_data(spark):
+    """The compaction pass must (a) actually shrink the file count to
+    the target, (b) do it shuffle-free (coalesce), (c) preserve every
+    row — the three contracts of an OPTIMIZE rewrite."""
+    import glob
+    import os
+    import tempfile
+
+    from big_data_exercise_spark.operators import layout
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    base = tempfile.mkdtemp(prefix="bdes_compact_test_")
+    frag, dst = os.path.join(base, "frag"), os.path.join(base, "dst")
+    layout.fragment_write(ev, frag, n_files=60)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert n_frag == 60
+
+    compacted = layout.compact(spark, frag, dst, target_files=4)
+    n_dst = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert n_dst <= 4
+    assert compacted.count() == ev.count()
+
+    # shuffle-free: the compaction write plan must carry no Exchange
+    plan = (
+        spark.read.parquet(frag).coalesce(4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
