@@ -37,6 +37,7 @@ from big_data_exercise_spark.operators import (
     bucketing,
     frequency,
     graph,
+    observe,
     joins,
     layout,
     reshape,
@@ -1147,6 +1148,20 @@ def _specs() -> list[QuerySpec]:
         ("etl", "bucketing", "pruning"),
         "index-style point lookup pruned to one bucket "
         "(SelectedBucketsCount pinned by plan test)",
+    ))
+
+    s.append(QuerySpec(
+        "observed_rollup",
+        lambda sp, d: observe.observed_rollup(_t(sp, d, "events")),
+        f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {sum_sql("value", "total_value")}
+        FROM events GROUP BY event_type
+        """,
+        ("observability", "agg"),
+        "df.observe ingest metrics (rows / null rate / exact total) "
+        "riding the rollup's own scan — no second pass; the hash "
+        "proves observation never perturbs results",
     ))
 
     def _compacted_rollup(sp: SparkSession, d: str) -> DataFrame:

@@ -889,3 +889,29 @@ def test_compaction_reduces_file_count_without_changing_data(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_observe_metrics_match_ground_truth(spark):
+    """df.observe must deliver exact ingest metrics from the query's
+    own scan: row count, null-value count, and the exact value total
+    all equal independently computed ground truth, and the observed
+    query's RESULT is unchanged (the registry hash also pins this)."""
+    from pyspark.sql import Observation
+
+    from big_data_exercise_spark.operators import observe
+    from big_data_exercise_spark.functions.numeric import exact_sum as _es
+
+    ev = load_table(spark, SF_DIR, "events")
+    obs = Observation("ingest_metrics_test")
+    result = observe.observed_rollup(ev, obs)
+    result.write.format("noop").mode("overwrite").save()
+    got = obs.get
+
+    truth = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        _es(F.col("value")).alias("value_total"),
+    ).collect()[0]
+    assert got["n_rows"] == truth["n_rows"]
+    assert (got["n_null_value"] or 0) == (truth["n_null_value"] or 0)
+    assert got["value_total"] == truth["value_total"]
