@@ -245,3 +245,39 @@ def test_stream_stream_left_outer_emits_closed_unmatched(spark, tmp_path):
     assert stream_rows <= batch_outer
     assert {t for t in stream_rows if t[1] is not None} == batch_inner
     assert any(t[1] is None for t in stream_rows)
+
+
+def test_rocksdb_state_store_backend(spark, tmp_path):
+    """The scale-grade state backend: RocksDB spills streaming state
+    to local disk instead of pinning it on the JVM heap — at 10⁹ keys
+    the HDFS-backed in-memory provider OOMs, RocksDB doesn't. Same
+    watermarked windowed aggregation, same results, different
+    providerClass: pins that every stateful pipeline here can run on
+    the backend a production deployment would configure."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    staged = _staged_events_dir(spark, tmp_path)
+    try:
+        spark.conf.set(key, provider)
+        got = streams.run_to_memory(
+            streams.tumbling_counts(
+                _stream_staged(spark, staged), watermark="10 minutes"
+            ),
+            "complete",
+        )
+        rows = {tuple(r) for r in got.collect()}
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    ev = load_table(spark, SF_DIR, "events")
+    expect = {
+        tuple(r)
+        for r in streams.tumbling_counts(ev, watermark=None).collect()
+    }
+    assert rows == expect and len(rows) > 0
