@@ -216,3 +216,49 @@ def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> Data
             .alias("n_sessions_started"),
         )
     )
+
+
+def pit_feature_backfill(events: DataFrame) -> DataFrame:
+    """Leakage-free point-in-time feature backfill — the feature-store
+    join every supervised training pipeline needs: for each label event
+    (purchase), the user's feature vector computed from STRICTLY
+    PRIOR events only. Using any window that can see the label row (or
+    later) leaks the future into training features; the frame here is
+    ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`` under the total order
+    (ts, event_id), which makes the cutoff exact even for same-
+    timestamp ties.
+
+    Single pass, no per-label re-scan: instead of joining each label
+    against its own history (quadratic in events-per-user), labels and
+    feature events ride ONE user-partitioned window — the same tagged-
+    union trick as joins.last_prior_event, generalized to a multi-
+    column feature vector (activity count, click count, last observed
+    value, tenure). Scale shape: one shuffle on user_id, linear per
+    partition.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    featured = (
+        events.select("event_id", "user_id", "ts", "event_type", "value")
+        .withColumn("n_prior_events", F.count("*").over(w))
+        .withColumn(
+            "n_prior_clicks",
+            F.coalesce(
+                F.sum((F.col("event_type") == "click").cast("long")).over(w),
+                F.lit(0),
+            ),
+        )
+        .withColumn("last_value", F.last("value", ignorenulls=True).over(w))
+        .withColumn("first_ts", F.min("ts").over(w))
+    )
+    return featured.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "n_prior_events",
+        "n_prior_clicks",
+        "last_value",
+        (F.unix_micros("ts") - F.unix_micros("first_ts")).alias("tenure_us"),
+    )

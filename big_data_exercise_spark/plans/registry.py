@@ -1151,6 +1151,30 @@ def _specs() -> list[QuerySpec]:
     ))
 
     s.append(QuerySpec(
+        "pit_feature_backfill",
+        lambda sp, d: sequences.pit_feature_backfill(_t(sp, d, "events")),
+        """
+        SELECT event_id, user_id, n_prior_events, n_prior_clicks,
+               last_value, tenure_us FROM (
+          SELECT event_id, user_id, event_type,
+                 COUNT(*) OVER w AS n_prior_events,
+                 CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1
+                                   ELSE 0 END) OVER w, 0) AS BIGINT)
+                   AS n_prior_clicks,
+                 LAST_VALUE(value IGNORE NULLS) OVER w AS last_value,
+                 epoch_us(ts) - epoch_us(MIN(ts) OVER w) AS tenure_us
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ) t WHERE event_type = 'purchase'
+        """,
+        ("window", "feature-store", "asof"),
+        "leakage-free point-in-time feature backfill: label rows and "
+        "feature events ride one strictly-preceding user window — no "
+        "per-label history re-scan, exact cutoff under ties",
+    ))
+
+    s.append(QuerySpec(
         "observed_rollup",
         lambda sp, d: observe.observed_rollup(_t(sp, d, "events")),
         f"""
