@@ -234,3 +234,54 @@ def referential_integrity_audit(
         F.count("*").alias("n_orphans"),
     )
     return li_orphans.unionByName(ord_orphans).unionByName(childless)
+
+
+def incremental_join_refresh(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the delta
+    rule Δ(A⋈B) = ΔA⋈B ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, the other half of the
+    CDC story next to incremental_agg_refresh's agg identity.
+
+    The view is revenue-by-priority over orders⋈lineitem. "Arriving"
+    batches are carved deterministically (o_orderkey % 17 == 0 /
+    l_orderkey % 13 == 0 are the deltas); the maintained result =
+    base partial-agg + three delta-join partial-aggs, combined with a
+    final regroup. At 100 TB this is the point: the base fact⋈fact
+    join is NEVER recomputed — each refresh joins only the (tiny,
+    broadcastable) deltas against the other side, shrinking refresh
+    cost from O(|A|·|B| join work) to O(|Δ| · probe).
+
+    The DuckDB oracle is a FULL recompute of the view over all data —
+    hash equality executes the distributivity proof that the three
+    delta quadrants plus the base cover every joined row exactly once.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    o = orders.select("o_orderkey", "o_orderpriority")
+    l = lineitem.select("l_orderkey", rev)
+    o_old = o.filter(F.col("o_orderkey") % 17 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 17 == 0)
+    l_old = l.filter(F.col("l_orderkey") % 13 != 0)
+    l_new = l.filter(F.col("l_orderkey") % 13 == 0)
+
+    def part(os_, ls_, broadcast_orders: bool):
+        left = F.broadcast(os_) if broadcast_orders else os_
+        j = left.join(ls_, os_["o_orderkey"] == ls_["l_orderkey"])
+        return j.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("rev").cast("decimal(30,8)")).alias("dec_rev"),
+        )
+
+    base = part(o_old, l_old, broadcast_orders=False)
+    d1 = part(o_new, l_old, broadcast_orders=True)   # ΔA ⋈ B_old
+    d2 = part(o_old, l_new, broadcast_orders=False)  # A_old ⋈ ΔB (ΔB tiny side)
+    d3 = part(o_new, l_new, broadcast_orders=True)   # ΔA ⋈ ΔB
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    combined = base.unionByName(d1).unionByName(d2).unionByName(d3)
+    return (
+        combined.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_items"),
+            round_det(F.sum("dec_rev").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -3443,6 +3443,22 @@ def _specs() -> list[QuerySpec]:
         "the maintenance identity",
     ))
 
+    s.append(QuerySpec(
+        "incremental_join_refresh",
+        lambda sp, d: sets.incremental_join_refresh(
+            _t(sp, d, "orders"), _t(sp, d, "lineitem")),
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               {sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        ("join", "cdc", "materialized-view"),
+        "incremental JOIN-view maintenance: base + the three delta "
+        "quadrants (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) with broadcast deltas; oracle "
+        "is the full recompute — hash equality is the delta-rule proof",
+    ))
+
     def _json_roundtrip(sp: SparkSession, d: str) -> DataFrame:
         ev = _t(sp, d, "events")
         return jsonio.roundtrip(ev, "event_id", "user_id", "event_type", "value")
