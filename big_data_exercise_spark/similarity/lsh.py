@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from big_data_exercise_spark.functions.arrays import EMBEDDING_DIM, cosine
-
 BITS = 16
 BANDS = 4
 ROWS = BITS // BANDS
@@ -41,44 +39,55 @@ def hyperplane(j: int, dim: int = DIM) -> list[float]:
     ]
 
 
-def _dot_lit(vec_col: str, values: list[float]) -> F.Column:
-    """Left-associative dot product of a column (by SQL name) against a
-    literal vector — the exact in-order sum of the DuckDB list_sum
-    twin, emitted as ONE SQL string: parsing it is a single py4j call
-    (the Column-by-Column tree cost ~8 s of driver round-trips per
-    plan) and the parsed chain compiles under whole-stage codegen
-    (the zip_with/aggregate fold is CodegenFallback — interpreted)."""
-    terms = " + ".join(
-        f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * CAST({v!r} AS DOUBLE)"
-        for i, v in enumerate(values)
-    )
-    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
-
-
 def band_keys(embeddings: DataFrame, bits: int = BITS, bands: int = BANDS) -> DataFrame:
     """(vec_id, band, key): one bucket row per band, key = the band's
-    sign-bit pattern as an int."""
+    sign-bit pattern as an int.
+
+    The projection runs as ONE Arrow ``mapInPandas`` pass with the
+    hyperplane matrix baked in, accumulating each dot product
+    dimension-by-dimension across the whole batch (``acc += v[:, i] *
+    h[i]``) — the float adds happen in exactly the left-associative
+    order of the DuckDB oracle's ``list_sum`` fold, so the sign bits
+    are bit-identical, while each of the 64 accumulation steps is a
+    vectorized numpy op over the batch. The previous form — bits×dim
+    multiply-adds unrolled into one fused SQL projection — exceeded
+    the JVM's 64 KB generated-method limit at 16×64 and dropped the
+    whole stage to interpreted execution (the `Code grows beyond
+    64 KB` codegen ERROR in every bench log)."""
+    import numpy as np
+
     rows = bits // bands
-    bit_cols = [
-        (_dot_lit("embedding", hyperplane(j)) >= 0).cast("int").alias(f"b{j}")
-        for j in range(bits)
-    ]
-    with_bits = embeddings.select("vec_id", *bit_cols)
-    keys = [
-        sum(
-            (F.col(f"b{b * rows + r}") * (2**r) for r in range(rows)),
-            start=F.lit(0),
-        ).alias(f"k{b}")
-        for b in range(bands)
-    ]
-    keyed = with_bits.select("vec_id", *keys)
-    stacked = keyed.selectExpr(
-        "vec_id",
-        f"stack({bands}, "
-        + ", ".join(f"{b}, k{b}" for b in range(bands))
-        + ") AS (band, key)",
+    hp = [hyperplane(j) for j in range(bits)]
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bit = np.empty((n, bits), dtype=np.int64)
+            for j in range(bits):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(v.shape[1]):
+                    acc += v[:, i] * hp[j][i]
+                bit[:, j] = acc >= 0
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "key": np.zeros(n * bands, dtype=np.int64),
+            }
+            keys = np.zeros((n, bands), dtype=np.int64)
+            for b in range(bands):
+                for r in range(rows):
+                    keys[:, b] += bit[:, b * rows + r] << r
+            out["key"] = keys.reshape(-1)
+            yield pd.DataFrame(out)
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, band int, key long"
     )
-    return stacked
 
 
 def near_duplicates(
@@ -105,14 +114,38 @@ def near_duplicates(
     )
     a = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     b = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    paired = cand.join(a, "id1").join(b, "id2")
+
+    # Exact cosine in one Arrow pass, dimension-ordered accumulation
+    # (same left-associative double adds as the oracle's list_sum fold,
+    # same floats). The unrolled 3×64-term SQL chain, fused with the
+    # two verify joins, blew the JVM's 64 KB generated-method limit and
+    # dropped the stage to interpreted execution; the numpy form keeps
+    # every surrounding operator codegen'd and the math vectorized.
+    # Rounding stays Spark-side so ROUND semantics are untouched.
+    import numpy as np
+
+    def _cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v1 = np.vstack(pdf["e1"].to_numpy()).astype(np.float64)
+            v2 = np.vstack(pdf["e2"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            d = np.zeros(n)
+            n1 = np.zeros(n)
+            n2 = np.zeros(n)
+            for i in range(v1.shape[1]):
+                d += v1[:, i] * v2[:, i]
+                n1 += v1[:, i] * v1[:, i]
+                n2 += v2[:, i] * v2[:, i]
+            pdf = pdf[["id1", "id2"]].copy()
+            pdf["cos_raw"] = d / (np.sqrt(n1) * np.sqrt(n2))
+            yield pdf
+
+    scored = paired.mapInPandas(_cos, schema="id1 long, id2 long, cos_raw double")
     return (
-        cand.join(a, "id1")
-        .join(b, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(cosine("e1", "e2", dim=EMBEDDING_DIM), 4).alias("cos_sim"),
-        )
+        scored.select("id1", "id2", F.round("cos_raw", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
