@@ -140,3 +140,45 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         F.md5(F.array_join(codes.cast("array<string>"), ",")).alias("codes_fp"),
         round_det(mse, 8).alias("recon_mse"),
     )
+
+
+def arrow_pair_cosine(paired, e1: str, e2: str, keep: list[str]):
+    """Exact pairwise cosine as ONE Arrow pass: ``cos_raw`` appended to
+    the ``keep`` columns. Accumulates dimension-by-dimension across the
+    batch (``acc += v1[:, i] * v2[:, i]``) — the identical
+    left-associative double-add order of ``dot_sql`` and of the DuckDB
+    ``list_sum`` fold, so results are bit-equal to the SQL chain.
+
+    Exists because the unrolled fixed-dim chain, while ideal in a
+    simple projection, exceeds the JVM's 64 KB generated-method limit
+    when FUSED into a join's doConsume (observed for the 3×64-term
+    verify cosine inside BroadcastHashJoin / double-join stages): the
+    whole stage then silently falls back to interpreted execution.
+    Use this for verify stages that sit on top of joins; keep the SQL
+    chain for plain scans. Rounding is left to the caller, Spark-side.
+    """
+    import numpy as np
+
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in paired.select(*keep).dtypes] + ["cos_raw double"]
+    )
+
+    def _cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v1 = np.vstack(pdf[e1].to_numpy()).astype(np.float64)
+            v2 = np.vstack(pdf[e2].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            d = np.zeros(n)
+            n1 = np.zeros(n)
+            n2 = np.zeros(n)
+            for i in range(v1.shape[1]):
+                d += v1[:, i] * v2[:, i]
+                n1 += v1[:, i] * v1[:, i]
+                n2 += v2[:, i] * v2[:, i]
+            out = pdf[keep].copy()
+            out["cos_raw"] = d / (np.sqrt(n1) * np.sqrt(n2))
+            yield out
+
+    return paired.mapInPandas(_cos, schema=schema)

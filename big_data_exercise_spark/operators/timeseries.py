@@ -255,3 +255,68 @@ def session_bounce_stats(events: DataFrame, gap: str = "30 minutes") -> DataFram
             ),
         )
     )
+
+
+def seasonal_decompose_daily(events: DataFrame, half: int = 3) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily value
+    series: value = trend + seasonal + residual.
+
+    * **trend** — centered (2·half+1)-day moving average, expressed as
+      an OFFSET SELF-JOIN (each day joins days d−half .. d+half via an
+      exploded offset sequence) instead of a global-series window: the
+      day table is grouped output, but the join form keeps the plan
+      free of single-partition WindowExec at ANY series length, and
+      the partial average at the series edges uses the observed
+      neighbors only (the standard truncated-window convention).
+    * **seasonal** — per-weekday mean of the detrended series, joined
+      back by weekday (a 7-row broadcast).
+    * **residual** — the leftover; by construction the three parts
+      re-sum to the day's value exactly up to the two rounding points,
+      which both engines share (round_det / its SQL twin).
+
+    Everything is exact-decimal aggregation + deterministic IEEE
+    division — fully oracle-replayable. Output: one row per day.
+    """
+    day_val = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("dec_total"))
+        .select("day", F.col("dec_total").cast("double").alias("day_value"))
+    )
+    offsets = F.sequence(F.lit(-half), F.lit(half))
+    probe = day_val.select(
+        F.col("day").alias("center_src"), "day_value"
+    ).select(
+        "center_src", "day_value", F.explode(offsets).alias("off")
+    ).select(
+        F.date_add(F.col("center_src"), F.col("off")).alias("day"),
+        F.col("day_value").alias("neighbor_value"),
+    )
+    trend = (
+        day_val.join(probe, "day")
+        .groupBy("day", "day_value")
+        .agg(
+            round_det(
+                F.sum(F.col("neighbor_value").cast(DEC)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("trend")
+        )
+    )
+    detrended = trend.withColumn("detr", F.col("day_value") - F.col("trend"))
+    weekday = F.dayofweek("day").alias("wd")
+    seasonal = (
+        detrended.groupBy(weekday)
+        .agg(
+            round_det(
+                F.sum(F.col("detr").cast(DEC)).cast("double") / F.count("*"), 4
+            ).alias("seasonal")
+        )
+    )
+    out = detrended.join(F.broadcast(seasonal), F.dayofweek("day") == F.col("wd"))
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        round_det(F.col("day_value"), 4).alias("day_value"),
+        "trend",
+        "seasonal",
+        round_det(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
+    )

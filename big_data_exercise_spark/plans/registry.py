@@ -1151,6 +1151,45 @@ def _specs() -> list[QuerySpec]:
     ))
 
     s.append(QuerySpec(
+        "seasonal_decompose_daily",
+        lambda sp, d: timeseries.seasonal_decompose_daily(_t(sp, d, "events")),
+        f"""
+        WITH day_val AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS day_value
+          FROM events GROUP BY 1),
+        probe AS (
+          SELECT d.day + CAST(t.off AS INTEGER) AS day,
+                 d.day_value AS neighbor_value
+          FROM day_val d, range(-3, 4) t(off)),
+        trend AS (
+          SELECT d.day, d.day_value,
+                 {round_det_sql(
+                     "CAST(SUM(CAST(p.neighbor_value AS DECIMAL(30,8))) AS DOUBLE)"
+                     " / COUNT(*)", 4)} AS trend
+          FROM day_val d JOIN probe p USING (day) GROUP BY 1, 2),
+        detr AS (SELECT day, day_value, trend, day_value - trend AS detr
+                 FROM trend),
+        seasonal AS (
+          SELECT dayofweek(day) AS wd,
+                 {round_det_sql(
+                     "CAST(SUM(CAST(detr AS DECIMAL(30,8))) AS DOUBLE)"
+                     " / COUNT(*)", 4)} AS seasonal
+          FROM detr GROUP BY 1)
+        SELECT CAST(d.day AS TIMESTAMP) AS day,
+               {round_det_sql("d.day_value", 4)} AS day_value,
+               d.trend, s.seasonal,
+               {round_det_sql("d.detr - s.seasonal", 4)} AS residual
+        FROM detr d JOIN seasonal s ON dayofweek(d.day) = s.wd
+        """,
+        ("timeseries", "stats"),
+        "classical additive seasonal decomposition (trend = centered "
+        "moving average via offset self-join — no global-series window; "
+        "seasonal = per-weekday mean of detrended; residual closes the "
+        "identity)",
+    ))
+
+    s.append(QuerySpec(
         "pit_feature_backfill",
         lambda sp, d: sequences.pit_feature_backfill(_t(sp, d, "events")),
         """

@@ -78,10 +78,22 @@ def blocked_near_duplicates(embeddings: DataFrame, threshold: float = 0.35) -> D
     b = embeddings.select(
         F.col("vec_id").alias("id2"), F.col("label").alias("label"), F.col("embedding").alias("e2")
     )
-    return (
+    # Verify cosine in an Arrow pass (same floats as the SQL chain):
+    # fused into the join's doConsume, the 3×64-term chain overflows
+    # the 64 KB generated-method limit at broadcast-join plans and the
+    # stage falls back to interpreted execution.
+    from big_data_exercise_spark.functions.arrays import arrow_pair_cosine
+
+    paired = (
         a.join(b, "label")
         .filter(F.col("id1") < F.col("id2"))
-        .select("label", "id1", "id2", F.round(cosine("e1", "e2"), 4).alias("cos_sim"))
+        .select("label", "id1", "id2", "e1", "e2")
+    )
+    scored = arrow_pair_cosine(paired, "e1", "e2", ["label", "id1", "id2"])
+    return (
+        scored.select(
+            "label", "id1", "id2", F.round("cos_raw", 4).alias("cos_sim")
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 

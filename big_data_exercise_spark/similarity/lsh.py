@@ -116,34 +116,15 @@ def near_duplicates(
     b = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     paired = cand.join(a, "id1").join(b, "id2")
 
-    # Exact cosine in one Arrow pass, dimension-ordered accumulation
-    # (same left-associative double adds as the oracle's list_sum fold,
-    # same floats). The unrolled 3×64-term SQL chain, fused with the
-    # two verify joins, blew the JVM's 64 KB generated-method limit and
-    # dropped the stage to interpreted execution; the numpy form keeps
-    # every surrounding operator codegen'd and the math vectorized.
-    # Rounding stays Spark-side so ROUND semantics are untouched.
-    import numpy as np
+    # Exact cosine in one Arrow pass (functions.arrays.arrow_pair_cosine:
+    # dimension-ordered accumulation — the same left-associative double
+    # adds as the oracle's list_sum fold, same floats). The unrolled
+    # 3×64-term SQL chain, fused with the two verify joins, blew the
+    # JVM's 64 KB generated-method limit and dropped the stage to
+    # interpreted execution. Rounding stays Spark-side.
+    from big_data_exercise_spark.functions.arrays import arrow_pair_cosine
 
-    def _cos(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v1 = np.vstack(pdf["e1"].to_numpy()).astype(np.float64)
-            v2 = np.vstack(pdf["e2"].to_numpy()).astype(np.float64)
-            n = len(pdf)
-            d = np.zeros(n)
-            n1 = np.zeros(n)
-            n2 = np.zeros(n)
-            for i in range(v1.shape[1]):
-                d += v1[:, i] * v2[:, i]
-                n1 += v1[:, i] * v1[:, i]
-                n2 += v2[:, i] * v2[:, i]
-            pdf = pdf[["id1", "id2"]].copy()
-            pdf["cos_raw"] = d / (np.sqrt(n1) * np.sqrt(n2))
-            yield pdf
-
-    scored = paired.mapInPandas(_cos, schema="id1 long, id2 long, cos_raw double")
+    scored = arrow_pair_cosine(paired, "e1", "e2", ["id1", "id2"])
     return (
         scored.select("id1", "id2", F.round("cos_raw", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
