@@ -124,9 +124,18 @@ def learn_merges(documents: DataFrame, k: int = K_MERGES) -> DataFrame:
     merges = []
     for i in range(1, k + 1):
         best = _best_pair(_pair_counts(lf, wc)).localCheckpoint(eager=True)
+        # 1-row convergence probe (the iterative-loop exception to the
+        # no-collect rule): a corpus can run out of adjacent pairs
+        # before k rounds — stop instead of emitting a NULL rule.
+        row = best.first()
+        if row is None or row["l"] is None:
+            break
         merges.append(best.withColumn("rank", F.lit(i)))
         if i < k:
             lf = _apply_merge(lf, best).localCheckpoint()
+    if not merges:
+        schema = "rank int, left_sym string, right_sym string, pair_count long"
+        return documents.sparkSession.createDataFrame([], schema)
     out = reduce(lambda a, b: a.unionByName(b), merges)
     return out.select(
         F.col("rank").cast("int").alias("rank"),

@@ -915,3 +915,61 @@ def test_observe_metrics_match_ground_truth(spark):
     assert got["n_rows"] == truth["n_rows"]
     assert (got["n_null_value"] or 0) == (truth["n_null_value"] or 0)
     assert got["value_total"] == truth["value_total"]
+
+
+def test_bpe_matches_sequential_reference(spark):
+    """The relational BPE (gaps-and-islands greedy-overlap windows) must
+    reproduce the classical sequential algorithm exactly — pair counts,
+    tie-breaks, AND the subtle left-to-right overlap rule on runs like
+    'aaaa'. Hypothesis drives small adversarial corpora heavy in
+    repeated characters."""
+    from hypothesis import given, settings, strategies as st
+
+    from big_data_exercise_spark.functions import bpe
+
+    def reference_bpe(words, k):
+        # classical sequential BPE over a word-frequency dict
+        from collections import Counter
+
+        freq = Counter(words)
+        seqs = {w: list(w) for w in freq}
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for w, s in seqs.items():
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += freq[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((l, r, c))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    word = st.text(alphabet="aab", min_size=1, max_size=6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=12))
+    def run(words):
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        got = [
+            (r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe.learn_merges(docs, k=3).orderBy("rank").collect()
+        ]
+        # words appear once each in the doc → frequency = multiplicity
+        expect = reference_bpe(words, 3)
+        assert got == expect
+
+    run()
