@@ -69,6 +69,10 @@ HEADLINE = [
     "pq_topk",
     "bpe_merge_rules",
     "stream_stream_left_outer",
+    "heavy_hitter_users",
+    "pit_feature_backfill",
+    "incremental_join_refresh",
+    "seasonal_decompose_daily",
 ]
 
 
@@ -164,6 +168,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "frames_per_min": frames_per_min,
+        # host pressure context for cross-round ratchet comparisons:
+        # 1/5/15-min load averages sampled at bench end (a shared host
+        # with a noisy neighbor inflates every wall time uniformly)
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors
