@@ -164,21 +164,48 @@ def arrow_pair_cosine(paired, e1: str, e2: str, keep: list[str]):
     )
 
     def _cos(batches):
+        import pandas as pd
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            v1 = np.vstack(pdf[e1].to_numpy()).astype(np.float64)
-            v2 = np.vstack(pdf[e2].to_numpy()).astype(np.float64)
-            n = len(pdf)
-            d = np.zeros(n)
-            n1 = np.zeros(n)
-            n2 = np.zeros(n)
-            for i in range(v1.shape[1]):
-                d += v1[:, i] * v2[:, i]
-                n1 += v1[:, i] * v1[:, i]
-                n2 += v2[:, i] * v2[:, i]
+            a1 = pdf[e1].to_numpy()
+            a2 = pdf[e2].to_numpy()
+            # Dirty-corpus degradation, matching the SQL chain this
+            # replaces: a NULL or ragged embedding makes THAT row's
+            # cos_raw NULL (zip_with over mismatched lengths sums a
+            # NULL term) instead of np.vstack throwing away the whole
+            # Arrow batch; a zero-norm pair divides by zero, which
+            # Spark's non-ANSI Divide returns as NULL, not IEEE NaN.
+            dim = next((len(v) for v in a1 if v is not None), None)
+            ok = np.fromiter(
+                (
+                    v1 is not None and v2 is not None
+                    and len(v1) == dim and len(v2) == dim
+                    for v1, v2 in zip(a1, a2)
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            vals = np.zeros(len(pdf))
+            null = ~ok
+            if ok.any():
+                v1 = np.vstack(a1[ok]).astype(np.float64)
+                v2 = np.vstack(a2[ok]).astype(np.float64)
+                n = int(ok.sum())
+                d = np.zeros(n)
+                n1 = np.zeros(n)
+                n2 = np.zeros(n)
+                for i in range(v1.shape[1]):
+                    d += v1[:, i] * v2[:, i]
+                    n1 += v1[:, i] * v1[:, i]
+                    n2 += v2[:, i] * v2[:, i]
+                denom = np.sqrt(n1) * np.sqrt(n2)
+                zero = denom == 0.0
+                vals[ok] = d / np.where(zero, 1.0, denom)
+                null[np.flatnonzero(ok)[zero]] = True
             out = pdf[keep].copy()
-            out["cos_raw"] = d / (np.sqrt(n1) * np.sqrt(n2))
+            out["cos_raw"] = pd.arrays.FloatingArray(vals, null)
             yield out
 
     return paired.mapInPandas(_cos, schema=schema)

@@ -30,6 +30,12 @@ Every step is integer/string algebra over windows both engines share,
 so the DuckDB oracle (bpe_sql) replays the whole loop bit-for-bit with
 unrolled CTEs, kmeans.py-style.
 
+Unicode contract: the initial symbol split (``split(w, '')`` here,
+``string_split(w, '')`` in the oracle) is by CODE POINT in both
+engines — surrogate pairs stay whole, combining marks are their own
+symbols — pinned by tests/test_properties.py (codepoint-parity test
+and the fuzz alphabet, which includes U+1F600 and U+0301).
+
 Output: the learned merge table (rank, left_sym, right_sym,
 pair_count) — k rows, the artifact a tokenizer trainer ships.
 """

@@ -41,11 +41,17 @@ from big_data_exercise_spark.functions.numeric import exact_sum
 BUCKETS = 8
 
 
+_WRITTEN: set[tuple[str, str]] = set()
+
+
 def _db_for(spark: SparkSession, sf_dir: str) -> str:
-    """One metastore database per sf_dir so sf0.001 tests and sf0.01
-    driver runs sharing a session never read each other's buckets."""
+    """One metastore database per (process, sf_dir): the sf token keeps
+    sf0.001 tests and sf0.01 driver runs sharing a session from reading
+    each other's buckets; the pid token keeps two CONCURRENT processes
+    sharing a warehouse dir (a bench and a test run) from clobbering
+    each other's ``mode(overwrite)`` table rewrites mid-query."""
     slug = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.normpath(sf_dir)).strip("_").lower()
-    db = f"bdes_buckets_{slug}"
+    db = f"bdes_buckets_p{os.getpid()}_{slug}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     return db
 
@@ -68,6 +74,12 @@ def write_bucketed(
     """
     db = _db_for(spark, sf_dir)
     fq = f"{db}.{table}"
+    # "One-time layout write", made literal: within a process the
+    # source parquet under sf_dir is immutable, so a table already
+    # written this process is reused as-is — repeated bucketed queries
+    # pay the layout cost once, like a real lakehouse table.
+    if (fq, key) in _WRITTEN:
+        return fq
     (
         df.write.mode("overwrite")
         .format("parquet")
@@ -75,6 +87,7 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(fq)
     )
+    _WRITTEN.add((fq, key))
     return fq
 
 

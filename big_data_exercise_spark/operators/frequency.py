@@ -56,7 +56,12 @@ def heavy_hitters(
 
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            counters = counters.add(pdf["k"].value_counts(), fill_value=0)
+            # fill_value=0 upcasts the merge to float64; recast so the
+            # sketch stays integer-exact (float64 silently rounds past
+            # 2^53 — unreachable per-partition, but exact is free).
+            counters = counters.add(
+                pdf["k"].value_counts(), fill_value=0
+            ).astype("int64")
             if len(counters) > k:
                 # batched MG decrement: subtract the (k+1)-th largest
                 # count from ALL counters, drop the non-positive. Each

@@ -956,9 +956,15 @@ def test_bpe_matches_sequential_reference(spark):
                 seqs[w] = out
         return merges
 
-    word = st.text(alphabet="aab", min_size=1, max_size=6)
+    # Alphabet deliberately includes an astral-plane char (U+1F600,
+    # a UTF-16 surrogate pair) and a combining mark (U+0301): Spark's
+    # split(w, ''), DuckDB's string_split(w, ''), and Python's list(w)
+    # must all split by CODE POINT for the three implementations to
+    # agree — this fuzz pins that (a code-unit splitter would break a
+    # surrogate pair into two half-symbols and diverge).
+    word = st.text(alphabet="aab\U0001F600\u0301", min_size=1, max_size=6)
 
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=10, deadline=None)
     @given(st.lists(word, min_size=1, max_size=12))
     def run(words):
         docs = spark.createDataFrame(
@@ -973,3 +979,66 @@ def test_bpe_matches_sequential_reference(spark):
         assert got == expect
 
     run()
+
+
+def test_bpe_symbol_split_codepoint_parity(spark):
+    """The BPE symbol state splits words with split(w, '') on the Spark
+    side and string_split(w, '') in the DuckDB oracle; both must split
+    by Unicode CODE POINT (not UTF-16 code unit) or the two engines'
+    learned merges silently diverge on astral-plane text. Pins the
+    behavior on a surrogate-pair-bearing word directly."""
+    import duckdb
+
+    from big_data_exercise_spark.functions.bpe import _init_symbols
+
+    words = ["a\U0001F600b", "ée", "\U0001F600\U0001F600"]
+    wc = spark.createDataFrame([(w, 1) for w in words], "w string, cnt long")
+    got = {
+        (r.w, r.pos): r.sym for r in _init_symbols(wc).collect()
+    }
+    con = duckdb.connect()
+    oracle = con.execute(
+        """
+        SELECT w, u.pos AS pos, u.sym AS sym FROM (
+          SELECT w, unnest([{'pos': i - 1, 'sym': chars[i]}
+                            for i in range(1, len(chars) + 1)]) AS u
+          FROM (SELECT unnest(?) AS w) t,
+               LATERAL (SELECT string_split(w, '') AS chars) c) q
+        """,
+        [words],
+    ).fetchall()
+    expect = {(w, pos): sym for w, pos, sym in oracle}
+    assert got == expect
+    # and both agree with Python's code-point iteration
+    assert expect == {
+        (w, i): ch for w in words for i, ch in enumerate(w)
+    }
+
+
+def test_arrow_pair_cosine_dirty_rows_degrade_to_null(spark):
+    """A dirty corpus must not kill the Arrow batch: NULL embeddings,
+    ragged (wrong-dimension) embeddings, and zero-norm vectors each
+    yield cos_raw NULL for THAT row (matching Spark SQL's
+    divide-by-zero → NULL and zip_with-over-NULL semantics), while
+    clean rows in the same batch still get exact cosines."""
+    import math
+
+    from big_data_exercise_spark.functions.arrays import arrow_pair_cosine
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),     # clean: cos = 1
+        (2, [1.0, 0.0], [0.0, 2.0]),     # clean: cos = 0
+        (3, None, [1.0, 0.0]),           # NULL side
+        (4, [1.0, 0.0, 5.0], [1.0, 0.0]),  # ragged
+        (5, [0.0, 0.0], [1.0, 0.0]),     # zero norm
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, e1 array<double>, e2 array<double>"
+    ).repartition(1)
+    got = {
+        r.pid: r.cos_raw
+        for r in arrow_pair_cosine(df, "e1", "e2", ["pid"]).collect()
+    }
+    assert math.isclose(got[1], 1.0)
+    assert math.isclose(got[2], 0.0, abs_tol=1e-12)
+    assert got[3] is None and got[4] is None and got[5] is None
