@@ -63,34 +63,65 @@ def inter_event_gap_ms(events: DataFrame) -> DataFrame:
 
 
 def top_k_per_group(events: DataFrame, k: int = 3) -> DataFrame:
-    """Top-k rows per group via rank over a partitioned window — the
-    scalable form of 'top 50 counts per camera'
-    (VEHICLE_COUNTING_GUIDE.md:85-95): one shuffle on the group key,
-    no global sort."""
-    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    """Top-k rows per group — the scalable form of 'top 50 counts per
+    camera' (VEHICLE_COUNTING_GUIDE.md:85-95).
+
+    The group key (event_type) is a ~5-value domain, so the obvious
+    ``row_number().over(W.partitionBy("event_type"))`` caps
+    parallelism at 5 and sorts ~n/5 rows per task — a funnel at 100×.
+    :func:`grouped_row_number` computes the identical rank with a
+    range partition on (group, order): parallelism = partition count,
+    each task sorts only its contiguous slice."""
+    ranked = grouped_row_number(
+        events.select("event_type", "event_id", "user_id", "value"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        "__rk",
+    )
     return (
-        events.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("event_type", "rk", "event_id", "user_id", F.round("value", 2).alias("value"))
+        ranked.filter(F.col("__rk") <= k)
+        .select(
+            "event_type",
+            F.col("__rk").cast("int").alias("rk"),
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+        )
     )
 
 
 def value_ranks(events: DataFrame, top: int = 20) -> DataFrame:
-    """dense_rank / percent_rank / ntile in one partitioned window —
-    the ranking surface beyond row_number (W1-W4). percent_rank is
-    (rank-1)/(n-1), an integer ratio both engines compute identically;
-    ntile follows the SQL-standard ceil/floor bucket split. Bounded to
-    the top ``top`` dense ranks per type for a stable result set."""
+    """dense_rank / percent_rank / ntile per group — the ranking
+    surface beyond row_number (W1-W4) — in DISTRIBUTED form.  The
+    order (value DESC, event_id) is total (event_id is unique), so
+    dense_rank = rank = row_number; percent_rank is the integer ratio
+    (rank−1)/(n−1) both engines compute identically; ntile is the
+    SQL-standard ceil/floor split (:func:`ntile_from_rank`) applied to
+    the exact rank against the broadcast per-group count.  All three
+    therefore derive from ONE :func:`grouped_row_number` pass — range
+    partitioned, so the 5-value group key doesn't cap parallelism the
+    way a ``W.partitionBy("event_type")`` sort would.  Bounded to the
+    top ``top`` ranks per type for a stable result set."""
     from big_data_exercise_spark.functions.numeric import round_det
 
-    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    ranked = grouped_row_number(
+        events.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        "__rn",
+    )
+    counts = events.groupBy("event_type").agg(F.count("*").alias("__n"))
+    pr = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    )
     return (
-        events.select(
+        ranked.join(F.broadcast(counts), "event_type")
+        .select(
             "event_type",
             "event_id",
-            F.dense_rank().over(w).alias("dr"),
-            round_det(F.percent_rank().over(w), 6).alias("pr"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.col("__rn").cast("int").alias("dr"),
+            round_det(pr, 6).alias("pr"),
+            ntile_from_rank(F.col("__rn"), F.col("__n"), 4).alias("quartile"),
         )
         .filter(F.col("dr") <= top)
     )
@@ -150,16 +181,29 @@ def ntile_histogram(events: DataFrame, buckets: int = 10) -> DataFrame:
     deterministic order — and split into ``buckets`` equal-count
     bins; each bin reports its count and [lo, hi] value bounds.
 
-    Scale note: the sort is PARTITIONED by event_type — the unbounded
-    global-NTILE variant would funnel the whole table through one
-    task. For a histogram over an unpartitioned 100 TB column, the
-    scale path is approx_percentile cutpoints (see value_percentiles),
-    not NTILE; this operator is the exact per-group form.
+    Scale note: NTILE needs each row's exact rank within its group,
+    and a ``W.partitionBy(event_type)`` sort caps parallelism at the
+    5-value type domain (~n/5 rows through each task).  The exact rank
+    instead comes from :func:`grouped_row_number` (range-partitioned —
+    parallelism = partition count) and the SQL-standard bucket formula
+    :func:`ntile_from_rank` against the broadcast per-group count:
+    identical buckets, no low-cardinality sort funnel.  For an
+    approximate histogram over a 100 TB column the cheaper path is
+    approx_percentile cutpoints (see value_percentiles); this operator
+    is the exact equi-height form.
     """
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = grouped_row_number(
+        events.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.asc("value"), F.asc("event_id")],
+        "__rn",
+    )
+    counts = events.groupBy("event_type").agg(F.count("*").alias("__n"))
     return (
-        events.select("event_type", "event_id", "value")
-        .withColumn("bucket", F.ntile(buckets).over(w))
+        ranked.join(F.broadcast(counts), "event_type")
+        .withColumn(
+            "bucket", ntile_from_rank(F.col("__rn"), F.col("__n"), buckets)
+        )
         .groupBy("event_type", "bucket")
         .agg(
             F.count("*").alias("n_events"),
@@ -191,12 +235,29 @@ def broadcast_prefix_offsets(
 
     Returns ``totals`` with ``out`` added (0 for the smallest key).
     """
-    left = totals
+    return broadcast_grouped_prefix_offsets(totals, [], key, value, out)
+
+
+def broadcast_grouped_prefix_offsets(
+    totals: DataFrame, group_cols: list, key: str, value: str, out: str
+) -> DataFrame:
+    """PER-GROUP generalization of :func:`broadcast_prefix_offsets`:
+    within each ``group_cols`` value, the exclusive prefix sum of
+    ``value`` over strictly-smaller ``key`` rows.  The triangular pair
+    space is grouped — a hash join on the group columns with the
+    ``key`` inequality as residual, so K_g² comparisons per group,
+    never K² across groups.  Intended for tiny totals tables
+    (#groups × #partitions rows)."""
     right = totals.select(
-        F.col(key).alias("__bk"), F.col(value).alias("__bv")
+        *[F.col(g).alias(f"__bg_{g}") for g in group_cols],
+        F.col(key).alias("__bk"),
+        F.col(value).alias("__bv"),
     )
+    cond = F.col("__bk") < F.col(key)
+    for g in group_cols:
+        cond = (F.col(f"__bg_{g}") == F.col(g)) & cond
     return (
-        left.join(F.broadcast(right), F.col("__bk") < F.col(key), "left")
+        totals.join(F.broadcast(right), cond, "left")
         .groupBy(*[F.col(c) for c in totals.columns])
         .agg(F.coalesce(F.sum("__bv"), F.lit(0)).cast("long").alias(out))
     )
@@ -208,6 +269,7 @@ def global_running_sum(
     value,
     out: str,
     num_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact global running sum (inclusive) of ``value`` under a TOTAL
     order, without a single-partition window — the textbook
@@ -234,22 +296,66 @@ def global_running_sum(
     F.asc("key")]``) — a partial order is nondeterministic in any
     engine.
     """
+    return grouped_running_sum(
+        df, [], order_cols, value, out, num_partitions, checkpoint
+    )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    value,
+    out: str,
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PER-GROUP exact running sum (inclusive) of ``value`` under a
+    total order WITHIN each group — the grouped generalization of
+    :func:`global_running_sum`, for when the group key's cardinality
+    is LOW (a 5-value event_type column): a plain
+    ``W.partitionBy(group)`` window caps parallelism at #groups and
+    funnels ~n/#groups rows through each sort task, the same shape as
+    an unpartitioned window one level down.
+
+    Range-partition on ``(group_cols, order_cols)`` instead: a group's
+    rows span a contiguous run of partitions, in order, so
+
+    1. the local running sum rides a window partitioned by
+       ``(partition_id, group)`` — parallelism = range partitions;
+    2. per-(partition, group) totals form a tiny table (≤ #parts ×
+       #groups-touching-that-part rows);
+    3. each slice's exclusive offset is the within-group prefix over
+       smaller partition ids (:func:`broadcast_grouped_prefix_offsets`
+       — no window), broadcast-joined back.
+
+    The pid-stamped frame is localCheckpoint'ed (lazy): partition ids
+    must agree between the totals branch and the join-back branch, and
+    — unlike ``persist()`` — RDD-level checkpoint blocks are released
+    by the ContextCleaner when the frame is garbage-collected instead
+    of accumulating in the CacheManager for the life of the session.
+    """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = df.repartitionByRange(
+        n_parts, *group_cols, *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
     local_w = (
-        W.partitionBy("__pid")
+        W.partitionBy("__pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = ranged.withColumn("__run", F.sum(value).over(local_w)).persist()
-    totals = local.groupBy("__pid").agg(F.max("__run").alias("__tot"))
-    offsets = broadcast_prefix_offsets(totals, "__pid", "__tot", "__off")
+    local = ranged.withColumn("__run", F.sum(value).over(local_w))
+    if checkpoint:
+        local = local.localCheckpoint(eager=False)
+    totals = local.groupBy("__pid", *group_cols).agg(F.sum(value).alias("__tot"))
+    offsets = broadcast_grouped_prefix_offsets(
+        totals, group_cols, "__pid", "__tot", "__off"
+    )
     return (
         local.join(
-            F.broadcast(offsets.select("__pid", "__off")), "__pid"
+            F.broadcast(offsets.select("__pid", *group_cols, "__off")),
+            ["__pid", *group_cols],
         )
         .withColumn(out, (F.col("__run") + F.col("__off")).cast("long"))
         .drop("__pid", "__run", "__off")
@@ -266,6 +372,24 @@ def global_row_number(
     ``value = 1`` case of :func:`global_running_sum`: no
     single-partition sort, parallelism = range-partition count."""
     return global_running_sum(df, order_cols, F.lit(1), out, num_partitions)
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    out: str,
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact 1-based row_number within each group under a total order —
+    the ``value = 1`` case of :func:`grouped_running_sum`.  Replaces
+    ``row_number().over(W.partitionBy(group).orderBy(...))`` when the
+    group key is low-cardinality: same result, parallelism =
+    range-partition count instead of #groups."""
+    return grouped_running_sum(
+        df, group_cols, order_cols, F.lit(1), out, num_partitions, checkpoint
+    )
 
 
 def ntile_from_rank(rank, n, k: int):
@@ -312,6 +436,7 @@ def global_exclusive_running_max(
     value,
     out: str,
     num_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact EXCLUSIVE global running max of ``value`` under a total
     order — max over all strictly-preceding rows, NULL for the first —
@@ -333,7 +458,13 @@ def global_exclusive_running_max(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    local = ranged.withColumn("__lex", F.max(value).over(local_w)).persist()
+    # lazy localCheckpoint, not persist(): pid agreement between the
+    # totals and join-back branches without leaving CacheManager
+    # entries behind for the session's lifetime (blocks are GC'd with
+    # the frame) — see grouped_running_sum.
+    local = ranged.withColumn("__lex", F.max(value).over(local_w))
+    if checkpoint:
+        local = local.localCheckpoint(eager=False)
     totals = local.groupBy("__pid").agg(F.max(value).alias("__tot"))
     offsets = broadcast_prefix_max(totals, "__pid", "__tot", "__off")
     return (

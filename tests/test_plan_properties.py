@@ -226,16 +226,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         "pareto_frontier_parts",
         "kmeans_clusters",
         "conversion_funnel",
+        # round-4: low-cardinality group keys de-funneled via
+        # grouped_row_number (range partition, not event_type)
+        "top_k_per_group",
+        "value_ranks",
+        "ntile_histogram",
     ],
 )
 def test_no_unpartitioned_windows(spark, name):
-    """Round-3 de-globalization contract: every Window node in these
+    """Round-3/4 de-globalization contract: every Window node in these
     plans carries a non-empty partition spec — the global ntile /
     cumulative-sum / sweep-line / per-query-top-k forms were replaced
     by distributed prefix sums, day-partitioned sweeps and
     partition-local top-k (operators/windows.py helpers).  An
     unpartitioned Window prints `Window [fns], [], [order]` — the
     empty middle list is the single-partition funnel this test bans.
+
+    The prefix-sum helpers lazily localCheckpoint their pid-stamped
+    stage (cache hygiene: blocks free on GC instead of living in the
+    CacheManager), which truncates the visible plan at a LogicalRDD
+    scan — so the queries built on them legitimately show NO window in
+    the final plan.  The window INSIDE the helper stage is pinned
+    separately by test_grouped_rank_is_range_partitioned.
     """
     plan = _plan(spark, name)
     windowed = False
@@ -243,15 +255,67 @@ def test_no_unpartitioned_windows(spark, name):
         if "windowspecdefinition" in line:
             windowed = True
             assert "], [], [" not in line, f"unpartitioned window: {line.strip()[:200]}"
-    # queries rewritten to need NO window at all (triangular broadcast
-    # prefix joins / stack-projected base) are the strongest outcome;
-    # everything else must still carry its partitioned window.
+    # queries rewritten to need NO window at all in the visible plan —
+    # triangular broadcast prefix joins, stack-projected bases, or a
+    # checkpoint-truncated prefix-sum stage — are the strongest
+    # outcome; everything else must still carry its partitioned window.
     window_free_ok = {
         "session_peak_concurrency",  # prefix join + partitioned sweep
         "kmeans_clusters",           # seed rank via triangular join
         "conversion_funnel",         # base rides the stack() projection
+        # prefix-sum-helper queries: window is inside the checkpointed
+        # stage, asserted range-partitioned by the helper plan test
+        "rfm_segments",
+        "abc_revenue_classes",
+        "exact_value_quantiles",
+        "pareto_frontier_parts",
+        "top_k_per_group",
+        "value_ranks",
+        "ntile_histogram",
     }
     assert windowed or name in window_free_ok
+
+
+def test_grouped_rank_is_range_partitioned(spark):
+    """The round-4 ask, pinned at the helper level (checkpoint=False
+    exposes the full lineage the lazy localCheckpoint otherwise
+    truncates): the grouped rank's sort must ride a RANGE partition on
+    (group, order) — parallelism = partition count — and its only
+    window must be partitioned by (__pid, group), never by the
+    low-cardinality group key alone."""
+    from pyspark.sql import functions as F
+
+    from big_data_exercise_spark.operators import windows
+    from big_data_exercise_spark.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    ranked = windows.grouped_row_number(
+        events.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        "rn",
+        checkpoint=False,
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, "sort is not range-partitioned"
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "], [], [" not in line, f"unpartitioned window: {line.strip()[:200]}"
+            spec = line.split("windowspecdefinition(")[1]
+            assert "__pid" in spec, f"window not pid-partitioned: {spec[:150]}"
+    assert saw_window
+    # and the grouped rank agrees with the plain event_type-partitioned
+    # window it replaces, row for row
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    expected = events.select(
+        "event_type", "event_id", F.row_number().over(w).cast("long").alias("rn")
+    )
+    got = ranked.select("event_type", "event_id", "rn")
+    assert got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
 
 
 def test_bucketed_join_has_no_exchange_before_join(spark):
@@ -297,3 +361,21 @@ def test_jdbc_scan_pushes_predicate_to_database(spark):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters:")[1][:200]
     assert "C_ACCTBAL" in pushed.upper() and "C_MKTSEGMENT" in pushed.upper()
+
+@pytest.mark.parametrize(
+    "name", ["rfm_segments", "abc_revenue_classes", "pareto_frontier_parts"]
+)
+def test_prefix_helpers_leave_no_cache_entries(spark, name):
+    """Cache hygiene (round-4 ask): the distributed prefix-sum helpers
+    must not leave CacheManager entries behind — rfm_segments runs
+    global_row_number three times per invocation, and a long-lived
+    application accumulating dead cached plans re-creates the
+    unified-memory squeeze the round-3 bench-isolation fix diagnosed.
+    The helpers use RDD-level lazy localCheckpoint (blocks released on
+    GC) instead of DataFrame persist(), so the catalog cache stays
+    empty WITHOUT an explicit clearCache."""
+    spark.catalog.clearCache()
+    df = SPECS[name].build(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), f"{name} left DataFrame cache entries behind"
