@@ -168,18 +168,30 @@ def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> Data
     permutation of base+1..base+k, whose maximum is the full k
     regardless of peer order, so the daily MAX is stable.
 
-    Scale shape: the sweep is PARTITIONED BY DAY — each day's points
-    run their local (t, delta)-ordered running sum in a partitioned
-    window, and each day inherits a carry (the sum of all prior days'
-    deltas, i.e. the count of sessions open at its midnight) computed
-    on the tiny one-row-per-day totals table with a broadcast
-    triangular prefix join (:func:`windows.broadcast_prefix_offsets`
-    — no window at all).  carry + local running ≡ the global running
-    sum, because the global (t, delta) order visits days contiguously;
-    no single-partition sort anywhere in the plan."""
+    Scale shape: the sweep is PARTITIONED BY (DAY, HOUR) — each hour
+    bucket runs its local (t, delta)-ordered running sum in a
+    partitioned window, and each bucket inherits a carry (the count of
+    sessions open at the top of that hour) assembled HIERARCHICALLY so
+    no triangular join ever grows quadratic in the bucket count:
+
+    * day carry — exclusive prefix of per-day delta totals over the
+      one-row-per-day table (:func:`windows.broadcast_prefix_offsets`,
+      O(#days²) comparisons on a tiny table, no window);
+    * hour-within-day offset — exclusive prefix of per-hour totals
+      WITHIN each day (:func:`windows.broadcast_grouped_prefix_offsets`
+      — a hash join on the day with the hour inequality as residual,
+      ≤ 24² comparisons per day).
+
+    carry = day carry + hour offset, and carry + local running ≡ the
+    global running sum because the global (t, delta) order visits hour
+    buckets contiguously.  Versus the round-3 day-grain sweep this
+    bounds the hottest task at ONE HOUR of one day's boundary stream
+    (parallelism = active (day, hour) buckets, not #days), at the cost
+    of a 24×-larger — still broadcast-tiny — totals table."""
     from pyspark.sql import Window as W
 
     from big_data_exercise_spark.operators.windows import (
+        broadcast_grouped_prefix_offsets,
         broadcast_prefix_offsets,
     )
 
@@ -194,18 +206,32 @@ def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> Data
     pts = sessions.select(
         F.col("st").alias("t"), F.lit(1).alias("delta")
     ).unionAll(sessions.select(F.col("en").alias("t"), F.lit(-1).alias("delta")))
-    pts = pts.withColumn("d", F.to_date("t"))
-    day_totals = pts.groupBy("d").agg(
-        F.sum("delta").cast("long").alias("d_tot")
+    pts = pts.withColumn("d", F.to_date("t")).withColumn(
+        "hb", F.date_trunc("hour", F.col("t"))
     )
-    carries = broadcast_prefix_offsets(day_totals, "d", "d_tot", "carry")
+    hour_totals = pts.groupBy("d", "hb").agg(
+        F.sum("delta").cast("long").alias("h_tot")
+    )
+    day_totals = hour_totals.groupBy("d").agg(
+        F.sum("h_tot").cast("long").alias("d_tot")
+    )
+    day_carry = broadcast_prefix_offsets(day_totals, "d", "d_tot", "day_carry")
+    hour_off = broadcast_grouped_prefix_offsets(
+        hour_totals, ["d"], "hb", "h_tot", "h_off"
+    )
+    carries = (
+        hour_off.join(F.broadcast(day_carry.select("d", "day_carry")), "d")
+        .select(
+            "d", "hb", (F.col("h_off") + F.col("day_carry")).alias("carry")
+        )
+    )
     w = (
-        W.partitionBy("d")
+        W.partitionBy("d", "hb")
         .orderBy("t", "delta")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     run = pts.withColumn("c_local", F.sum("delta").over(w)).join(
-        F.broadcast(carries.select("d", "carry")), "d"
+        F.broadcast(carries.select("d", "hb", "carry")), ["d", "hb"]
     ).withColumn("c", F.col("c_local") + F.col("carry"))
     return (
         run.groupBy(F.to_date("t").cast("timestamp").alias("day"))
