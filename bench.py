@@ -79,6 +79,18 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Cross-round perf ratchets are only meaningful on a quiet host:
+    # round 3's numbers were inflated ~1.5-2x by a noisy neighbor
+    # (resting load 3-6 with zero repo processes). Sample the load
+    # BEFORE starting work and flag loud runs in the output so a
+    # regression can be read against host pressure, not guessed.
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    if load_start[0] >= 1.0:
+        print(
+            f"# WARNING: host load {load_start} at bench start — "
+            "wall-clock ratchets vs idle-host rounds are unreliable",
+            file=sys.stderr,
+        )
     spark = get_spark("bdes-bench", cpus=cpus, shuffle_partitions=cpus)
     # Local bench files are single-digit MB; the production 128 MB split
     # size would scan each table in 1-3 tasks and serialize CPU-heavy
@@ -169,8 +181,10 @@ def main() -> None:
         "sf": sf,
         "frames_per_min": frames_per_min,
         # host pressure context for cross-round ratchet comparisons:
-        # 1/5/15-min load averages sampled at bench end (a shared host
-        # with a noisy neighbor inflates every wall time uniformly)
+        # 1/5/15-min load averages sampled at bench start AND end (a
+        # shared host with a noisy neighbor inflates every wall time
+        # uniformly; start-load < 1 marks a trustworthy ratchet run)
+        "load_avg_start": load_start,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:

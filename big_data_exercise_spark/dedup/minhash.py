@@ -153,12 +153,17 @@ def near_duplicates(
     keyed = doc_token_sets(documents).withColumn(
         "fp", F.md5(F.concat_ws("\x1f", F.sort_array("toks")))
     )
-    members = keyed.select("doc_id", "fp").persist()
+    members = keyed.select("doc_id", "fp").localCheckpoint(eager=False)
     reps = (
         members.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
-    ).persist()
+    ).localCheckpoint(eager=False)
+    # explicit renames: the checkpointed frames share exprIds with
+    # keyed's lineage, so attribute-based disambiguation can't tell
+    # the sides apart the way it could pre-checkpoint
+    reps_r = reps.select(F.col("fp").alias("rep_fp"), "rep_id")
     rep_sets = keyed.join(
-        reps, (keyed.fp == reps.fp) & (keyed.doc_id == reps.rep_id)
+        reps_r,
+        (keyed["fp"] == reps_r["rep_fp"]) & (keyed["doc_id"] == reps_r["rep_id"]),
     ).select("rep_id", "toks")
 
     # --- signatures + banding on representatives ------------------------
@@ -180,14 +185,18 @@ def near_duplicates(
             exploded.select("tok").distinct(), ["tok"], "__rn"
         ).select("tok", (F.col("__rn") - 1).alias("tok_id"))
         tt = exploded.join(F.broadcast(vocab), "tok").select("doc_id", "tok_id")
-    tt = tt.persist()
+    tt = tt.localCheckpoint(eager=False)
     sigs = _signatures_from_ids(tt, num_hashes)
-    # The persist is load-bearing: it pins the deduplicated candidate
-    # set so the verify stage probes 1 row per pair. Without the cache
-    # boundary the fused plan re-evaluates the band-join subtree inside
-    # the verify joins (measured 4-8x slower at sf0.1). Storage is one
-    # (long, long) row per candidate — MEMORY_AND_DISK-safe at scale.
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands).persist()
+    # The materialization boundary is load-bearing: it pins the
+    # deduplicated candidate set so the verify stage probes 1 row per
+    # pair. Without it the fused plan re-evaluates the band-join
+    # subtree inside the verify joins (measured 4-8x slower at sf0.1).
+    # Storage is one (long, long) row per candidate. Lazy RDD
+    # checkpoint, not persist: blocks free on GC instead of living in
+    # the CacheManager for the session.
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
 
     # --- verify rep pairs ----------------------------------------------
     sets_int = tt.groupBy("doc_id").agg(
@@ -266,7 +275,7 @@ def lsh_recall_report(
     from big_data_exercise_spark.functions.numeric import round_det
 
     sub = documents.filter(F.col("doc_id") < max_doc)
-    tt = doc_token_ids(sub, use_vocab_ranks=True).persist()
+    tt = doc_token_ids(sub, use_vocab_ranks=True).localCheckpoint(eager=False)
     sizes = tt.groupBy("doc_id").agg(F.count("*").alias("sz"))
     t1 = tt.select(F.col("doc_id").alias("id1"), "tok_id")
     t2 = tt.select(F.col("doc_id").alias("id2"), "tok_id")
@@ -286,9 +295,11 @@ def lsh_recall_report(
             >= threshold
         )
         .select("id1", "id2")
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    cand = lsh_candidate_pairs(_signatures_from_ids(tt)).persist()
+    cand = lsh_candidate_pairs(_signatures_from_ids(tt)).localCheckpoint(
+        eager=False
+    )
     t = truth.agg(F.count("*").alias("n_true"))
     c = cand.agg(F.count("*").alias("n_candidates"))
     fnd = truth.join(cand, ["id1", "id2"]).agg(F.count("*").alias("n_found"))

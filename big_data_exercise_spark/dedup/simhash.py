@@ -158,10 +158,15 @@ def near_duplicates(
     cross-hash pairs with the representative distance. On duplicative
     corpora the bucket join shrinks quadratically with cluster size.
     """
-    # Persist: consumed by the groupBy AND the expansion joins.
+    # Materialization boundary (lazy checkpoint; GC-released):
+    # consumed by the groupBy AND the expansion joins.
     sig_fn = signatures_checked if checked else simhash_signatures
-    sigs = sig_fn(documents).persist()
-    reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id")).persist()
+    sigs = sig_fn(documents).localCheckpoint(eager=False)
+    reps = (
+        sigs.groupBy("simhash")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .localCheckpoint(eager=False)
+    )
 
     banded = None
     for b in range(BANDS):

@@ -57,7 +57,7 @@ def exact_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
     documents = ensure_parallelism(documents)
     toks = doc_token_sets(documents).select(
         "doc_id", F.explode("toks").alias("tok")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     # Global token order: ascending document frequency, token string
     # as the deterministic tie-break. One aggregation — no global rank.
@@ -160,7 +160,7 @@ def incremental_jaccard_pairs(
     is_new = F.col("doc_id") % new_mod == 0
     toks = doc_token_sets(documents).select(
         "doc_id", F.explode("toks").alias("tok")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
     keyed = toks.join(df_counts, "tok").select(

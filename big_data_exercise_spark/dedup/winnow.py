@@ -169,7 +169,7 @@ def containment_pairs(
     the divisions are single IEEE ops."""
     from big_data_exercise_spark.functions.numeric import round_det
 
-    fps = fingerprint_sets(documents, k, w).persist()
+    fps = fingerprint_sets(documents, k, w).localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = fps.select(F.col("doc_id").alias("id1"), "fp")
     b = fps.select(F.col("doc_id").alias("id2"), "fp")
@@ -234,13 +234,13 @@ def overlap_pairs(
     drops only for pairs whose EVERY shared fingerprint is
     boilerplate-hot, and the join cost bound becomes
     Σ min(bucket, cap)²."""
-    fps = fingerprint_sets(documents, k, w).persist()
+    fps = fingerprint_sets(documents, k, w).localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = fps.groupBy("fp").agg(F.count("*").alias("bsz"))
         fps = (
             fps.join(sizes.filter(F.col("bsz") <= max_bucket), "fp")
             .select("doc_id", "fp")
-            .persist()
+            .localCheckpoint(eager=False)
         )
     a = fps.select(F.col("doc_id").alias("id1"), "fp")
     b = fps.select(F.col("doc_id").alias("id2"), "fp")

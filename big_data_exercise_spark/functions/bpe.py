@@ -125,7 +125,7 @@ def learn_merges(documents: DataFrame, k: int = K_MERGES) -> DataFrame:
     """The first ``k`` BPE merge rules over the corpus vocabulary.
     Output: (rank, left_sym, right_sym, pair_count), rank 1-based in
     learning order."""
-    wc = word_counts(documents).persist()
+    wc = word_counts(documents).localCheckpoint(eager=False)
     lf = _init_symbols(wc).localCheckpoint()
     merges = []
     for i in range(1, k + 1):

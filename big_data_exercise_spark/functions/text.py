@@ -528,7 +528,7 @@ def ngram_novelty(documents: DataFrame) -> DataFrame:
     )
     grams = documents.select(
         "doc_id", "lang", F.explode(F.array_distinct(trigrams)).alias("g")
-    ).persist()
+    ).localCheckpoint(eager=False)
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(firsts, "g")

@@ -208,7 +208,7 @@ def supplier_triangles(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_weight)
         .select("u", "v")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
@@ -223,7 +223,7 @@ def supplier_triangles(
     )
     oriented = keyed.filter(
         F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    ).select("u", "v").persist()
+    ).select("u", "v").localCheckpoint(eager=False)
     w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
@@ -294,7 +294,7 @@ def association_rules(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_c = cs.select("c").distinct().agg(F.count("*").alias("n_customers"))
     per_s = cs.groupBy("s").agg(F.count("*").alias("cnt"))

@@ -99,10 +99,11 @@ def near_duplicates(
     knn.blocked_near_duplicates: pair verification is CPU-bound on a
     bytes-tiny table."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    # Persist: the bucket table feeds BOTH sides of the self-join; the
-    # unpersisted plan recomputes all bits×|N| hyperplane projections
-    # twice.
-    buckets = band_keys(embeddings, bits, bands).persist()
+    # Materialization boundary (lazy RDD checkpoint, not persist —
+    # blocks free on GC instead of living in the CacheManager): the
+    # bucket table feeds BOTH sides of the self-join; the unbounded
+    # plan recomputes all bits×|N| hyperplane projections twice.
+    buckets = band_keys(embeddings, bits, bands).localCheckpoint(eager=False)
     left = buckets.select(F.col("vec_id").alias("id1"), "band", "key")
     right = buckets.select(F.col("vec_id").alias("id2"), "band", "key")
     cand = (
