@@ -73,6 +73,9 @@ HEADLINE = [
     "pit_feature_backfill",
     "incremental_join_refresh",
     "seasonal_decompose_daily",
+    # round-4: real baseline-JPEG codec (encode→decode→resize→
+    # re-encode→decode inside the Arrow UDF)
+    "jpeg_pixel_stats",
 ]
 
 

@@ -14,14 +14,17 @@ engine's version:
   loaded once per worker (the reference's lazy-singleton pattern,
   consumer_postgres_streaming.py:259-266), never per row.
 
-Real-codec story (round 3): the engine carries its OWN spec-compliant
-PNG codec (``multimodal/png.py`` — numpy + stdlib zlib, filters 0-4,
-CRC-verified) plus a JPEG SOF header parser, so the real branch
-EXECUTES everywhere: PNG frames fully decode/re-encode, JPEG frames
-metadata-decode, with cv2 (then PIL) picked up automatically where
-installed for full JPEG pixel decode (the optional-dependency lane).
-The deterministic FAKE format below remains for plumbing tests that
-want zero codec cost.
+Real-codec story: the engine carries its OWN spec-compliant codecs —
+the round-3 PNG codec (``multimodal/png.py`` — numpy + stdlib zlib,
+filters 0-4, CRC-verified) and the round-4 baseline JPEG codec
+(``multimodal/jpeg.py`` — Huffman entropy coding, 8×8 DCT, Annex K
+tables, 4:4:4/4:2:0) — so the real branch EXECUTES everywhere with no
+cv2/PIL: PNG and JPEG frames both fully decode, resize and re-encode.
+cv2, where installed, serves only as a cross-check lane in tests (the
+shipped plans always use the built-in codecs, so oracle hashes never
+depend on which image library a worker happens to have). The
+deterministic FAKE format below remains for plumbing tests that want
+zero codec cost.
 
 FAKE frame format (deterministic, self-describing):
     b"FAKEIMG0" | width:4 BE | height:4 BE | seed:8 BE | payload
@@ -38,6 +41,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from big_data_exercise_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
 from big_data_exercise_spark.multimodal.png import (
     PNG_SIGNATURE,
     decode_png,
@@ -45,6 +49,8 @@ from big_data_exercise_spark.multimodal.png import (
     jpeg_meta,
     png_meta,
 )
+
+JPEG_SOI = b"\xff\xd8"
 
 MAGIC = b"FAKEIMG0"
 HEADER = struct.Struct(">4x4xIIQ")  # we slice MAGIC separately
@@ -153,12 +159,11 @@ def decode_frame_meta(frames: DataFrame) -> DataFrame:
 
 def resize_frames(frames: DataFrame, width: int = 320) -> DataFrame:
     """Resize operator. Fake path: re-encode header with scaled dims
-    (payload scales accordingly). PNG path is REAL: full spec decode
-    → nearest-neighbour resample (deterministic integer index map) →
-    spec re-encode, all numpy — no cv2 required. JPEG re-encode needs
-    an entropy coder, so without cv2/PIL it raises with a clear
-    message (decode-only formats pass through metadata ops, not
-    resize)."""
+    (payload scales accordingly). PNG and JPEG paths are REAL: full
+    spec decode → nearest-neighbour resample (deterministic integer
+    index map) → spec re-encode, all numpy — no cv2 required (JPEG
+    re-encodes baseline at quality 50, the Annex-K-exact setting the
+    oracle formulas assume)."""
 
     @F.pandas_udf(T.BinaryType())
     def resize(frame: pd.Series) -> pd.Series:
@@ -177,11 +182,14 @@ def resize_frames(frames: DataFrame, width: int = 320) -> DataFrame:
                 ys = (np.arange(new_h) * h) // new_h
                 xs = (np.arange(width) * w) // width
                 return encode_png(img[ys][:, xs])
-            if REAL_CODECS:  # pragma: no cover - cv2 lane
-                raise NotImplementedError("route JPEG resize through cv2")
-            raise NotImplementedError(
-                "resize of non-PNG real frames requires cv2/PIL"
-            )
+            if b.startswith(JPEG_SOI):
+                img = decode_jpeg(b)
+                h, w = img.shape[:2]
+                new_h = max(1, int(h * width / w))
+                ys = (np.arange(new_h) * h) // new_h
+                xs = (np.arange(width) * w) // width
+                return encode_jpeg(img[ys][:, xs], quality=50)
+            raise NotImplementedError("unrecognized frame format")
 
         return frame.map(one)
 
@@ -280,6 +288,80 @@ def png_pixel_stats(events: DataFrame) -> DataFrame:
             rows = []
             for cam, buf in zip(pdf["camera_id"], pdf["frame"]):
                 img = decode_png(bytes(buf))
+                rows.append(
+                    (
+                        int(cam),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.mean()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["camera_id", "width", "height", "mean_pixel"],
+                )
+
+    decoded = frames.mapInPandas(
+        stats, "camera_id long, width int, height int, mean_pixel int"
+    )
+    return decoded.groupBy("camera_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("mean_pixel").cast("long").alias("sum_mean_pixel"),
+    )
+
+
+def synthesize_jpeg_frames(events: DataFrame, sample_mod: int = 89) -> DataFrame:
+    """REAL JPEG frame table: a deterministic sample of events becomes
+    baseline JFIF bytes (multimodal/jpeg.py encoder — Huffman, DCT,
+    Annex K tables at quality 50). Frames are constant-fill grayscale
+    with dimensions and fill derived from (user_id, event_id): a
+    constant block quantizes to its DC coefficient alone, so every
+    decoded pixel has the closed integer form in jpeg.py's docstring —
+    which is what lets a SQL oracle hash-check a lossy codec."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_jpeg(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for e, u in zip(event_id, user_id):
+            e, u = int(e), int(u)
+            w = 16 + (u % 4) * 8
+            h = 12 + (e % 3) * 4
+            img = np.full((h, w), e % 251, dtype=np.uint8)
+            out.append(encode_jpeg(img, quality=50))
+        return pd.Series(out)
+
+    return events.filter(F.col("event_id") % sample_mod == 0).select(
+        F.col("user_id").alias("camera_id"),
+        F.col("event_id").alias("frame_number"),
+        make_jpeg("event_id", "user_id").alias("frame"),
+    )
+
+
+def jpeg_pixel_stats(events: DataFrame, resize_width: int = 16) -> DataFrame:
+    """Per-camera stats read from REAL decoded JPEG pixels, through the
+    FULL reference pipeline shape: encode (Huffman+DCT) → decode →
+    nearest-neighbour resize → re-encode → decode again — the
+    decode/transform/re-encode loop vehicle_consumer.py:94-116 runs
+    per frame.  Stats come from the final reconstructed array, NOT
+    from the synthesis formula; the DuckDB oracle recomputes them from
+    the closed-form constant-roundtrip value (a constant frame's
+    second roundtrip is lossless because its level-shifted value is
+    already a multiple of the DC quantizer step — jpeg.py docstring),
+    so the hash match pins the entropy coder, the transform, the
+    quantization rounding AND the resize resample bit-for-bit."""
+
+    frames = resize_frames(synthesize_jpeg_frames(events), resize_width)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cam, buf in zip(pdf["camera_id"], pdf["frame"]):
+                img = decode_jpeg(bytes(buf))
                 rows.append(
                     (
                         int(cam),

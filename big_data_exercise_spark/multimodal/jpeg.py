@@ -284,7 +284,14 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 array (h, w) for grayscale or (h, w, 3)
     RGB.  Raises JpegFormatError on progressive/arithmetic streams or
-    malformed data."""
+    malformed/truncated data."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as exc:
+        raise JpegFormatError(f"truncated or malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2

@@ -3808,6 +3808,47 @@ def _specs() -> list[QuerySpec]:
         "decode in mapInPandas, pixel-derived stats vs formula oracle",
     ))
 
+    s.append(QuerySpec(
+        "jpeg_pixel_stats",
+        # REAL baseline-JPEG codec in the plan (multimodal/jpeg.py —
+        # Huffman + DCT + Annex K quantization, no cv2): encode →
+        # decode → nearest-neighbour resize to width 16 → re-encode →
+        # decode, the reference's per-frame loop
+        # (vehicle_consumer.py:94-116). Constant-fill frames quantize
+        # to a lone DC coefficient, so the decoded value has a closed
+        # integer form (clip(2·round_half_away((v−128)/2)+128) at the
+        # quality-50 DC quantizer 16) and the SECOND round-trip is
+        # lossless (the offset is already a multiple of the step) —
+        # the oracle replays that formula, so a hash match pins the
+        # entropy coder, transform, rounding and resample exactly.
+        lambda sp, d: codecs.jpeg_pixel_stats(_t(sp, d, "events")),
+        """
+        WITH f AS (
+          SELECT user_id,
+                 16 + (user_id % 4) * 8 AS w,
+                 12 + (event_id % 3) * 4 AS h,
+                 (event_id % 251) - 128 AS dd
+          FROM events WHERE event_id % 89 = 0),
+        v AS (
+          SELECT user_id,
+                 LEAST(255, GREATEST(0,
+                   CASE WHEN dd >= 0 THEN 2 * ((dd + 1) // 2)
+                        ELSE -2 * ((-dd + 1) // 2) END + 128)) AS vp,
+                 GREATEST(1, CAST(FLOOR(h * 16.0 / w) AS INTEGER)) AS new_h
+          FROM f)
+        SELECT user_id AS camera_id,
+               COUNT(*) AS n_frames,
+               CAST(SUM(16) AS BIGINT) AS sum_width,
+               CAST(SUM(new_h) AS BIGINT) AS sum_height,
+               CAST(SUM(vp) AS BIGINT) AS sum_mean_pixel
+        FROM v GROUP BY 1
+        """,
+        ("multimodal", "codec", "jpeg"),
+        "real baseline-JPEG round-trip incl. resize: Huffman+DCT "
+        "encode/decode in mapInPandas, pixel stats vs integer-formula "
+        "oracle",
+    ))
+
     def _sampled_frames(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)

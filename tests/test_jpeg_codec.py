@@ -1,0 +1,165 @@
+"""Baseline-JPEG codec tests (multimodal/jpeg.py): spec-level
+properties that pin the implementation to ITU-T T.81 rather than to
+itself, plus the closed-form constant-roundtrip contract the registry
+oracle relies on, plus a cv2 cross-check lane where cv2 is installed
+(the same pattern as test_png_codec)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_exercise_spark.multimodal.jpeg import (
+    JpegFormatError,
+    constant_roundtrip_value,
+    decode_jpeg,
+    encode_jpeg,
+    scaled_quant_tables,
+)
+from big_data_exercise_spark.multimodal.png import jpeg_meta
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 1, w)
+    y = np.linspace(0, 1, h)
+    img = (np.outer(np.sin(y * 3), np.cos(x * 2)) * 100) + 120
+    return img.astype(np.uint8)
+
+
+def test_constant_frames_match_closed_form():
+    """The oracle contract: a constant-fill grayscale frame decodes to
+    EXACTLY clip(rha(q·rha(8(v−128)/q)/8)+128) — any entropy-coding or
+    rounding bug shifts the value. Non-8-multiple dims exercise the
+    edge-replication padding (must stay constant)."""
+    for v in [0, 1, 3, 17, 127, 128, 129, 200, 250, 255]:
+        for shape in [(8, 8), (12, 16), (13, 21), (1, 1), (9, 40)]:
+            img = np.full(shape, v, dtype=np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, quality=50))
+            assert dec.shape == shape
+            u = np.unique(dec)
+            assert len(u) == 1 and u[0] == constant_roundtrip_value(v), (
+                v, shape, u, constant_roundtrip_value(v),
+            )
+
+
+def test_constant_second_roundtrip_is_lossless():
+    """After one round-trip the level-shifted value is a multiple of
+    the DC quantizer step, so re-encoding at the same quality is
+    exact — the property that lets jpeg_pixel_stats chain a resize
+    re-encode and keep an integer oracle."""
+    for v in [0, 5, 77, 130, 250]:
+        img = np.full((12, 20), v, dtype=np.uint8)
+        once = decode_jpeg(encode_jpeg(img, quality=50))
+        twice = decode_jpeg(encode_jpeg(once, quality=50))
+        assert np.array_equal(once, twice)
+
+
+def test_meta_parser_agrees_with_full_decode():
+    gray = encode_jpeg(np.full((24, 40), 9, np.uint8))
+    assert jpeg_meta(gray) == (40, 24, 1)
+    rgb = encode_jpeg(
+        np.dstack([_gradient(24, 40)] * 3), subsampling="4:2:0"
+    )
+    assert jpeg_meta(rgb) == (40, 24, 3)
+    assert decode_jpeg(rgb).shape == (24, 40, 3)
+
+
+def test_smooth_roundtrip_error_bounds():
+    """Lossy, but bounded: smooth content at quality 95 reconstructs
+    within a few levels (grayscale tighter than color — the color
+    transform adds its own rounding)."""
+    g = _gradient(32, 32)
+    err = np.abs(
+        decode_jpeg(encode_jpeg(g, quality=95)).astype(int) - g.astype(int)
+    ).max()
+    assert err <= 4, err
+    c = np.dstack([g, g[::-1], g[:, ::-1]])
+    err_c = np.abs(
+        decode_jpeg(encode_jpeg(c, quality=95)).astype(int) - c.astype(int)
+    ).max()
+    assert err_c <= 12, err_c
+
+
+def test_subsampled_constant_color_is_exact_shape_and_close():
+    const = np.full((20, 30, 3), 77, np.uint8)
+    dec = decode_jpeg(encode_jpeg(const, quality=90, subsampling="4:2:0"))
+    assert dec.shape == (20, 30, 3)
+    assert np.abs(dec.astype(int) - 77).max() <= 4
+
+
+def test_odd_dimensions_roundtrip_all_modes():
+    rng = np.random.default_rng(11)
+    for shape, sub in [
+        ((7, 9), "4:4:4"),
+        ((17, 25, 3), "4:4:4"),
+        ((9, 15, 3), "4:2:0"),
+        ((16, 16, 3), "4:2:0"),
+    ]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=50, subsampling=sub))
+        assert dec.shape == img.shape
+
+
+def test_progressive_and_garbage_rejected():
+    b = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(b))
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(encode_jpeg(np.full((16, 16), 5, np.uint8))[:-20])
+
+
+def test_quality_scaling_follows_libjpeg_formula():
+    ql50, qc50 = scaled_quant_tables(50)
+    assert ql50[0] == 16 and qc50[0] == 17  # Annex K verbatim
+    ql90, _ = scaled_quant_tables(90)
+    ql10, _ = scaled_quant_tables(10)
+    assert (ql90 <= ql50).all() and (ql10 >= ql50).all()
+    assert ql90.min() >= 1 and ql10.max() <= 255
+
+
+def test_spark_resize_real_jpeg_pixels(spark):
+    """resize_frames on JPEG input runs the FULL real path inside the
+    Arrow UDF: decode, integer nearest-neighbour resample, re-encode —
+    and the output decodes to the resampled pixels exactly (constant
+    frames round-trip losslessly after the first encode)."""
+    from big_data_exercise_spark.multimodal.codecs import resize_frames
+
+    img = np.full((12, 24), 88, dtype=np.uint8)
+    frames = spark.createDataFrame(
+        [(1, 0, bytearray(encode_jpeg(img, quality=50)))],
+        "camera_id long, frame_number long, frame binary",
+    )
+    out = bytes(resize_frames(frames, width=16).collect()[0]["frame"])
+    dec = decode_jpeg(out)
+    assert dec.shape == (8, 16)
+    assert np.unique(dec).tolist() == [constant_roundtrip_value(88)]
+
+
+def test_cv2_cross_check():
+    """Where cv2 exists, our decoder and cv2.imdecode must agree
+    within IDCT-implementation tolerance on our encoder's output, and
+    our decoder must read cv2.imencode's output — implementation vs
+    implementation, not implementation vs itself. (Skipped where cv2
+    is absent; the spec-level tests above still run.)"""
+    cv2 = pytest.importorskip("cv2")
+
+    g = _gradient(24, 40)
+    ours = encode_jpeg(g, quality=90)
+    theirs_arr = cv2.imdecode(
+        np.frombuffer(ours, dtype=np.uint8), cv2.IMREAD_GRAYSCALE
+    )
+    assert theirs_arr is not None
+    assert np.abs(
+        decode_jpeg(ours).astype(int) - theirs_arr.astype(int)
+    ).max() <= 2
+
+    ok, enc = cv2.imencode(".jpg", g, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    mine = decode_jpeg(enc.tobytes())
+    theirs = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
+    assert mine.shape == theirs.shape
+    assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 2
