@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_exercise_spark.streaming import pipelines as streams
@@ -92,6 +93,61 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 == load_table(spark, SF_DIR, "events").count()
     assert n2 == n1
+
+
+def test_crash_restart_recovers_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery (the reference's actual lifecycle —
+    its Airflow DAG kills the consumer and restarts it every cycle,
+    dags/absa_streaming_lifecycle_dag.py:44-78, except it also wipes
+    the checkpoint and re-reads from earliest; keeping the checkpoint
+    is what upgrades that to exactly-once). A checkpointed stream is
+    CRASHED mid-run — the sink writes a batch's data and then dies
+    before the commit is recorded — and restarted from the same
+    checkpoint. Spark replays the uncommitted batch; the idempotent
+    sink (per-batch-id dynamic partition overwrite) absorbs the
+    replay, so the final output holds each input row exactly once.
+    This is the crash-consistency half the restart-after-success test
+    above doesn't cover."""
+    staged = _staged_events_dir(spark, tmp_path)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = streams.idempotent_batch_writer(out)
+    crashed = {"already": False}
+
+    def crashing_sink(df, batch_id):
+        sink(df, batch_id)  # batch data reaches the sink...
+        if batch_id == 1 and not crashed["already"]:
+            crashed["already"] = True
+            # ...then the process dies before the checkpoint commit
+            raise RuntimeError("injected crash after writing batch 1")
+
+    def run(writer):
+        q = (
+            _stream_staged(spark, staged)
+            .select("event_id", "user_id", "value")
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="injected crash"):
+        run(crashing_sink)
+    # partial progress is durable: batch 0 (and the crashed batch 1's
+    # data) are on disk, later batches are not
+    assert spark.read.parquet(out).count() > 0
+
+    run(sink)  # restart from the SAME checkpoint, normal sink
+
+    got = spark.read.parquet(out).select("event_id", "user_id", "value")
+    expect = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
 
 
 def test_append_mode_emits_exactly_closed_windows(spark, tmp_path):
