@@ -724,6 +724,9 @@ def monthly_revenue_change(orders: DataFrame) -> DataFrame:
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(exact_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    # Unpartitioned window BY CONTRACT: it runs over the post-aggregate
+    # relation (one row per MONTH — bounded cardinality at any SF), not
+    # over the fact table; a single-task sort of #months rows is free.
     w = W.orderBy("month")
     with_prev = monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
     return with_prev.select(
@@ -777,6 +780,9 @@ def top_types_with_other(events: DataFrame, k: int = 3) -> DataFrame:
         exact_sum(F.col("value"), 2).alias("revenue"),
         F.count("*").alias("n_events"),
     )
+    # Unpartitioned window BY CONTRACT: ranks the post-aggregate
+    # relation (one row per event TYPE — bounded domain at any SF),
+    # never the events themselves.
     w = W.orderBy(F.desc("revenue"), F.asc("event_type"))
     labeled = per_type.withColumn("rk", F.row_number().over(w)).select(
         F.when(F.col("rk") <= k, F.col("event_type"))

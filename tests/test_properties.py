@@ -1042,3 +1042,44 @@ def test_arrow_pair_cosine_dirty_rows_degrade_to_null(spark):
     assert math.isclose(got[1], 1.0)
     assert math.isclose(got[2], 0.0, abs_tol=1e-12)
     assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_grouped_running_sum_matches_window_with_negatives(spark):
+    """grouped_running_sum must equal the plain grouped window on
+    arbitrary data INCLUDING negative values — the per-slice totals
+    must come from sum(value), not max(running) (those coincide only
+    for non-negative streams), and the broadcast offsets must stitch
+    slices in (group, order) range order. Hypothesis drives signed
+    values, duplicate order keys broken by a unique id, and group
+    counts that force groups to straddle range partitions."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Window as W
+
+    from big_data_exercise_spark.operators.windows import grouped_running_sum
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=2),      # group
+        st.integers(min_value=0, max_value=5),      # order key (ties!)
+        st.integers(min_value=-50, max_value=50),   # signed value
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=40))
+    def run(rows):
+        data = [(g, o, i, v) for i, (g, o, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g int, o int, uid int, v long")
+        got = grouped_running_sum(
+            df, ["g"], [F.asc("o"), F.asc("uid")], F.col("v"), "run",
+            num_partitions=4,
+        )
+        w = (
+            W.partitionBy("g")
+            .orderBy("o", "uid")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        expect = df.withColumn("run", F.sum("v").over(w).cast("long"))
+        assert (
+            got.exceptAll(expect).union(expect.exceptAll(got)).count() == 0
+        )
+
+    run()
