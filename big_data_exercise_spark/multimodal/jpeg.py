@@ -536,11 +536,17 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 50, subsampling: str = "4:4:4"
+    img: np.ndarray,
+    quality: int = 50,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes.
     quality=50 uses the Annex K tables verbatim (the oracle contract);
-    subsampling '4:2:0' halves the chroma planes (2×2 box average)."""
+    subsampling '4:2:0' halves the chroma planes (2×2 box average);
+    restart_interval > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what camera firmware does for error resilience —
+    and what keeps the decoder's restart path executed in tests)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("expected uint8 (h,w) or (h,w,3)")
     gray = img.ndim == 2
@@ -626,6 +632,9 @@ def encode_jpeg(
     out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
     if not gray:
         out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+    # DRI
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for i in range(ncomp):
@@ -639,8 +648,16 @@ def encode_jpeg(
     ac_c = _canonical_codes(*HUFF_AC_CHROMA)
     writer = _BitWriter()
     pred = [0] * ncomp
+    mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.flush()  # pad to byte, per spec, before RSTn
+                writer.out += bytes(
+                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]
+                )
+                pred = [0] * ncomp  # DC predictors reset at a restart
+            mcu_index += 1
             for i in range(ncomp):
                 sh, sv = samp[i]
                 dc, ac = (dc_l, ac_l) if i == 0 else (dc_c, ac_c)

@@ -163,3 +163,25 @@ def test_cv2_cross_check():
     theirs = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
     assert mine.shape == theirs.shape
     assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 2
+
+
+def test_restart_markers_roundtrip_identically():
+    """DRI/RSTn streams (camera error-resilience framing) must decode
+    to the SAME pixels as the unframed stream: the decoder re-syncs at
+    each restart, resets DC predictors, and discards pad bits — any
+    bookkeeping error shifts every block after the first marker."""
+    g = _gradient(40, 48)
+    base = decode_jpeg(encode_jpeg(g, quality=95))
+    for dri in (1, 2, 5):
+        framed = encode_jpeg(g, quality=95, restart_interval=dri)
+        assert b"\xff\xdd" in framed  # DRI segment present
+        assert any(
+            bytes([0xFF, 0xD0 + i]) in framed for i in range(8)
+        )
+        assert np.array_equal(decode_jpeg(framed), base)
+    c = np.dstack([g, g[::-1], g[:, ::-1]])
+    base_c = decode_jpeg(encode_jpeg(c, quality=90, subsampling="4:2:0"))
+    framed_c = encode_jpeg(
+        c, quality=90, subsampling="4:2:0", restart_interval=2
+    )
+    assert np.array_equal(decode_jpeg(framed_c), base_c)
