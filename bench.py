@@ -76,6 +76,11 @@ HEADLINE = [
     # round-4: real baseline-JPEG codec (encode→decode→resize→
     # re-encode→decode inside the Arrow UDF)
     "jpeg_pixel_stats",
+    # round-4: low-cardinality-key ranks through the grouped
+    # distributed rank (range-partitioned, no 5-task funnel)
+    "top_k_per_group",
+    "value_ranks",
+    "ntile_histogram",
 ]
 
 

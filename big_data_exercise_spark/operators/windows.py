@@ -69,22 +69,39 @@ def top_k_per_group(events: DataFrame, k: int = 3) -> DataFrame:
     The group key (event_type) is a ~5-value domain, so the obvious
     ``row_number().over(W.partitionBy("event_type"))`` caps
     parallelism at 5 and sorts ~n/5 rows per task — a funnel at 100×.
-    :func:`grouped_row_number` computes the identical rank with a
-    range partition on (group, order): parallelism = partition count,
-    each task sorts only its contiguous slice."""
-    ranked = grouped_row_number(
-        events.select("event_type", "event_id", "user_id", "value"),
-        ["event_type"],
-        [F.desc("value"), F.asc("event_id")],
-        "__rk",
-    )
+    And unlike NTILE/percent_rank (which need every row's exact rank —
+    see :func:`value_ranks`), top-k only needs k SURVIVORS per group,
+    so the fact table never has to shuffle at all: each scan partition
+    truncates itself to k rows per group inside one Arrow
+    ``mapInPandas`` pass (local top-k under the same total order is
+    superset-safe — every global top-k row is a local top-k row), and
+    only ≤ k·groups·partitions rows reach the small partitioned merge
+    window.  Same pattern as knn.cosine_topk_batch, plan-test pinned
+    there and here."""
+    sel = events.select("event_type", "event_id", "user_id", "value")
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            cur = pdf if carry is None else pd.concat([carry, pdf])
+            cur = cur.sort_values(
+                ["event_type", "value", "event_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            carry = cur.groupby("event_type", sort=False).head(k)
+        if carry is not None:
+            yield carry
+
+    local = sel.mapInPandas(_local_topk, schema=sel.schema)
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
     return (
-        ranked.filter(F.col("__rk") <= k)
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
         .select(
-            "event_type",
-            F.col("__rk").cast("int").alias("rk"),
-            "event_id",
-            "user_id",
+            "event_type", "rk", "event_id", "user_id",
             F.round("value", 2).alias("value"),
         )
     )

@@ -269,11 +269,24 @@ def test_no_unpartitioned_windows(spark, name):
         "abc_revenue_classes",
         "exact_value_quantiles",
         "pareto_frontier_parts",
-        "top_k_per_group",
         "value_ranks",
         "ntile_histogram",
     }
     assert windowed or name in window_free_ok
+
+
+def test_top_k_per_group_never_shuffles_fact_table(spark):
+    """top-k per group must not shuffle the fact table: each scan
+    partition truncates itself to k rows per group in one Arrow pass,
+    and the only Exchange sits ABOVE that truncation (it carries
+    <= k*groups*partitions rows into the merge window). A plan where
+    an Exchange feeds the MapInPandas means the truncation stopped
+    protecting the shuffle."""
+    plan = _plan(spark, "top_k_per_group")
+    assert "MapInPandas" in plan
+    below_truncation = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in below_truncation
+    assert "BatchEvalPython" not in plan
 
 
 def test_grouped_rank_is_range_partitioned(spark):
