@@ -140,12 +140,21 @@ def main() -> None:
             print(f"# {name}: FAILED after {timings[name]:.3f}s: {errors[name]}",
                   file=sys.stderr)
         finally:
-            # Per-query isolation: drop datasets the query persisted.
+            # Per-query isolation: drop datasets the query cached.
             # Dead cache blocks from earlier queries otherwise squeeze
             # execution memory and the later join-heavy queries spill
             # (measured: minhash verify 5-6× slower by headline
-            # position ~15 without this).
+            # position ~15 without this). clearCache covers the
+            # CacheManager; the Python gc releases py4j refs to the
+            # lazily-localCheckpointed frames, and the JVM gc lets the
+            # ContextCleaner drop their RDD blocks before the next
+            # query starts (verified: persistent-RDD count drains to 0
+            # with this sequence, stays put without the JVM half).
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     # Frame-pipeline throughput over the FULL events table — directly
     # comparable to BASELINE.md's frames/min numbers (vehicle: ~600
