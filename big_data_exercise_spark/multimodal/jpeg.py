@@ -552,8 +552,8 @@ def encode_jpeg(
     gray = img.ndim == 2
     if not gray and img.shape[2] != 3:
         raise ValueError("color images must have 3 channels")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be 4:4:4, 4:2:2 or 4:2:0")
     h, w = img.shape[:2]
     ql, qc = scaled_quant_tables(quality)
 
@@ -568,24 +568,30 @@ def encode_jpeg(
         y, cb, cr = (
             np.clip(np.rint(p), 0, 255).astype(np.int64) for p in (y, cb, cr)
         )
-        if subsampling == "4:2:0":
+        if subsampling != "4:4:4":
+            # box-average downsample: 2×2 for 4:2:0, 1×2 (horizontal
+            # only) for 4:2:2
+            fy = 2 if subsampling == "4:2:0" else 1
+
             def down(p):
                 hh, ww = p.shape
                 pp = np.pad(
-                    p, ((0, hh % 2), (0, ww % 2)), mode="edge"
+                    p, ((0, hh % fy), (0, ww % 2)), mode="edge"
                 ).astype(np.float64)
-                d = (
-                    pp[0::2, 0::2] + pp[0::2, 1::2]
-                    + pp[1::2, 0::2] + pp[1::2, 1::2]
-                ) / 4.0
-                return np.clip(np.rint(d), 0, 255).astype(np.int64)
+                cells = pp[0::fy, 0::2] + pp[0::fy, 1::2]
+                if fy == 2:
+                    cells = cells + pp[1::2, 0::2] + pp[1::2, 1::2]
+                return np.clip(
+                    np.rint(cells / (2 * fy)), 0, 255
+                ).astype(np.int64)
+
             cb, cr = down(cb), down(cr)
         planes = [y - 128, cb - 128, cr - 128]
-        samp = (
-            [(1, 1), (1, 1), (1, 1)]
-            if subsampling == "4:4:4"
-            else [(2, 2), (1, 1), (1, 1)]
-        )
+        samp = {
+            "4:4:4": [(1, 1), (1, 1), (1, 1)],
+            "4:2:2": [(2, 1), (1, 1), (1, 1)],
+            "4:2:0": [(2, 2), (1, 1), (1, 1)],
+        }[subsampling]
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)

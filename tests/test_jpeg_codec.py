@@ -185,3 +185,39 @@ def test_restart_markers_roundtrip_identically():
         c, quality=90, subsampling="4:2:0", restart_interval=2
     )
     assert np.array_equal(decode_jpeg(framed_c), base_c)
+
+
+def test_422_subsampling_and_16bit_dqt():
+    """4:2:2 (horizontal-only chroma halving — the broadcast-video
+    default) round-trips with bounded error between 4:4:4 and 4:2:0,
+    and the decoder reads 16-bit (precision=1) DQT segments — a legal
+    encoding this encoder never emits, so the segment is hand-widened
+    from a real stream and must decode pixel-identically."""
+    import struct
+
+    g = _gradient(20, 30)
+    c = np.dstack([g, g[::-1], g[:, ::-1]])
+    errs = {}
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        dec = decode_jpeg(encode_jpeg(c, quality=95, subsampling=sub))
+        assert dec.shape == c.shape
+        errs[sub] = np.abs(dec.astype(int) - c.astype(int)).max()
+    assert errs["4:4:4"] <= errs["4:2:2"] <= errs["4:2:0"]
+    const = np.full((11, 13, 3), 93, np.uint8)
+    dec = decode_jpeg(encode_jpeg(const, quality=90, subsampling="4:2:2"))
+    assert np.abs(dec.astype(int) - 93).max() <= 2
+
+    b = encode_jpeg(g, quality=50)
+    i = b.find(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+    pq_tq = b[i + 4]
+    entries = b[i + 5 : i + 5 + 64]
+    wide = b"".join(struct.pack(">H", e) for e in entries)
+    seg16 = (
+        b"\xff\xdb"
+        + struct.pack(">H", 2 + 1 + 128)
+        + bytes([0x10 | (pq_tq & 0xF)])
+        + wide
+    )
+    widened = b[:i] + seg16 + b[i + 2 + seglen :]
+    assert np.array_equal(decode_jpeg(widened), decode_jpeg(b))
