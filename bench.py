@@ -81,6 +81,9 @@ HEADLINE = [
     "top_k_per_group",
     "value_ranks",
     "ntile_histogram",
+    # round-4: Morton/Z-order clustered layout (one-time 64-file
+    # rewrite + 2-D box scan; the write dominates the cold number)
+    "zorder_box_stats",
 ]
 
 

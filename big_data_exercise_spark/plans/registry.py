@@ -48,6 +48,7 @@ from big_data_exercise_spark.operators import (
     skew,
     timeseries,
     windows,
+    zorder,
 )
 from big_data_exercise_spark.functions import arrays, bpe, grouped, pii, sentiment, text
 from big_data_exercise_spark.functions.numeric import (
@@ -1132,6 +1133,37 @@ def _specs() -> list[QuerySpec]:
         ("etl", "bucketing", "join"),
         "co-located fact⋈fact join over write-time bucketed tables — "
         "zero Exchange before the join (plan-test pinned)",
+    ))
+
+    s.append(QuerySpec(
+        "zorder_box_stats",
+        # Z-order (Morton) clustered layout: the 2-D box predicate is
+        # pushed as literals and prunes parquet row groups on BOTH
+        # columns (prunability measured directly from row-group stats
+        # in tests/test_zorder.py). Results are layout-invariant, so
+        # the oracle computes the identical box over the raw table;
+        # bound arithmetic (min + frac*(max-min), IEEE double) is
+        # mirrored term for term.
+        lambda sp, d: zorder.zorder_box_stats(sp, d, _t(sp, d, "events")),
+        f"""
+        WITH b AS (
+          SELECT CAST(MIN(user_id) AS DOUBLE) AS u_lo,
+                 CAST(MAX(user_id) AS DOUBLE) AS u_hi,
+                 CAST(MIN(value) AS DOUBLE) AS v_lo,
+                 CAST(MAX(value) AS DOUBLE) AS v_hi
+          FROM events)
+        SELECT COUNT(*) AS n_events,
+               {sum_sql("value", "sum_value")},
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events, b
+        WHERE user_id BETWEEN u_lo + CAST(0.30 AS DOUBLE) * (u_hi - u_lo)
+                          AND u_lo + CAST(0.55 AS DOUBLE) * (u_hi - u_lo)
+          AND value   BETWEEN v_lo + CAST(0.20 AS DOUBLE) * (v_hi - v_lo)
+                          AND v_lo + CAST(0.45 AS DOUBLE) * (v_hi - v_lo)
+        """,
+        ("etl", "layout", "zorder"),
+        "Morton/Z-order clustered rewrite + 2-D box scan: row-group "
+        "pruning on two columns at once (layout-invariant oracle)",
     ))
 
     s.append(QuerySpec(
