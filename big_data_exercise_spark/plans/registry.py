@@ -48,7 +48,6 @@ from big_data_exercise_spark.operators import (
     skew,
     timeseries,
     windows,
-    zorder,
 )
 from big_data_exercise_spark.functions import arrays, bpe, grouped, pii, sentiment, text
 from big_data_exercise_spark.functions.numeric import (
@@ -1144,7 +1143,7 @@ def _specs() -> list[QuerySpec]:
         # the oracle computes the identical box over the raw table;
         # bound arithmetic (min + frac*(max-min), IEEE double) is
         # mirrored term for term.
-        lambda sp, d: zorder.zorder_box_stats(sp, d, _t(sp, d, "events")),
+        lambda sp, d: layout.zorder_box_stats(sp, d, _t(sp, d, "events")),
         f"""
         WITH b AS (
           SELECT CAST(MIN(user_id) AS DOUBLE) AS u_lo,

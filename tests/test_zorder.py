@@ -9,7 +9,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from big_data_exercise_spark.operators import zorder
+from big_data_exercise_spark.operators import layout as zorder
 from big_data_exercise_spark.tables import load_table
 from tests.conftest import SF_DIR
 
@@ -107,7 +107,7 @@ def test_interleave_bits_is_morton():
     spark = SparkSession.getActiveSession()
     rows = [(x, y) for x in (0, 1, 2, 3, 255) for y in (0, 1, 2, 3, 255)]
     df = spark.createDataFrame(rows, "x long, y long").select(
-        "x", "y", zorder.interleave_bits(F.col("x"), F.col("y"), 8).alias("z")
+        "x", "y", zorder.zvalue(F.col("x"), F.col("y"), 8).alias("z")
     )
 
     def morton(x, y):
