@@ -142,7 +142,9 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def arrow_pair_cosine(paired, e1: str, e2: str, keep: list[str]):
+def arrow_pair_cosine(
+    paired, e1: str, e2: str, keep: list[str], dim: int = EMBEDDING_DIM
+):
     """Exact pairwise cosine as ONE Arrow pass: ``cos_raw`` appended to
     the ``keep`` columns. Accumulates dimension-by-dimension across the
     batch (``acc += v1[:, i] * v2[:, i]``) — the identical
@@ -177,7 +179,10 @@ def arrow_pair_cosine(paired, e1: str, e2: str, keep: list[str]):
             # NULL term) instead of np.vstack throwing away the whole
             # Arrow batch; a zero-norm pair divides by zero, which
             # Spark's non-ANSI Divide returns as NULL, not IEEE NaN.
-            dim = next((len(v) for v in a1 if v is not None), None)
+            # Validity is judged against the FIXED corpus dimension
+            # (the SQL chain is unrolled to it) — never inferred from
+            # batch content, which would make a row's fate depend on
+            # which rows happen to share its Arrow batch.
             ok = np.fromiter(
                 (
                     v1 is not None and v2 is not None

@@ -681,7 +681,20 @@ def constant_roundtrip_value(v: int, q_dc: int = 16) -> int:
     """Closed-form decoded value of a constant-fill grayscale frame of
     value ``v`` encoded at a DC quantizer of ``q_dc`` — the formula
     the DuckDB oracle replays (module docstring).  Exists so tests pin
-    codec-vs-formula agreement directly."""
+    codec-vs-formula agreement directly.
+
+    Only valid for ``q_dc % 8 == 0``: then the dequantized DC over 8
+    is an exact integer and no rounding tie can arise.  For other
+    quantizers ``q_dc·sq/8`` can land on .5, where this formula rounds
+    half away from zero but the decoder's float IDCT + np.rint rounds
+    half to even (and the DCT matrix's last-ulp noise makes the tie
+    direction unreliable anyway) — so the claim is refused rather than
+    silently wrong."""
+    if q_dc % 8 != 0:
+        raise ValueError(
+            "closed form requires a DC quantizer divisible by 8 "
+            f"(got {q_dc}); quality=50's Annex K value 16 qualifies"
+        )
     d = v - 128
     sq = _round_half_away(8 * d, q_dc)
     return max(0, min(255, _round_half_away(q_dc * sq, 8) + 128))

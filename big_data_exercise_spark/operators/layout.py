@@ -135,7 +135,7 @@ from pyspark.sql import SparkSession
 CODE_BITS = 16
 CLUSTER_FILES = 64
 
-_WRITTEN: dict[str, str] = {}
+_WRITTEN: dict[tuple, str] = {}
 
 
 def _code(col, lo, hi, bits: int = CODE_BITS):
@@ -204,18 +204,36 @@ def write_sorted(events: DataFrame, out_dir: str, col: str = "value",
     return out_dir
 
 
-def _layout_for(spark: SparkSession, sf_dir: str, events: DataFrame) -> str:
+def _layout_for(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame,
+    bounds: tuple[float, float, float, float],
+) -> str:
     """pid-scoped, written-once-per-process layout dir (the bucketing
-    module's isolation discipline)."""
+    module's isolation discipline), removed at interpreter exit so
+    repeated runs don't accumulate dead-pid copies in the temp dir.
+
+    Contract: ``events`` must be the FULL table for ``sf_dir`` — the
+    memo is keyed on (sf_dir, bounds), so a same-bounds but
+    differently-filtered frame would silently reuse the first write.
+    The bounds key catches the common divergence (a filtered frame
+    usually shifts min/max); the registry's only caller always passes
+    the full table."""
+    import atexit
+    import shutil
+
     slug = _re.sub(
         r"[^0-9a-zA-Z]+", "_", _os.path.normpath(sf_dir)
     ).strip("_").lower()
     out = _os.path.join(
         _tempfile.gettempdir(), f"bdes_zorder_p{_os.getpid()}_{slug}"
     )
-    if out not in _WRITTEN:
-        write_zordered(events, out, column_bounds(events))
-        _WRITTEN[out] = out
+    key = (out, bounds)
+    if key not in _WRITTEN:
+        write_zordered(events, out, bounds)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        _WRITTEN[key] = out
     return out
 
 
@@ -241,7 +259,7 @@ def zorder_box_stats(spark: SparkSession, sf_dir: str, events: DataFrame) -> Dat
 
     bounds = column_bounds(events)
     u1, u2, v1, v2 = box_bounds(bounds)
-    layout = spark.read.parquet(_layout_for(spark, sf_dir, events))
+    layout = spark.read.parquet(_layout_for(spark, sf_dir, events, bounds))
     return (
         layout.filter(
             F.col("user_id").between(F.lit(u1), F.lit(u2))

@@ -91,7 +91,9 @@ def top_k_per_group(events: DataFrame, k: int = 3) -> DataFrame:
                 ascending=[True, False, True],
                 kind="mergesort",
             )
-            carry = cur.groupby("event_type", sort=False).head(k)
+            # dropna=False: a NULL group is still a group (the window
+            # form partitions on it like any other value)
+            carry = cur.groupby("event_type", sort=False, dropna=False).head(k)
         if carry is not None:
             yield carry
 
@@ -272,7 +274,10 @@ def broadcast_grouped_prefix_offsets(
     )
     cond = F.col("__bk") < F.col(key)
     for g in group_cols:
-        cond = (F.col(f"__bg_{g}") == F.col(g)) & cond
+        # null-safe: a NULL group key is a group like any other (the
+        # window semantics these helpers replace treat it as one
+        # partition); plain == would strand its slices at offset 0
+        cond = F.col(f"__bg_{g}").eqNullSafe(F.col(g)) & cond
     return (
         totals.join(F.broadcast(right), cond, "left")
         .groupBy(*[F.col(c) for c in totals.columns])
@@ -351,6 +356,12 @@ def grouped_running_sum(
     — unlike ``persist()`` — RDD-level checkpoint blocks are released
     by the ContextCleaner when the frame is garbage-collected instead
     of accumulating in the CacheManager for the life of the session.
+    (Shared trade-off for every localCheckpoint in this codebase,
+    stated once here: lineage is truncated, so a lost executor's
+    blocks cannot be recomputed — on clusters with dynamic allocation
+    or preemptible nodes substitute reliable ``checkpoint()`` to a
+    cluster filesystem, or persist(DISK_ONLY) with the explicit
+    unpersist discipline this design replaced.)
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -369,13 +380,22 @@ def grouped_running_sum(
     offsets = broadcast_grouped_prefix_offsets(
         totals, group_cols, "__pid", "__tot", "__off"
     )
+    # join-back is null-safe on the group columns for the same reason
+    # as the prefix join: rows whose group key is NULL must keep their
+    # ranks, exactly as the window form they replace would rank them
+    off_sel = offsets.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{g}") for g in group_cols],
+        "__off",
+    )
+    cond = local["__pid"] == off_sel["__opid"]
+    for g in group_cols:
+        cond = cond & local[g].eqNullSafe(off_sel[f"__og_{g}"])
     return (
-        local.join(
-            F.broadcast(offsets.select("__pid", *group_cols, "__off")),
-            ["__pid", *group_cols],
-        )
+        local.join(F.broadcast(off_sel), cond)
         .withColumn(out, (F.col("__run") + F.col("__off")).cast("long"))
-        .drop("__pid", "__run", "__off")
+        .drop("__pid", "__run", "__off", "__opid",
+              *[f"__og_{g}" for g in group_cols])
     )
 
 

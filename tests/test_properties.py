@@ -1025,11 +1025,14 @@ def test_arrow_pair_cosine_dirty_rows_degrade_to_null(spark):
 
     from big_data_exercise_spark.functions.arrays import arrow_pair_cosine
 
+    # ragged row FIRST: validity is judged against the declared corpus
+    # dim, never inferred from batch content (a content-inferred dim
+    # would flip every row's fate with the batch order)
     rows = [
+        (4, [1.0, 0.0, 5.0], [1.0, 0.0]),  # ragged
         (1, [1.0, 0.0], [1.0, 0.0]),     # clean: cos = 1
         (2, [1.0, 0.0], [0.0, 2.0]),     # clean: cos = 0
         (3, None, [1.0, 0.0]),           # NULL side
-        (4, [1.0, 0.0, 5.0], [1.0, 0.0]),  # ragged
         (5, [0.0, 0.0], [1.0, 0.0]),     # zero norm
     ]
     df = spark.createDataFrame(
@@ -1037,7 +1040,7 @@ def test_arrow_pair_cosine_dirty_rows_degrade_to_null(spark):
     ).repartition(1)
     got = {
         r.pid: r.cos_raw
-        for r in arrow_pair_cosine(df, "e1", "e2", ["pid"]).collect()
+        for r in arrow_pair_cosine(df, "e1", "e2", ["pid"], dim=2).collect()
     }
     assert math.isclose(got[1], 1.0)
     assert math.isclose(got[2], 0.0, abs_tol=1e-12)
@@ -1058,7 +1061,7 @@ def test_grouped_running_sum_matches_window_with_negatives(spark):
     from big_data_exercise_spark.operators.windows import grouped_running_sum
 
     row = st.tuples(
-        st.integers(min_value=0, max_value=2),      # group
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # group (incl NULL!)
         st.integers(min_value=0, max_value=5),      # order key (ties!)
         st.integers(min_value=-50, max_value=50),   # signed value
     )
