@@ -42,6 +42,7 @@ BUCKETS = 8
 
 
 _WRITTEN: set[tuple[str, str, int]] = set()
+_CLEANUP_REGISTERED: set[str] = set()
 
 
 def _db_for(spark: SparkSession, sf_dir: str) -> str:
@@ -50,9 +51,23 @@ def _db_for(spark: SparkSession, sf_dir: str) -> str:
     each other's buckets; the pid token keeps two CONCURRENT processes
     sharing a warehouse dir (a bench and a test run) from clobbering
     each other's ``mode(overwrite)`` table rewrites mid-query."""
+    import atexit
+    import shutil
+    from urllib.parse import urlparse
+
     slug = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.normpath(sf_dir)).strip("_").lower()
     db = f"bdes_buckets_p{os.getpid()}_{slug}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # pid-scoped databases would otherwise accumulate one table copy
+    # per process in the shared warehouse dir; remove this process's
+    # physical dir at exit (the next process creates its own db, so a
+    # dangling catalog entry is never read)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh and db not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(db)
+        atexit.register(
+            shutil.rmtree, os.path.join(wh, f"{db}.db"), ignore_errors=True
+        )
     return db
 
 
