@@ -119,3 +119,26 @@ def test_interleave_bits_is_morton():
 
     for r in df.collect():
         assert r.z == morton(r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_equi_depth_codes_beat_linear_on_skew(spark, tmp_path):
+    """value is right-skewed, so linear min/max codes crowd most rows
+    into a few low curve cells; equi-depth (quantile-cutpoint) codes
+    must make the SAME box strictly more prunable at the same granule
+    counts — including the coarse 32/64-granule regime where linear
+    z-order loses to a plain 1-D sort."""
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    bounds = zorder.column_bounds(events)
+    u1, u2, v1, v2 = zorder.box_bounds(bounds)
+    for files in (32, 64):
+        qdir = zorder.write_zordered(
+            events, str(tmp_path / f"q{files}"), bounds,
+            files=files, code="equi_depth",
+        )
+        ldir = zorder.write_zordered(
+            events, str(tmp_path / f"l{files}"), bounds, files=files
+        )
+        q_read, q_total = _surviving_rows(qdir, u1, u2, v1, v2)
+        l_read, l_total = _surviving_rows(ldir, u1, u2, v1, v2)
+        assert q_total == l_total > 0
+        assert q_read < l_read, (files, q_read, l_read)
