@@ -81,3 +81,149 @@ def sentiment_distribution(documents: DataFrame) -> DataFrame:
         .groupBy("lang", "label")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- aspect-based sentiment (the reference's distinctive output) --------
+
+# Aspect lexicons over the corpus vocabulary — the analog of the
+# reference's 8 fixed aspects (Price, Shipping, Outlook, Quality, Size,
+# Shop_Service, General, Others; data/test_data.csv:1). Dict order is
+# the output column order.
+ASPECTS = {
+    "joins": ("join", "merge"),
+    "scans": ("scan", "filter"),
+    "streams": ("stream", "window"),
+    "storage": ("table", "row", "column"),
+}
+ASPECT_WINDOW = 3  # opinion words within ±3 tokens of an aspect mention
+
+
+def aspect_sentiments(documents: DataFrame) -> DataFrame:
+    """Aspect-based sentiment — the reference's distinctive OUTPUT
+    SHAPE (``absa_results(ReviewText, Price, …, Others)``: one label
+    column per fixed aspect, with an explicit absent state —
+    ``consumer_postgres_streaming.py:419-432``, label decode
+    ``train_absa_model.py:103-124``), produced deterministically so a
+    SQL oracle replays it bit-for-bit.
+
+    Semantics: a document's label for an aspect is POS/NEG/NEU by
+    counting opinion-word occurrences (the module lexicon) within
+    ``ASPECT_WINDOW`` tokens of ANY of that aspect's keyword
+    occurrences — every (mention, opinion) pair counts once — and
+    ABSENT when the document never mentions the aspect (the
+    reference's −1 class).
+
+    Plan shape: token positions from ONE posexplode of the raw
+    space-split (positions keep empty-token slots so both engines
+    index identically), aspect keywords and the final aspect grid ride
+    broadcast literal tables, the mention×opinion pairing is a doc_id
+    equi-join with the |Δpos| ≤ w residual (the prior_events_within
+    shape — bounded by per-doc mention counts, never a cross product),
+    and the per-aspect columns come from an explicit-values pivot.
+    One shuffle on doc_id end to end.
+    """
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+    )
+    aspects = spark.createDataFrame(
+        [(a, k) for a, ks in ASPECTS.items() for k in ks],
+        "aspect string, kw string",
+    )
+    hits = toks.join(
+        F.broadcast(aspects), toks["w"] == aspects["kw"]
+    ).select("doc_id", "aspect", "pos")
+    pol = (
+        F.when(F.col("w").isin(*POSITIVE), F.lit(1))
+        .when(F.col("w").isin(*NEGATIVE), F.lit(-1))
+    )
+    ops = (
+        toks.select("doc_id", F.col("pos").alias("opos"), pol.alias("pol"))
+        .filter(F.col("pol").isNotNull())
+    )
+    paired = hits.join(ops, "doc_id").filter(
+        F.abs(F.col("pos") - F.col("opos")) <= ASPECT_WINDOW
+    )
+    scored = paired.groupBy("doc_id", "aspect").agg(
+        F.sum(F.when(F.col("pol") == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pol") == -1, 1).otherwise(0)).alias("nn"),
+    )
+    present = hits.select("doc_id", "aspect").distinct()
+    labeled = present.join(scored, ["doc_id", "aspect"], "left").select(
+        "doc_id",
+        "aspect",
+        F.when(
+            F.coalesce("np", F.lit(0)) > F.coalesce("nn", F.lit(0)), "POS"
+        )
+        .when(F.coalesce("nn", F.lit(0)) > F.coalesce("np", F.lit(0)), "NEG")
+        .otherwise("NEU")
+        .alias("label"),
+    )
+    grid = documents.select("doc_id").crossJoin(
+        F.broadcast(aspects.select("aspect").distinct())
+    )
+    full = grid.join(labeled, ["doc_id", "aspect"], "left").withColumn(
+        "label", F.coalesce("label", F.lit("ABSENT"))
+    )
+    return (
+        full.groupBy("doc_id")
+        .pivot("aspect", list(ASPECTS))
+        .agg(F.max("label"))
+    )
+
+
+def aspect_sentiments_sql() -> str:
+    """DuckDB oracle replaying aspect_sentiments exactly: same raw
+    split positions (empty slots kept), same lexicons, same window,
+    same pair-counting, same ABSENT fill."""
+    kw_rows = ", ".join(
+        f"('{a}', '{k}')" for a, ks in ASPECTS.items() for k in ks
+    )
+    pos_set = ", ".join(f"'{w}'" for w in POSITIVE)
+    neg_set = ", ".join(f"'{w}'" for w in NEGATIVE)
+    pivots = ",\n               ".join(
+        f"MAX(CASE WHEN aspect = '{a}' THEN label END) AS {a}"
+        for a in ASPECTS
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+            SELECT doc_id, unnest([{{'pos': i - 1, 'w': parts[i]}}
+                                   for i in range(1, len(parts) + 1)]) AS u
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts
+                  FROM documents) t) q),
+        aspects(aspect, kw) AS (VALUES {kw_rows}),
+        hits AS (
+          SELECT doc_id, aspect, pos FROM toks JOIN aspects ON w = kw),
+        ops AS (
+          SELECT doc_id, pos AS opos,
+                 CASE WHEN w IN ({pos_set}) THEN 1 ELSE -1 END AS pol
+          FROM toks WHERE w IN ({pos_set}, {neg_set})),
+        paired AS (
+          SELECT h.doc_id, h.aspect, o.pol
+          FROM hits h JOIN ops o
+            ON h.doc_id = o.doc_id AND ABS(h.pos - o.opos) <= {ASPECT_WINDOW}),
+        scored AS (
+          SELECT doc_id, aspect,
+                 SUM(CASE WHEN pol = 1 THEN 1 ELSE 0 END) AS np,
+                 SUM(CASE WHEN pol = -1 THEN 1 ELSE 0 END) AS nn
+          FROM paired GROUP BY 1, 2),
+        present AS (SELECT DISTINCT doc_id, aspect FROM hits),
+        labeled AS (
+          SELECT p.doc_id, p.aspect,
+                 CASE WHEN COALESCE(np, 0) > COALESCE(nn, 0) THEN 'POS'
+                      WHEN COALESCE(nn, 0) > COALESCE(np, 0) THEN 'NEG'
+                      ELSE 'NEU' END AS label
+          FROM present p LEFT JOIN scored s USING (doc_id, aspect)),
+        grid AS (
+          SELECT d.doc_id, a.aspect
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN (SELECT DISTINCT aspect FROM aspects) a),
+        fullg AS (
+          SELECT g.doc_id, g.aspect, COALESCE(l.label, 'ABSENT') AS label
+          FROM grid g LEFT JOIN labeled l USING (doc_id, aspect))
+        SELECT doc_id,
+               {pivots}
+        FROM fullg GROUP BY doc_id
+    """

@@ -1766,6 +1766,20 @@ def _specs() -> list[QuerySpec]:
         "pandas_udf keyword sentiment (U1/U2 analog) vs pure-SQL oracle",
     ))
     s.append(QuerySpec(
+        "absa_aspect_sentiments",
+        # the reference's DISTINCTIVE output shape: one sentiment label
+        # per fixed aspect with an explicit absent class
+        # (absa_results(ReviewText, Price, ..., Others)); deterministic
+        # windowed keyword semantics so the oracle replays it exactly
+        lambda sp, d: sentiment.aspect_sentiments(_t(sp, d, "documents")),
+        sentiment.aspect_sentiments_sql(),
+        ("text", "sentiment", "absa"),
+        "aspect-based sentiment: per-aspect POS/NEG/NEU/ABSENT label "
+        "columns from windowed opinion-keyword counts (absa_results "
+        "table shape, consumer_postgres_streaming.py:419-432)",
+    ))
+
+    s.append(QuerySpec(
         "sentiment_distribution",
         lambda sp, d: sentiment.sentiment_distribution(_t(sp, d, "documents")),
         f"""

@@ -392,3 +392,15 @@ def test_prefix_helpers_leave_no_cache_entries(spark, name):
     df.write.format("noop").mode("overwrite").save()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), f"{name} left DataFrame cache entries behind"
+
+def test_absa_pairing_is_equi_join(spark):
+    """The aspect-mention × opinion pairing must carry the doc_id
+    equi-key with the |Δpos| ≤ w residual as a post-probe condition —
+    never a pure theta/cross product (the prior_events_within
+    contract, applied to text)."""
+    plan = _plan(spark, "absa_aspect_sentiments")
+    assert "CartesianProduct" not in plan
+    # aspect keywords + the doc×aspect grid ride broadcasts
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
