@@ -385,3 +385,87 @@ def jpeg_pixel_stats(events: DataFrame, resize_width: int = 16) -> DataFrame:
         F.sum("height").cast("long").alias("sum_height"),
         F.sum("mean_pixel").cast("long").alias("sum_mean_pixel"),
     )
+
+
+def synthesize_gradient_png_frames(
+    events: DataFrame, sample_mod: int = 83
+) -> DataFrame:
+    """Gradient PNG frames for mask-statistics queries: pixel (y, x)
+    of event e's frame is ``(e + x + y) % 251`` — non-constant, so a
+    thresholded mask has a non-trivial exact pixel count the oracle
+    can regenerate with two generate_series. PNG is lossless, so the
+    decoded pixels ARE the formula."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_png(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for e, u in zip(event_id, user_id):
+            e, u = int(e), int(u)
+            w = 16 + (u % 4) * 8
+            h = 12 + (e % 3) * 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((e + xx + yy) % 251).astype(np.uint8)[..., None].repeat(3, -1)
+            out.append(encode_png(img, filter_type=e % 5))
+        return pd.Series(out)
+
+    return events.filter(F.col("event_id") % sample_mod == 0).select(
+        F.col("user_id").alias("camera_id"),
+        F.col("event_id").alias("frame_number"),
+        make_png("event_id", "user_id").alias("frame"),
+    )
+
+
+def fire_mask_stats(events: DataFrame, threshold: int = 127) -> DataFrame:
+    """The fire-segmentation pipeline's per-frame output
+    (``fire_detections(camera_id, frame_number, fire_detected,
+    fire_percentage, …)`` — fire_consumer_streaming.py:225-233): decode
+    each frame with the REAL PNG codec, threshold the pixels into a
+    mask, report the mask fraction and the detection flag. The
+    reference computes exactly this from its segmentation model's mask
+    (``fire_percentage``, ``fire_detected = percentage > threshold``);
+    here the mask rule is a deterministic brightness threshold so the
+    DuckDB oracle can regenerate every pixel from the synthesis
+    formula and the hash pins decode + mask math end to end. Counts
+    stay integer; the percentage is one exact IEEE division both
+    engines perform identically."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    frames = synthesize_gradient_png_frames(events)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cam, fn, buf in zip(
+                pdf["camera_id"], pdf["frame_number"], pdf["frame"]
+            ):
+                img = decode_png(bytes(buf))
+                gray = img[..., 0]  # channels are identical by synthesis
+                rows.append(
+                    (
+                        int(cam),
+                        int(fn),
+                        int((gray > threshold).sum()),
+                        int(gray.size),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["camera_id", "frame_number", "n_hot", "n_pixels"],
+                )
+
+    decoded = frames.mapInPandas(
+        stats, "camera_id long, frame_number long, n_hot long, n_pixels long"
+    )
+    return decoded.select(
+        "camera_id",
+        "frame_number",
+        "n_hot",
+        "n_pixels",
+        (F.col("n_hot") * 10 > F.col("n_pixels") * 3).alias("fire_detected"),
+        round_det(F.col("n_hot") / F.col("n_pixels"), 4).alias("fire_percentage"),
+    )

@@ -3854,6 +3854,46 @@ def _specs() -> list[QuerySpec]:
     ))
 
     s.append(QuerySpec(
+        "fire_mask_stats",
+        # the fire-segmentation pipeline's per-frame output shape
+        # (fire_detections: camera/frame/flag/percentage), through the
+        # REAL PNG codec: gradient frames decode losslessly, so the
+        # oracle regenerates every pixel from the synthesis formula
+        # with two generate_series and the hash pins decode + mask
+        # threshold + fraction math end to end
+        lambda sp, d: codecs.fire_mask_stats(_t(sp, d, "events")),
+        f"""
+        WITH f AS (
+          SELECT user_id AS camera_id, event_id AS frame_number,
+                 event_id AS e,
+                 16 + (user_id % 4) * 8 AS w,
+                 12 + (event_id % 3) * 4 AS h
+          FROM events WHERE event_id % 83 = 0),
+        fx AS (
+          SELECT camera_id, frame_number, e, w, h,
+                 unnest(range(0, w)) AS x FROM f),
+        fy AS (
+          SELECT camera_id, frame_number, e, w, h, x,
+                 unnest(range(0, h)) AS y FROM fx),
+        px AS (
+          SELECT camera_id, frame_number, w, h,
+                 SUM(CASE WHEN (e + x + y) % 251 > 127
+                          THEN 1 ELSE 0 END) AS n_hot
+          FROM fy GROUP BY 1, 2, 3, 4)
+        SELECT camera_id, frame_number,
+               CAST(n_hot AS BIGINT) AS n_hot,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               (n_hot * 10 > w * h * 3) AS fire_detected,
+               {round_det_sql("n_hot / (w * h)", 4)} AS fire_percentage
+        FROM px
+        """,
+        ("multimodal", "codec", "segmentation"),
+        "fire-segmentation output shape: real PNG decode -> threshold "
+        "mask fraction + flag per frame (fire_consumer_streaming.py:"
+        "225-233), pixel-regenerating oracle",
+    ))
+
+    s.append(QuerySpec(
         "jpeg_pixel_stats",
         # REAL baseline-JPEG codec in the plan (multimodal/jpeg.py —
         # Huffman + DCT + Annex K quantization, no cv2): encode →
