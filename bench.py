@@ -84,6 +84,11 @@ HEADLINE = [
     # round-4: Morton/Z-order clustered layout (one-time 64-file
     # rewrite + 2-D box scan; the write dominates the cold number)
     "zorder_box_stats",
+    # round-4: the reference pipelines' distinctive outputs — per-aspect
+    # sentiment labels (absa_results shape) and per-frame segmentation
+    # mask stats through the real PNG codec (fire_detections shape)
+    "absa_aspect_sentiments",
+    "fire_mask_stats",
 ]
 
 
