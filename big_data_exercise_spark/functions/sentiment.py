@@ -113,14 +113,18 @@ def aspect_sentiments(documents: DataFrame) -> DataFrame:
     ABSENT when the document never mentions the aspect (the
     reference's −1 class).
 
-    Plan shape: token positions from ONE posexplode of the raw
-    space-split (positions keep empty-token slots so both engines
-    index identically), aspect keywords and the final aspect grid ride
-    broadcast literal tables, the mention×opinion pairing is a doc_id
-    equi-join with the |Δpos| ≤ w residual (the prior_events_within
-    shape — bounded by per-doc mention counts, never a cross product),
-    and the per-aspect columns come from an explicit-values pivot.
-    One shuffle on doc_id end to end.
+    Plan shape (measured, not aspirational): TWO token projections of
+    the raw space-split — mentions (broadcast keyword join) and
+    opinions (literal filter); positions keep empty-token slots so
+    both engines index identically. The pairing is one LEFT doc_id
+    equi-join (mentions survive with no nearby opinion — that is the
+    NEU case, so no separate presence branch rescans the corpus) with
+    the |Δpos| ≤ w predicate counted INSIDE the aggregate, never a
+    cross product. Keyed shuffles: the pair join on doc_id, the
+    per-(doc, aspect) count aggregate, the grid restore and the final
+    pivot — all partial-aggregated and bounded by mention×opinion
+    pairs per doc, with the keyword table and the doc×aspect grid on
+    broadcasts.
     """
     spark = documents.sparkSession
     toks = documents.select(
@@ -142,21 +146,29 @@ def aspect_sentiments(documents: DataFrame) -> DataFrame:
         toks.select("doc_id", F.col("pos").alias("opos"), pol.alias("pol"))
         .filter(F.col("pol").isNotNull())
     )
-    paired = hits.join(ops, "doc_id").filter(
-        F.abs(F.col("pos") - F.col("opos")) <= ASPECT_WINDOW
+    # LEFT join: a mention with no opinion in the doc still survives
+    # (one null-pol row) and aggregates to 0/0 → NEU, so presence
+    # needs no second pass over the corpus; the window predicate is
+    # counted inside the aggregate, not pre-filtered, for the same
+    # reason.
+    near = F.abs(F.col("pos") - F.col("opos")) <= ASPECT_WINDOW
+    scored = (
+        hits.join(ops, "doc_id", "left")
+        .groupBy("doc_id", "aspect")
+        .agg(
+            F.sum(
+                F.when(near & (F.col("pol") == 1), 1).otherwise(0)
+            ).alias("np"),
+            F.sum(
+                F.when(near & (F.col("pol") == -1), 1).otherwise(0)
+            ).alias("nn"),
+        )
     )
-    scored = paired.groupBy("doc_id", "aspect").agg(
-        F.sum(F.when(F.col("pol") == 1, 1).otherwise(0)).alias("np"),
-        F.sum(F.when(F.col("pol") == -1, 1).otherwise(0)).alias("nn"),
-    )
-    present = hits.select("doc_id", "aspect").distinct()
-    labeled = present.join(scored, ["doc_id", "aspect"], "left").select(
+    labeled = scored.select(
         "doc_id",
         "aspect",
-        F.when(
-            F.coalesce("np", F.lit(0)) > F.coalesce("nn", F.lit(0)), "POS"
-        )
-        .when(F.coalesce("nn", F.lit(0)) > F.coalesce("np", F.lit(0)), "NEG")
+        F.when(F.col("np") > F.col("nn"), "POS")
+        .when(F.col("nn") > F.col("np"), "NEG")
         .otherwise("NEU")
         .alias("label"),
     )

@@ -251,17 +251,36 @@ def synthesize_png_frames(events: DataFrame, sample_mod: int = 97) -> DataFrame:
     side of the registry query exercises every filter path in
     production, not just in unit tests."""
 
+    return _synthesize_png(events, sample_mod, _constant_fill)
+
+
+def _constant_fill(e: int, w: int, h: int):
+    import numpy as np
+
+    return np.full((h, w, 3), e % 251, dtype=np.uint8)
+
+
+def _gradient_fill(e: int, w: int, h: int):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((e + xx + yy) % 251).astype(np.uint8)[..., None].repeat(3, -1)
+
+
+def _synthesize_png(events: DataFrame, sample_mod: int, fill) -> DataFrame:
+    """Shared synthesize loop (one definition the oracles mirror):
+    dims from (user_id, event_id), scanline filter cycling event_id %
+    5, deterministic event sample; only the pixel ``fill`` differs
+    between the constant and gradient frame families."""
+
     @F.pandas_udf(T.BinaryType())
     def make_png(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
-        import numpy as np
-
         out = []
         for e, u in zip(event_id, user_id):
             e, u = int(e), int(u)
             w = 16 + (u % 4) * 8
             h = 12 + (e % 3) * 4
-            img = np.full((h, w, 3), e % 251, dtype=np.uint8)
-            out.append(encode_png(img, filter_type=e % 5))
+            out.append(encode_png(fill(e, w, h), filter_type=e % 5))
         return pd.Series(out)
 
     return events.filter(F.col("event_id") % sample_mod == 0).select(
@@ -396,25 +415,7 @@ def synthesize_gradient_png_frames(
     can regenerate with two generate_series. PNG is lossless, so the
     decoded pixels ARE the formula."""
 
-    @F.pandas_udf(T.BinaryType())
-    def make_png(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for e, u in zip(event_id, user_id):
-            e, u = int(e), int(u)
-            w = 16 + (u % 4) * 8
-            h = 12 + (e % 3) * 4
-            yy, xx = np.mgrid[0:h, 0:w]
-            img = ((e + xx + yy) % 251).astype(np.uint8)[..., None].repeat(3, -1)
-            out.append(encode_png(img, filter_type=e % 5))
-        return pd.Series(out)
-
-    return events.filter(F.col("event_id") % sample_mod == 0).select(
-        F.col("user_id").alias("camera_id"),
-        F.col("event_id").alias("frame_number"),
-        make_png("event_id", "user_id").alias("frame"),
-    )
+    return _synthesize_png(events, sample_mod, _gradient_fill)
 
 
 def fire_mask_stats(events: DataFrame, threshold: int = 127) -> DataFrame:

@@ -53,7 +53,7 @@ def _db_for(spark: SparkSession, sf_dir: str) -> str:
     each other's ``mode(overwrite)`` table rewrites mid-query."""
     import atexit
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     slug = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.normpath(sf_dir)).strip("_").lower()
     db = f"bdes_buckets_p{os.getpid()}_{slug}"
@@ -61,9 +61,11 @@ def _db_for(spark: SparkSession, sf_dir: str) -> str:
     # pid-scoped databases would otherwise accumulate one table copy
     # per process in the shared warehouse dir; remove this process's
     # physical dir at exit (the next process creates its own db, so a
-    # dangling catalog entry is never read)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if wh and db not in _CLEANUP_REGISTERED:
+    # dangling catalog entry is never read). unquote: the URI form
+    # percent-encodes spaces; isabs: a relative warehouse would make
+    # the exit-time rmtree resolve against whatever cwd is then.
+    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    if wh and os.path.isabs(wh) and db not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(db)
         atexit.register(
             shutil.rmtree, os.path.join(wh, f"{db}.db"), ignore_errors=True

@@ -168,17 +168,14 @@ def column_bounds(events: DataFrame) -> tuple[float, float, float, float]:
     return float(r[0]), float(r[1]), float(r[2]), float(r[3])
 
 
-def _equi_depth_code(events: DataFrame, col: str, bits: int):
+def _searchsorted_code(cutpoints):
     """Quantile-cutpoint code: equal MASS per code cell, so a skewed
     column can't crowd the curve into a few cells the way a linear
-    min/max scale does. Cutpoints come from one approxQuantile pass
-    (driver-held, 2^bits−1 doubles) and rows classify in one Arrow
-    searchsorted — both one-time layout costs."""
+    min/max scale does. Rows classify in one Arrow searchsorted
+    against the driver-held cutpoint array — a one-time layout cost."""
     from pyspark.sql.functions import pandas_udf
 
-    cuts = np.array(
-        events.approxQuantile(col, [i / (1 << bits) for i in range(1, 1 << bits)], 0.001)
-    )
+    cuts = np.array(cutpoints, dtype=float)
 
     @pandas_udf("long")
     def code(c: pd.Series) -> pd.Series:
@@ -205,14 +202,26 @@ def write_zordered(
     partitions, one file per range so each file's row groups carry
     tight min/max on BOTH columns.  ``code='equi_depth'`` balances
     mass per curve cell for skewed columns (module notes carry the
-    measured effect)."""
+    measured effect); in that mode ``bounds`` is unused (cutpoints ARE
+    the scale) and ``bits`` is capped at 8 — 2^bits−1 cutpoints per
+    dimension live on the driver — with anything larger rejected
+    rather than silently clamped."""
     u_lo, u_hi, v_lo, v_hi = bounds
     if code == "equi_depth":
-        eb = min(bits, 8)  # 2^bits−1 cutpoints live on the driver
+        if bits > 8:
+            raise ValueError(
+                "equi_depth codes support at most 8 bits/dimension "
+                f"(got {bits}): 2^bits-1 cutpoints are driver-held"
+            )
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        # ONE quantile pass computes both dimensions' cutpoints
+        ucuts, vcuts = events.approxQuantile(
+            ["user_id", "value"], probs, 0.001
+        )
         z = zvalue(
-            _equi_depth_code(events, "user_id", eb)(F.col("user_id")),
-            _equi_depth_code(events, "value", eb)(F.col("value")),
-            eb,
+            _searchsorted_code(ucuts)(F.col("user_id")),
+            _searchsorted_code(vcuts)(F.col("value")),
+            bits,
         )
     else:
         z = zvalue(

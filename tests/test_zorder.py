@@ -133,7 +133,7 @@ def test_equi_depth_codes_beat_linear_on_skew(spark, tmp_path):
     for files in (32, 64):
         qdir = zorder.write_zordered(
             events, str(tmp_path / f"q{files}"), bounds,
-            files=files, code="equi_depth",
+            bits=8, files=files, code="equi_depth",
         )
         ldir = zorder.write_zordered(
             events, str(tmp_path / f"l{files}"), bounds, files=files
@@ -142,3 +142,17 @@ def test_equi_depth_codes_beat_linear_on_skew(spark, tmp_path):
         l_read, l_total = _surviving_rows(ldir, u1, u2, v1, v2)
         assert q_total == l_total > 0
         assert q_read < l_read, (files, q_read, l_read)
+
+
+def test_equi_depth_rejects_oversized_bits(spark, tmp_path):
+    """bits > 8 in equi-depth mode must be rejected loudly, never
+    silently clamped (the code resolution changes the prunability
+    regime)."""
+    import pytest
+
+    events = load_table(spark, SF_DIR, "events")
+    bounds = zorder.column_bounds(events)
+    with pytest.raises(ValueError, match="at most 8 bits"):
+        zorder.write_zordered(
+            events, str(tmp_path / "x"), bounds, bits=16, code="equi_depth"
+        )
