@@ -332,14 +332,19 @@ def png_pixel_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_jpeg_frames(events: DataFrame, sample_mod: int = 89) -> DataFrame:
+def synthesize_jpeg_frames(
+    events: DataFrame, sample_mod: int = 89, progressive: bool = False
+) -> DataFrame:
     """REAL JPEG frame table: a deterministic sample of events becomes
-    baseline JFIF bytes (multimodal/jpeg.py encoder — Huffman, DCT,
-    Annex K tables at quality 50). Frames are constant-fill grayscale
-    with dimensions and fill derived from (user_id, event_id): a
-    constant block quantizes to its DC coefficient alone, so every
-    decoded pixel has the closed integer form in jpeg.py's docstring —
-    which is what lets a SQL oracle hash-check a lossy codec."""
+    JFIF bytes (multimodal/jpeg.py encoder — Huffman, DCT, Annex K
+    tables at quality 50; ``progressive=True`` emits SOF2 streams with
+    successive-approximation + spectral-selection scans, the shape
+    web-scraped images dominantly arrive in). Frames are constant-fill
+    grayscale with dimensions and fill derived from (user_id,
+    event_id): a constant block quantizes to its DC coefficient alone,
+    so every decoded pixel has the closed integer form in jpeg.py's
+    docstring — which is what lets a SQL oracle hash-check a lossy
+    codec, baseline and progressive alike."""
 
     @F.pandas_udf(T.BinaryType())
     def make_jpeg(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
@@ -351,7 +356,7 @@ def synthesize_jpeg_frames(events: DataFrame, sample_mod: int = 89) -> DataFrame
             w = 16 + (u % 4) * 8
             h = 12 + (e % 3) * 4
             img = np.full((h, w), e % 251, dtype=np.uint8)
-            out.append(encode_jpeg(img, quality=50))
+            out.append(encode_jpeg(img, quality=50, progressive=progressive))
         return pd.Series(out)
 
     return events.filter(F.col("event_id") % sample_mod == 0).select(
@@ -375,7 +380,10 @@ def jpeg_pixel_stats(events: DataFrame, resize_width: int = 16) -> DataFrame:
     quantization rounding AND the resize resample bit-for-bit."""
 
     frames = resize_frames(synthesize_jpeg_frames(events), resize_width)
+    return _jpeg_frame_stats(frames)
 
+
+def _jpeg_frame_stats(frames: DataFrame) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -404,6 +412,26 @@ def jpeg_pixel_stats(events: DataFrame, resize_width: int = 16) -> DataFrame:
         F.sum("height").cast("long").alias("sum_height"),
         F.sum("mean_pixel").cast("long").alias("sum_mean_pixel"),
     )
+
+
+def jpeg_progressive_pixel_stats(
+    events: DataFrame, resize_width: int = 16
+) -> DataFrame:
+    """jpeg_pixel_stats through the PROGRESSIVE (SOF2) ingest path —
+    the shape a web-scale multimodal crawl actually delivers (the
+    reference leans on cv2 for this, ``vehicle_consumer.py:94-96``).
+    Source frames are successive-approximation + spectral-selection
+    streams; the pipeline decodes them with the §G.2 progressive
+    decoder, resizes, re-encodes baseline (the normalize step a
+    training-data pipeline runs), decodes again and reports pixel
+    stats.  Same closed-form constant-frame oracle as the baseline
+    query: identical quantized coefficients mean identical decoded
+    pixels, so the hash pins the progressive entropy decoder too."""
+    frames = resize_frames(
+        synthesize_jpeg_frames(events, sample_mod=97, progressive=True),
+        resize_width,
+    )
+    return _jpeg_frame_stats(frames)
 
 
 def synthesize_gradient_png_frames(

@@ -283,13 +283,28 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → uint8 array (h, w) for grayscale or (h, w, 3)
-    RGB.  Raises JpegFormatError on progressive/arithmetic streams or
-    malformed/truncated data."""
+    """Baseline or progressive (SOF2) JPEG → uint8 array (h, w) for
+    grayscale or (h, w, 3) RGB.  Raises JpegFormatError on arithmetic-
+    coded, lossless or hierarchical streams and on malformed/truncated
+    data."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as exc:
         raise JpegFormatError(f"truncated or malformed JPEG: {exc}") from exc
+
+
+_SOF_REJECT = {
+    0xC3: "lossless sequential",
+    0xC5: "hierarchical (differential sequential)",
+    0xC6: "hierarchical (differential progressive)",
+    0xC7: "hierarchical (differential lossless)",
+    0xC9: "arithmetic-coded sequential",
+    0xCA: "arithmetic-coded progressive",
+    0xCB: "arithmetic-coded lossless",
+    0xCD: "arithmetic-coded differential sequential",
+    0xCE: "arithmetic-coded differential progressive",
+    0xCF: "arithmetic-coded differential lossless",
+}
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -297,9 +312,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
     frame = None
+    progressive = False
+    flats = None  # progressive: persistent per-component coefficients
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -331,7 +348,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 huffval = list(seg[s + 17 : s + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = (bits, huffval)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise JpegFormatError("only 8-bit precision supported")
@@ -340,10 +357,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in _SOF_REJECT:
             raise JpegFormatError(
-                "only baseline sequential JPEG is supported "
+                f"{_SOF_REJECT[marker]} JPEG is not supported "
                 f"(SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
@@ -356,11 +373,41 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tds >> 4, tds & 0xF))
-            return _decode_scan(
-                data, pos + 2 + seg_len, frame, scan, qt,
-                huff_dc, huff_ac, restart_interval,
+            o = 1 + 2 * ns
+            ss, se, a = seg[o], seg[o + 1], seg[o + 2]
+            band = (ss, se, a >> 4, a & 0xF)
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seg_len, frame, scan, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            if flats is None:
+                hh, ww, cc = frame
+                hmax = max(c[1] for c in cc)
+                vmax = max(c[2] for c in cc)
+                mx_ = -(-ww // (8 * hmax))
+                my_ = -(-hh // (8 * vmax))
+                flats = {
+                    cid: np.zeros(my_ * cv * mx_ * ch * 64, dtype=np.int64)
+                    for cid, ch, cv, _tq in cc
+                }
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seg_len, frame, scan, band,
+                huff_dc, huff_ac, restart_interval, flats,
             )
+            continue
         pos += 2 + seg_len
+    if progressive and flats is not None:
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        coefs = {
+            cid: flats[cid].reshape(mcus_y * cv, mcus_x * ch, 64)
+            for cid, ch, cv, _tq in comps
+        }
+        return _reconstruct(h, w, comps, coefs, qt)
     raise JpegFormatError("no SOS marker found")
 
 
@@ -512,6 +559,251 @@ def _reconstruct(h, w, comps, coefs, qt):
     b = y + 1.772 * (cb - 128)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, band, huff_dc, huff_ac, dri, flats
+):
+    """One progressive (SOF2) scan — ITU-T T.81 §G.2: spectral
+    selection (separate DC/AC bands, AC scans single-component and
+    non-interleaved over the component's OWN block grid) and
+    successive approximation (Ah/Al bit-plane refinement with EOB-run
+    coding).  Coefficients accumulate into ``flats`` across scans; the
+    caller reconstructs at EOI.  Returns the byte offset of the marker
+    ending this scan's entropy data.
+
+    Uses the same table-driven entropy path as baseline: restart
+    segments pre-split and unstuffed vectorized, 32-bit word windows,
+    one 16-bit LUT probe per Huffman symbol."""
+    ss, se, ah, al = band
+    h, w, comps = frame
+    by_id = {c[0]: c for c in comps}
+    slot = {c[0]: i for i, c in enumerate(comps)}
+    ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    if ss > se or se > 63:
+        raise JpegFormatError("bad spectral band")
+    if ss == 0 and se != 0:
+        raise JpegFormatError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise JpegFormatError("progressive AC scan must be single-component")
+    for cs, _td, _ta in scan:
+        if cs not in by_id:
+            raise JpegFormatError("scan references undefined component")
+
+    dc_scan = ss == 0
+    first = ah == 0
+
+    # visit order: (ci, flat, base) per block.  Interleaved scans walk
+    # the MCU grid; single-component scans walk the component's REAL
+    # block grid (T.81 A.2.2 — smaller than the MCU-padded store).
+    order = []
+    if len(scan) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cs, _td, _ta in scan:
+                    _cid, ch, cv, _tq = by_id[cs]
+                    ccols = mcus_x * ch
+                    flat, ci = flats[cs], slot[cs]
+                    for v_ in range(cv):
+                        row = my * cv + v_
+                        for h_ in range(ch):
+                            order.append(
+                                (ci, flat, (row * ccols + mx * ch + h_) << 6)
+                            )
+        bpm = sum(by_id[cs][1] * by_id[cs][2] for cs, _, _ in scan)
+        units_total = mcus_x * mcus_y
+    else:
+        cs, _td, _ta = scan[0]
+        _cid, ch, cv, _tq = by_id[cs]
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        nbx, nby = -(-cw // 8), -(-chh // 8)
+        ccols = mcus_x * ch
+        flat, ci = flats[cs], slot[cs]
+        for r_ in range(nby):
+            rb = r_ * ccols
+            for c_ in range(nbx):
+                order.append((ci, flat, (rb + c_) << 6))
+        bpm = 1
+        units_total = nbx * nby
+
+    if dc_scan and first:
+        try:
+            dluts = {td: _lut16(*huff_dc[td]) for _cs, td, _ta in scan}
+        except KeyError:
+            raise JpegFormatError("missing DC Huffman table") from None
+        lut_for = {slot[cs]: dluts[td] for cs, td, _ta in scan}
+    elif not dc_scan:
+        ta = scan[0][2]
+        if ta not in huff_ac:
+            raise JpegFormatError("missing AC Huffman table")
+        alut = _lut16(*huff_ac[ta])
+
+    segments, end_pos = _entropy_segments(data, pos)
+    per_seg = dri if dri else units_total
+    if len(segments) != -(-units_total // per_seg):
+        raise JpegFormatError(
+            f"restart segmentation mismatch: {len(segments)} segments "
+            f"for {units_total} units at interval {dri}"
+        )
+
+    p1, m1 = 1 << al, -(1 << al)
+    trunc = "truncated entropy data"
+    oi = 0
+    for si, seg in enumerate(segments):
+        words, nbits = _words16(seg)
+        bp = 0
+        n_units = min(per_seg, units_total - si * per_seg)
+        chunk = order[oi : oi + n_units * bpm]
+        oi += n_units * bpm
+
+        if dc_scan and first:
+            pred = [0] * ncomp
+            for ci, flat, base in chunk:
+                if bp >= nbits:
+                    raise JpegFormatError(trunc)
+                e = lut_for[ci][(words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                ln = e & 31
+                if not ln:
+                    raise JpegFormatError("invalid Huffman code")
+                bp += ln
+                t = e >> 5
+                if t:
+                    if t > 11:
+                        raise JpegFormatError("invalid DC category")
+                    v = ((words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> (16 - t)
+                    bp += t
+                    if v < (1 << (t - 1)):
+                        v += 1 - (1 << t)
+                    pred[ci] += v
+                flat[base] = pred[ci] << al
+
+        elif dc_scan:  # DC refinement: one raw bit per block
+            for _ci, flat, base in chunk:
+                if bp >= nbits:
+                    raise JpegFormatError(trunc)
+                if (words[bp >> 3] >> (31 - (bp & 7))) & 1:
+                    flat[base] |= p1
+                bp += 1
+
+        elif first:  # AC first pass: band coefficients + EOB runs
+            eobrun = 0
+            for _ci, flat, base in chunk:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    if bp >= nbits:
+                        raise JpegFormatError(trunc)
+                    e = alut[(words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                    ln = e & 31
+                    if not ln:
+                        raise JpegFormatError("invalid Huffman code")
+                    bp += ln
+                    rs = e >> 5
+                    s_ = rs & 15
+                    r = rs >> 4
+                    if s_:
+                        k += r
+                        if k > se:
+                            raise JpegFormatError("AC index overflow")
+                        v = ((words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> (16 - s_)
+                        bp += s_
+                        if v < (1 << (s_ - 1)):
+                            v += 1 - (1 << s_)
+                        flat[base + k] = v << al
+                        k += 1
+                    elif r == 15:  # ZRL
+                        k += 16
+                    else:  # EOBn: run of (1<<r)+ext all-done blocks
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += (
+                                (words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                            ) >> (16 - r)
+                            bp += r
+                        eobrun -= 1  # this block is the run's first
+                        break
+
+        else:  # AC refinement — T.81 G.2 correction-bit control flow
+            eobrun = 0
+            for _ci, flat, base in chunk:
+                k = ss
+                if not eobrun:
+                    while k <= se:
+                        if bp >= nbits:
+                            raise JpegFormatError(trunc)
+                        e = alut[(words[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                        ln = e & 31
+                        if not ln:
+                            raise JpegFormatError("invalid Huffman code")
+                        bp += ln
+                        rs = e >> 5
+                        s_ = rs & 15
+                        r = rs >> 4
+                        newval = 0
+                        if s_:
+                            if s_ != 1:
+                                raise JpegFormatError(
+                                    "bad refinement magnitude"
+                                )
+                            if bp >= nbits:
+                                raise JpegFormatError(trunc)
+                            newval = (
+                                p1
+                                if (words[bp >> 3] >> (31 - (bp & 7))) & 1
+                                else m1
+                            )
+                            bp += 1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += (
+                                    (words[bp >> 3] >> (16 - (bp & 7)))
+                                    & 0xFFFF
+                                ) >> (16 - r)
+                                bp += r
+                            break
+                        # advance: correction bits over nonzero-history
+                        # coefficients, skipping r zero-history slots
+                        while k <= se:
+                            c = flat[base + k]
+                            if c:
+                                if bp >= nbits:
+                                    raise JpegFormatError(trunc)
+                                if (words[bp >> 3] >> (31 - (bp & 7))) & 1:
+                                    if not (c & p1):
+                                        flat[base + k] = c + (
+                                            p1 if c > 0 else m1
+                                        )
+                                bp += 1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            flat[base + k] = newval
+                        k += 1
+                if eobrun:
+                    # EOB-run tail: correction bits only
+                    while k <= se:
+                        c = flat[base + k]
+                        if c:
+                            if bp >= nbits:
+                                raise JpegFormatError(trunc)
+                            if (words[bp >> 3] >> (31 - (bp & 7))) & 1:
+                                if not (c & p1):
+                                    flat[base + k] = c + (p1 if c > 0 else m1)
+                            bp += 1
+                        k += 1
+                    eobrun -= 1
+    return end_pos
 
 
 # --- encoder ------------------------------------------------------------
@@ -678,18 +970,241 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, by, bx
 
 
+def _prog_ac_spec():
+    """AC Huffman spec for progressive scans.  The Annex K AC tables
+    have no room for EOBn symbols (their code space is full save one
+    slot), so progressive encoders always ship custom tables; this one
+    is deliberately simple — EOB0..EOB14, ZRL and every (run, size)
+    symbol as a flat 8-bit canonical code (176 codes; the all-ones
+    code stays unassigned per the T.81 convention)."""
+    vals = [n << 4 for n in range(15)]  # EOB0..EOB14
+    vals.append(0xF0)  # ZRL
+    for r in range(16):
+        for s in range(1, 11):
+            vals.append((r << 4) | s)
+    bits = [0] * 16
+    bits[7] = len(vals)  # all codes 8 bits long
+    return bits, vals
+
+
+_HUFF_AC_PROG = _prog_ac_spec()
+
+
+def _emit_sos_header(scan_comps, ss, se, ah, al):
+    sos = bytes([len(scan_comps)])
+    for cid, td, ta in scan_comps:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
+    """Progressive (SOF2) scan-script emission — T.81 §G.1.2.  Scan
+    shape mirrors what web encoders produce: an interleaved DC first
+    pass at Al=1, per-component spectral-selection AC first passes at
+    Al=1 (luma split into a 1-5 band and a 6-63 band), then the DC and
+    AC bit-plane refinement scans (Ah=1→Al=0) with EOB-run coding and
+    buffered correction bits.  Fixture-scale bit-serial emission; the
+    hot production path is the baseline vectorized coder."""
+    ncomp = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_codes = [
+        _canonical_codes(*(HUFF_DC_LUMA if i == 0 else HUFF_DC_CHROMA))
+        for i in range(ncomp)
+    ]
+    # every AC scan uses the shared progressive table (id 0) — EOBn
+    # symbols don't exist in the Annex K baseline tables
+    prog_ac = _canonical_codes(*_HUFF_AC_PROG)
+    ac_codes = [prog_ac] * ncomp
+
+    def real_grid(i):
+        sh, sv = samp[i]
+        cw = -(-(w * sh) // hmax)
+        chh = -(-(h * sv) // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    def dc_blocks():  # interleaved MCU-grid DC visit order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for i in range(ncomp):
+                    sh, sv = samp[i]
+                    for v_ in range(sv):
+                        for h_ in range(sh):
+                            yield i, int(qblocks[i][my * sv + v_, mx * sh + h_, 0])
+
+    out = bytearray()
+    # redefine AC table 0 with the progressive spec (EOBn symbols)
+    bits, vals = _HUFF_AC_PROG
+    payload = bytes([0x10]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    # -- scan 1: DC first, Al=1, interleaved ---------------------------
+    out += _emit_sos_header(
+        [(i + 1, 0 if i == 0 else 1, 0) for i in range(ncomp)], 0, 0, 0, 1
+    )
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for i, dc in dc_blocks():
+        v = dc >> 1  # DC point transform: arithmetic shift (G.1.2.1)
+        diff = v - pred[i]
+        pred[i] = v
+        t = abs(diff).bit_length()
+        code, ln = dc_codes[i][t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += wtr.out
+
+    # -- AC first passes, Al=1, one component per scan -----------------
+    bands = [(0, 1, 5), (0, 6, 63)] + [(i, 1, 63) for i in range(1, ncomp)]
+    for ci, ss, se in bands:
+        out += _emit_sos_header([(ci + 1, 0, 0)], ss, se, 0, 1)
+        wtr = _BitWriter()
+        ac = ac_codes[ci]
+        eobrun = 0
+
+        def flush_eob(extra_bits=None):
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac[nb << 4]
+                wtr.write(code, ln)
+                if nb:
+                    wtr.write(eobrun - (1 << nb), nb)
+                if extra_bits is not None:
+                    for b_ in extra_bits:
+                        wtr.write(b_, 1)
+                    extra_bits.clear()
+                eobrun = 0
+
+        nby, nbx = real_grid(ci)
+        for r_ in range(nby):
+            for c_ in range(nbx):
+                blk = qblocks[ci][r_, c_]
+                run = 0
+                for k in range(ss, se + 1):
+                    cv_ = int(blk[k])
+                    t = abs(cv_) >> 1  # AC point transform: /2^Al
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, ln = ac[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s_ = t.bit_length()
+                    code, ln = ac[(run << 4) | s_]
+                    wtr.write(code, ln)
+                    sv_ = t if cv_ > 0 else -t
+                    wtr.write(sv_ if sv_ > 0 else sv_ + (1 << s_) - 1, s_)
+                    run = 0
+                if run:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+        out += wtr.out
+
+    # -- DC refinement: Ah=1 → Al=0, one raw bit per block -------------
+    out += _emit_sos_header(
+        [(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0
+    )
+    wtr = _BitWriter()
+    for _i, dc in dc_blocks():
+        wtr.write(dc & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # -- AC refinement scans: Ah=1 → Al=0, correction bits -------------
+    for ci in range(ncomp):
+        out += _emit_sos_header([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        ac = ac_codes[ci]
+        eobrun = 0
+        bbuf: list[int] = []
+
+        def flush_eob_r():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac[nb << 4]
+                wtr.write(code, ln)
+                if nb:
+                    wtr.write(eobrun - (1 << nb), nb)
+                for b_ in bbuf:
+                    wtr.write(b_, 1)
+                bbuf.clear()
+                eobrun = 0
+
+        nby, nbx = real_grid(ci)
+        for r_ in range(nby):
+            for c_ in range(nbx):
+                blk = qblocks[ci][r_, c_]
+                absv = [abs(int(blk[k])) for k in range(1, 64)]
+                eobpos = 0
+                for idx, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = idx + 1
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k - 1]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobpos:
+                        flush_eob_r()
+                        code, ln = ac[0xF0]
+                        wtr.write(code, ln)
+                        r -= 16
+                        for b_ in br:
+                            wtr.write(b_, 1)
+                        br = []
+                    if t > 1:  # history coefficient: correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob_r()  # newly significant at this bit plane
+                    code, ln = ac[(r << 4) | 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for b_ in br:
+                        wtr.write(b_, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    bbuf.extend(br)
+                    if eobrun == 0x7FFF or len(bbuf) > 930:
+                        flush_eob_r()
+        flush_eob_r()
+        wtr.flush()
+        out += wtr.out
+
+    return bytes(out)
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 50,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes.
     quality=50 uses the Annex K tables verbatim (the oracle contract);
     subsampling '4:2:0' halves the chroma planes (2×2 box average);
     restart_interval > 0 emits a DRI segment and RSTn markers every
     that many MCUs (what camera firmware does for error resilience —
-    and what keeps the decoder's restart path executed in tests)."""
+    and what keeps the decoder's restart path executed in tests).
+    progressive=True emits a SOF2 stream with the web-typical scan
+    script shape: successive approximation (Al=1 first passes, then
+    bit-plane refinement) over spectral-selection bands — the same
+    quantized coefficients, so it must decode pixel-identically to
+    the baseline stream."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("expected uint8 (h,w) or (h,w,3)")
     gray = img.ndim == 2
@@ -697,6 +1212,8 @@ def encode_jpeg(
         raise ValueError("color images must have 3 channels")
     if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError("subsampling must be 4:4:4, 4:2:2 or 4:2:0")
+    if progressive and restart_interval:
+        raise ValueError("restart markers unsupported with progressive")
     h, w = img.shape[:2]
     ql, qc = scaled_quant_tables(quality)
 
@@ -766,13 +1283,14 @@ def encode_jpeg(
     if not gray:
         zz_qc = qc[ZIGZAG].astype(np.uint8).tobytes()
         out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + b"\x01" + zz_qc
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for i in range(ncomp):
         sh, sv = samp[i]
         sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", 2 + len(sof)) + sof
     # DHT
     def dht(cls, tid, spec):
         bits, vals = spec
@@ -784,6 +1302,10 @@ def encode_jpeg(
     # DRI
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        out += _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     # SOS
     sos = bytes([ncomp])
     for i in range(ncomp):

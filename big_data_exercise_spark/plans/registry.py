@@ -3934,6 +3934,47 @@ def _specs() -> list[QuerySpec]:
         "oracle",
     ))
 
+    s.append(QuerySpec(
+        "jpeg_progressive_pixel_stats",
+        # PROGRESSIVE (SOF2) ingest path: source frames are
+        # successive-approximation + spectral-selection streams (the
+        # web-crawl default; the reference gets this via cv2,
+        # vehicle_consumer.py:94-96), decoded by the T.81 §G.2
+        # progressive decoder, resized, re-encoded baseline, decoded
+        # again.  Same quantized coefficients as baseline → identical
+        # decoded pixels → the same closed integer formula; the hash
+        # match pins DC/AC first passes, bit-plane refinement and
+        # EOB-run decoding end to end.
+        lambda sp, d: codecs.jpeg_progressive_pixel_stats(
+            _t(sp, d, "events")
+        ),
+        """
+        WITH f AS (
+          SELECT user_id,
+                 16 + (user_id % 4) * 8 AS w,
+                 12 + (event_id % 3) * 4 AS h,
+                 (event_id % 251) - 128 AS dd
+          FROM events WHERE event_id % 97 = 0),
+        v AS (
+          SELECT user_id,
+                 LEAST(255, GREATEST(0,
+                   CASE WHEN dd >= 0 THEN 2 * ((dd + 1) // 2)
+                        ELSE -2 * ((-dd + 1) // 2) END + 128)) AS vp,
+                 GREATEST(1, CAST(FLOOR(h * 16.0 / w) AS INTEGER)) AS new_h
+          FROM f)
+        SELECT user_id AS camera_id,
+               COUNT(*) AS n_frames,
+               CAST(SUM(16) AS BIGINT) AS sum_width,
+               CAST(SUM(new_h) AS BIGINT) AS sum_height,
+               CAST(SUM(vp) AS BIGINT) AS sum_mean_pixel
+        FROM v GROUP BY 1
+        """,
+        ("multimodal", "codec", "jpeg", "progressive"),
+        "progressive-JPEG (SOF2) decode path: successive approximation "
+        "+ spectral selection + EOB runs, pixel stats vs "
+        "integer-formula oracle",
+    ))
+
     def _sampled_frames(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         ev = load_table(sp, d, "events").filter(F.col("event_id") % 101 == 0)

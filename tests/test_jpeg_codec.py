@@ -100,16 +100,61 @@ def test_odd_dimensions_roundtrip_all_modes():
         assert dec.shape == img.shape
 
 
-def test_progressive_and_garbage_rejected():
-    b = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
-    i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(JpegFormatError):
-        decode_jpeg(bytes(b))
+def test_unsupported_codings_and_garbage_rejected():
+    """Arithmetic-coded, lossless and hierarchical SOF markers are
+    rejected with a reason naming the coding (progressive SOF2 is now
+    a SUPPORTED path); garbage and truncation raise too."""
+    for sof, word in [
+        (0xCA, "arithmetic"),
+        (0xC9, "arithmetic"),
+        (0xC3, "lossless"),
+        (0xC6, "hierarchical"),
+    ]:
+        b = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
+        i = b.find(b"\xff\xc0")
+        b[i + 1] = sof
+        with pytest.raises(JpegFormatError, match=word):
+            decode_jpeg(bytes(b))
     with pytest.raises(JpegFormatError):
         decode_jpeg(b"\x00\x01\x02\x03")
     with pytest.raises(JpegFormatError):
         decode_jpeg(encode_jpeg(np.full((16, 16), 5, np.uint8))[:-20])
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """A progressive (SOF2) stream carries the SAME quantized
+    coefficients as the baseline stream, just re-ordered into
+    successive-approximation + spectral-selection scans — so decode
+    must be pixel-IDENTICAL to the baseline decode.  Random content
+    exercises dense blocks (ZRL, correction bits); smooth content
+    exercises long EOB runs across blocks."""
+    rng = np.random.default_rng(5)
+    cases = [
+        (rng.integers(0, 256, (24, 40)).astype(np.uint8), "4:4:4", 50),
+        (rng.integers(0, 256, (17, 25, 3)).astype(np.uint8), "4:4:4", 90),
+        (rng.integers(0, 256, (16, 16, 3)).astype(np.uint8), "4:2:0", 75),
+        (rng.integers(0, 256, (20, 30, 3)).astype(np.uint8), "4:2:2", 90),
+        (_gradient(48, 64), "4:4:4", 30),  # EOB-run heavy
+    ]
+    g = _gradient(48, 64)
+    cases.append((np.dstack([g, g[::-1], g[:, ::-1]]), "4:2:0", 30))
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        penc = encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+        assert b"\xff\xc2" in penc  # SOF2
+        assert penc.count(b"\xff\xda") >= 4  # multiple scans
+        assert np.array_equal(decode_jpeg(penc), base), (img.shape, sub, q)
+
+
+def test_progressive_constant_frames_match_closed_form():
+    """The registry-oracle contract extends to the progressive path:
+    constant frames decode to the same closed integer form."""
+    for v in [0, 17, 127, 128, 200, 255]:
+        img = np.full((12, 20), v, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=50, progressive=True))
+        assert np.unique(dec).tolist() == [constant_roundtrip_value(v)], v
+    with pytest.raises(ValueError):
+        encode_jpeg(img, progressive=True, restart_interval=2)
 
 
 def test_quality_scaling_follows_libjpeg_formula():

@@ -28,6 +28,19 @@ def test_survey_registry_total_matches():
     )
 
 
+def test_readme_registry_total_matches():
+    """Round-4 verdict item 6: README.md's inventory line drifted two
+    queries behind the registry; grep it like SURVEY so docs can't
+    drift again."""
+    readme = os.path.join(os.path.dirname(SURVEY), "README.md")
+    txt = open(readme, encoding="utf-8").read()
+    m = re.search(r"\((\d+) queries", txt)
+    assert m, "README.md must state the registry query count"
+    assert int(m.group(1)) == len(all_queries()), (
+        f"README.md says {m.group(1)} queries, registry has {len(all_queries())}"
+    )
+
+
 def test_survey_oracle_split_matches():
     qs = all_queries()
     n_oracle = sum(1 for q in qs.values() if q.oracle is not None)
