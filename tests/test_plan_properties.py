@@ -331,6 +331,61 @@ def test_grouped_rank_is_range_partitioned(spark):
     assert got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
 
 
+def test_grouped_rank_balances_under_adversarial_value_skew(spark):
+    """Round-4 verdict item 3: when 90% of rows share ONE (group,
+    value) cell, the range partitioner has nothing to split on except
+    the id tie-break column — prove it actually BALANCES there (task-
+    size spread bound, not just plan shape) and that ranks stay exact.
+    A partitioner that keyed only on (group, value) would funnel the
+    hot cell through one task; the spread assertion fails in that
+    world."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from big_data_exercise_spark.operators import windows
+
+    n, n_parts = 40_000, 16
+    hot = F.col("id") % 10 < 9  # 90% of rows
+    df = spark.range(n).select(
+        F.when(hot, F.lit("hot")).otherwise(
+            F.concat(F.lit("g"), (F.col("id") % 7).cast("string"))
+        ).alias("grp"),
+        F.when(hot, F.lit(42)).otherwise(F.col("id") % 1000).alias("val"),
+        F.col("id"),
+    )
+
+    # the exact shuffle grouped_row_number performs: range partition on
+    # (group, order incl. tie-break) — measure the realized task sizes
+    sizes = [
+        r["n"]
+        for r in df.repartitionByRange(n_parts, "grp", "val", "id")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) >= n_parts // 2, (
+        f"hot cell collapsed the range partitioning: {len(sizes)} "
+        f"non-empty partitions of {n_parts}"
+    )
+    assert max(sizes) <= 3 * n / n_parts, (
+        f"range partitioner did not balance on the id tie-break: "
+        f"max task {max(sizes)} rows vs mean {n / n_parts:.0f} ({sizes})"
+    )
+
+    # and the ranks over the skewed fixture stay exactly the window
+    # form's ranks
+    ranked = windows.grouped_row_number(
+        df, ["grp"], [F.asc("val"), F.asc("id")], "rn",
+        num_partitions=n_parts,
+    )
+    w = W.partitionBy("grp").orderBy(F.asc("val"), F.asc("id"))
+    expected = df.select(
+        "grp", "id", F.row_number().over(w).cast("long").alias("rn")
+    )
+    got = ranked.select("grp", "id", "rn")
+    assert got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
+
+
 def test_bucketed_join_has_no_exchange_before_join(spark):
     """The co-located bucketed SMJ zips bucket i of both sides —
     NO shuffle on either join input. The only Exchange in the whole

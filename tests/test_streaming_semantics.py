@@ -303,6 +303,162 @@ def test_stream_stream_left_outer_emits_closed_unmatched(spark, tmp_path):
     assert any(t[1] is None for t in stream_rows)
 
 
+def _run_log_stream(spark, log_dir, ckpt, out, **opts):
+    from big_data_exercise_spark.sources.pydatasource import file_log_stream
+
+    q = (
+        file_log_stream(spark, log_dir, **opts)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_file_log_restart_replays_committed_offsets_only(spark, tmp_path):
+    """Kafka-semantics conformance (round-4 verdict item 4): a
+    partitioned, offset-tracked log is consumed to a checkpoint, the
+    topic GROWS (new records on old partitions + a whole new
+    partition), and the restarted stream must resume from the
+    committed offsets — every record exactly once, the new partition
+    read from 0 (Kafka's new-partition-discovery rule), zero
+    duplicates across the restart."""
+    from big_data_exercise_spark.sources.pydatasource import (
+        FileLogProducer,
+        file_log_batch,
+    )
+
+    log_dir = str(tmp_path / "log")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    prod = FileLogProducer(log_dir, partitions=2)
+    for i in range(20):
+        prod.send(f"k{i}", f"v{i}", ts_us=i * 1_000_000)
+
+    _run_log_stream(spark, log_dir, ckpt, out)
+    first = spark.read.parquet(out)
+    assert first.count() == 20
+    # per-partition offsets are dense and monotonic from 0
+    for r in (
+        first.groupBy("partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+        )
+        .collect()
+    ):
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+    # topic grows: more records on existing partitions + a new one
+    prod.add_partitions(1)
+    for i in range(20, 35):
+        prod.send(f"k{i}", f"v{i}", ts_us=i * 1_000_000, partition=i % 3)
+
+    _run_log_stream(spark, log_dir, ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 35  # zero duplicates, zero losses
+    assert got.select("key").distinct().count() == 35
+    assert got.filter(F.col("partition") == 2).count() > 0  # new part read
+    # the sink holds exactly the log's batch-read contents
+    full = file_log_batch(spark, log_dir).select("partition", "offset", "key")
+    assert (
+        got.select("partition", "offset", "key")
+        .exceptAll(full)
+        .union(full.exceptAll(got.select("partition", "offset", "key")))
+        .count()
+        == 0
+    )
+
+
+def test_file_log_max_offsets_per_trigger(spark, tmp_path):
+    """maxOffsetsPerTrigger caps every micro-batch's record count,
+    apportioned across partitions by lag — the Kafka source's rate
+    limit policy, enforced from batch 0."""
+    from big_data_exercise_spark.sources.pydatasource import (
+        FileLogProducer,
+        file_log_stream,
+    )
+
+    log_dir = str(tmp_path / "log")
+    prod = FileLogProducer(log_dir, partitions=3)
+    for i in range(23):
+        prod.send(f"k{i}", f"v{i}")
+
+    sizes = []
+    q = (
+        file_log_stream(
+            spark, log_dir, max_offsets_per_trigger=7, group_id="rate"
+        )
+        .writeStream.foreachBatch(lambda df, bid: sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    real = [s for s in sizes if s]
+    assert sum(real) == 23
+    assert max(real) <= 7, real
+    assert len(real) >= 4, real  # 23 records at <=7/batch
+
+    # restart the SAME checkpoint+group after more production: the
+    # FIRST recovered batch must clamp too — its baseline comes from
+    # the group's committed-offset sidecar (planning happens before
+    # the engine reveals the restored start, so without that commit
+    # record the first batch would be unclamped)
+    for i in range(23, 32):
+        prod.send(f"k{i}", f"v{i}")
+    sizes2 = []
+    q = (
+        file_log_stream(
+            spark, log_dir, max_offsets_per_trigger=7, group_id="rate"
+        )
+        .writeStream.foreachBatch(lambda df, bid: sizes2.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    real2 = [s for s in sizes2 if s]
+    assert sum(real2) == 9  # no replays, no losses across the restart
+    assert max(real2) <= 7, real2
+    assert len(real2) >= 2, real2
+
+
+def test_file_log_latest_starting_offsets(spark, tmp_path):
+    """startingOffsets=latest skips the backlog: only records produced
+    AFTER the stream's initial offset snapshot are delivered — and the
+    checkpoint then owns the position across restarts."""
+    from big_data_exercise_spark.sources.pydatasource import FileLogProducer
+
+    log_dir = str(tmp_path / "log")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    prod = FileLogProducer(log_dir, partitions=2)
+    for i in range(10):
+        prod.send(f"old{i}", "backlog")
+
+    _run_log_stream(spark, log_dir, ckpt, out, starting_offsets="latest")
+    import os as _os
+
+    n0 = (
+        spark.read.parquet(out).count()
+        if _os.path.exists(_os.path.join(out, "_spark_metadata"))
+        else 0
+    )
+    assert n0 == 0  # backlog skipped
+
+    for i in range(5):
+        prod.send(f"new{i}", "fresh")
+    _run_log_stream(spark, log_dir, ckpt, out, starting_offsets="latest")
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert {r["key"] for r in got.collect()} == {f"new{i}" for i in range(5)}
+
+
 def test_rocksdb_state_store_backend(spark, tmp_path):
     """The scale-grade state backend: RocksDB spills streaming state
     to local disk instead of pinning it on the JVM heap — at 10⁹ keys
