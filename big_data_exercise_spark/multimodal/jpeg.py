@@ -206,13 +206,23 @@ def _canonical_codes(bits, huffval):
     return codes
 
 
+_LUT_CACHE: dict[tuple, list] = {}
+
+
 def _lut16(bits, huffval):
     """65536-entry lookup table: 16-bit lookahead → packed
     ``(symbol << 5) | code_length``.  Entry 0 (length 0) marks an
     invalid prefix.  This is the table-driven decode path: ONE list
     index per Huffman symbol instead of a bit-serial tree walk —
     the classic full-lookahead decoder (T.81 codes are ≤ 16 bits,
-    so the table is exhaustive, never a second probe)."""
+    so the table is exhaustive, never a second probe).  Memoized by
+    table spec: building + listifying 65536 entries costs ~300 µs,
+    which would dominate thumbnail-sized decodes, and real streams
+    reuse the same handful of tables."""
+    key = (tuple(bits), tuple(huffval))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     lut = np.zeros(65536, dtype=np.int32)
     code = 0
     k = 0
@@ -223,7 +233,11 @@ def _lut16(bits, huffval):
             code += 1
             k += 1
         code <<= 1
-    return lut.tolist()
+    if len(_LUT_CACHE) >= 16:  # bound worker memory on hostile inputs
+        _LUT_CACHE.clear()
+    out = lut.tolist()
+    _LUT_CACHE[key] = out
+    return out
 
 
 def _entropy_segments(data: bytes, pos: int):
@@ -270,13 +284,6 @@ def _words16(seg: np.ndarray):
     b = np.concatenate([seg, np.zeros(5, np.uint8)]).astype(np.uint32)
     words = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
     return words.tolist(), 8 * len(seg)
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 EXTEND: map t raw bits to the signed coefficient value."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
 # --- decoder ------------------------------------------------------------

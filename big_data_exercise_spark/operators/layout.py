@@ -188,13 +188,37 @@ def _searchsorted_code(cutpoints):
     return code
 
 
+def choose_zorder_code(
+    events: DataFrame, bounds: tuple[float, float, float, float]
+) -> str:
+    """Skew-sampled code selection (the measured recommendation in the
+    module notes, promoted to a default): linear min/max codes break
+    when outliers stretch a column's range so far that most mass lands
+    in a handful of code cells — the curve then can't separate the
+    mass region and pruning dies on that dimension.  Metric: mass-span
+    utilization ``(p99 − p01) / (max − min)`` per dimension (one
+    approxQuantile pass for both).  A healthy column sits near 1.0; a
+    heavy tail pushes it toward 0.  Below 0.5 on either dimension the
+    quantile-cutpoint code wins (equal mass per cell by construction),
+    so that is the switch point."""
+    u_lo, u_hi, v_lo, v_hi = bounds
+    (u01, u99), (v01, v99) = events.approxQuantile(
+        ["user_id", "value"], [0.01, 0.99], 0.001
+    )
+    utils = []
+    for lo, hi, p01, p99 in ((u_lo, u_hi, u01, u99), (v_lo, v_hi, v01, v99)):
+        span = hi - lo
+        utils.append((p99 - p01) / span if span > 0 else 1.0)
+    return "equi_depth" if min(utils) < 0.5 else "linear"
+
+
 def write_zordered(
     events: DataFrame,
     out_dir: str,
     bounds: tuple[float, float, float, float],
     bits: int = CODE_BITS,
     files: int = CLUSTER_FILES,
-    code: str = "linear",
+    code: str = "auto",
 ) -> str:
     """Rewrite ``events`` clustered on z(user_id, value): range
     shuffle on the z-value (``zvalue`` above — the same hash-checked
@@ -205,8 +229,14 @@ def write_zordered(
     measured effect); in that mode ``bounds`` is unused (cutpoints ARE
     the scale) and ``bits`` is capped at 8 — 2^bits−1 cutpoints per
     dimension live on the driver — with anything larger rejected
-    rather than silently clamped."""
+    rather than silently clamped.  The default ``code='auto'`` samples
+    each dimension's mass-span utilization and picks the cutpoint code
+    for skewed data, linear otherwise (:func:`choose_zorder_code`)."""
     u_lo, u_hi, v_lo, v_hi = bounds
+    if code == "auto":
+        code = choose_zorder_code(events, bounds)
+        if code == "equi_depth":
+            bits = min(bits, 8)
     if code == "equi_depth":
         if bits > 8:
             raise ValueError(

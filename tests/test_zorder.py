@@ -69,6 +69,58 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert s_read < s_total
 
 
+def test_auto_code_picks_cutpoints_on_skew_and_prunes_better(spark, tmp_path):
+    """Round-4 verdict item 7: the default code selection must sample
+    skewness and switch to quantile cutpoints where linear codes die.
+    Fixture: 1% outliers stretch value's range 1000× past the mass
+    region, so the linear scale maps ~99% of rows into code cell 0 —
+    a mass-region box then cannot prune on value at all.  Auto must
+    (a) select equi_depth, (b) read no more granule rows than the
+    linear layout for that box, and (c) stay layout-invariant."""
+    n = 100_000
+    outlier = F.col("id") % 100 == 0  # 1% of rows
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 317).cast("long").alias("user_id"),
+        F.when(outlier, (F.col("id") % 997).cast("double") * 1000.0)
+        .otherwise((F.col("id") % 997).cast("double"))
+        .alias("value"),
+    )
+    bounds = zorder.column_bounds(events)
+    assert zorder.choose_zorder_code(events, bounds) == "equi_depth"
+    # uniform data keeps the linear code (the cheap path)
+    uniform = events.withColumn(
+        "value", (F.col("event_id") % 997).cast("double")
+    )
+    assert (
+        zorder.choose_zorder_code(uniform, zorder.column_bounds(uniform))
+        == "linear"
+    )
+
+    # 256 granules: at 64 a curve block spans 32×32 code cells — too
+    # coarse for a 40%×40% box to resolve (the same granularity note
+    # as test_zorder_prunes_both_dimensions)
+    adir = zorder.write_zordered(
+        events, str(tmp_path / "auto"), bounds, files=256
+    )  # default code='auto' → equi_depth here
+    ldir = zorder.write_zordered(
+        events, str(tmp_path / "lin"), bounds, files=256, code="linear"
+    )
+    # mass-region box: middle users × a value band inside the bulk
+    u1, u2, v1, v2 = 95, 222, 200.0, 600.0
+    a_read, a_total = _surviving_rows(adir, u1, u2, v1, v2)
+    l_read, l_total = _surviving_rows(ldir, u1, u2, v1, v2)
+    assert a_total == l_total == n
+    assert a_read <= l_read, (a_read, l_read)
+    assert a_read <= 0.7 * l_read, (a_read, l_read)  # a real win, not a tie
+
+    box = lambda df: df.filter(  # noqa: E731
+        F.col("user_id").between(u1, u2) & F.col("value").between(v1, v2)
+    ).select("event_id", "user_id", "value")
+    got, want = box(spark.read.parquet(adir)), box(events)
+    assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+
 def test_zorder_results_are_layout_invariant(spark, tmp_path):
     """Clustering must never change results: the box rows read from
     the z-ordered copy equal the box rows from the raw table, row for
@@ -136,7 +188,9 @@ def test_equi_depth_codes_beat_linear_on_skew(spark, tmp_path):
             bits=8, files=files, code="equi_depth",
         )
         ldir = zorder.write_zordered(
-            events, str(tmp_path / f"l{files}"), bounds, files=files
+            events, str(tmp_path / f"l{files}"), bounds, files=files,
+            code="linear",  # the A/B baseline (default 'auto' would
+            # pick equi_depth here too — events.value is skewed)
         )
         q_read, q_total = _surviving_rows(qdir, u1, u2, v1, v2)
         l_read, l_total = _surviving_rows(ldir, u1, u2, v1, v2)
