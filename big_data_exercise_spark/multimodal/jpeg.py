@@ -34,6 +34,16 @@ the decoded frame is again constant, with value
 DC quantizer is exactly the Annex K value 16, so the formula collapses
 to ``clip(2·round_half_away((v−128)/2) + 128)``.
 
+Scope of that contract: it rides the EXACT-INTEGER DC path only.  AC
+coefficients are quantized from a float DCT, whose last-ulp values —
+and therefore the rare exact-.5 ties the half-away rule then breaks —
+depend on float summation order (einsum vs matmul vs BLAS build all
+differ; libjpeg's integer DCTs differ by far more).  Non-constant
+frames may thus re-encode to different BYTES across numpy/BLAS
+versions while staying pixel-equivalent within the usual IDCT
+tolerance; nothing in the repo hashes non-constant JPEG bytes, and
+nothing should.
+
 Complexity note: entropy coding is table-driven, not bit-serial.
 Decode pre-splits restart segments and unstuffs them vectorized, then
 spends ONE 16-bit-lookahead LUT probe per Huffman symbol over a
@@ -233,8 +243,10 @@ def _lut16(bits, huffval):
             code += 1
             k += 1
         code <<= 1
-    if len(_LUT_CACHE) >= 16:  # bound worker memory on hostile inputs
-        _LUT_CACHE.clear()
+    if len(_LUT_CACHE) >= 16:  # bound worker memory on hostile inputs —
+        # FIFO-evict one entry; clearing wholesale would also drop the
+        # hot standard tables and reintroduce the rebuild cost
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     out = lut.tolist()
     _LUT_CACHE[key] = out
     return out
@@ -525,6 +537,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                     k += 16
                 else:  # EOB
                     break
+        if bp > nbits:
+            # a symbol's code or value bits ran into the zero padding
+            # past the real data — the symbol-START guard can't catch
+            # an overrun inside the segment's final block, so account
+            # for consumed bits here (the old bit-serial reader raised
+            # at this point; the table-driven path must too)
+            raise JpegFormatError("truncated entropy data")
         oi += n_mcus * bpm
 
     coefs = {
@@ -810,6 +829,12 @@ def _decode_progressive_scan(
                             bp += 1
                         k += 1
                     eobrun -= 1
+
+        if bp > nbits:
+            # same final-block overrun accounting as the baseline
+            # decoder: reads that consumed zero padding past the real
+            # data must surface as truncation, not as wrong pixels
+            raise JpegFormatError("truncated entropy data")
     return end_pos
 
 
@@ -1005,14 +1030,19 @@ def _emit_sos_header(scan_comps, ss, se, ah, al):
     return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
 
-def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
+def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w, dri=0):
     """Progressive (SOF2) scan-script emission — T.81 §G.1.2.  Scan
     shape mirrors what web encoders produce: an interleaved DC first
     pass at Al=1, per-component spectral-selection AC first passes at
     Al=1 (luma split into a 1-5 band and a 6-63 band), then the DC and
     AC bit-plane refinement scans (Ah=1→Al=0) with EOB-run coding and
-    buffered correction bits.  Fixture-scale bit-serial emission; the
-    hot production path is the baseline vectorized coder."""
+    buffered correction bits.  ``dri`` > 0 inserts RSTn markers every
+    that many units (MCUs in the interleaved DC scans, blocks in the
+    single-component AC scans — the T.81 unit rule), with predictors,
+    EOB runs and the bit buffer flushed at every restart, which is
+    what exercises the decoder's progressive restart path against
+    real streams.  Fixture-scale bit-serial emission; the hot
+    production path is the baseline vectorized coder."""
     ncomp = len(samp)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -1031,14 +1061,20 @@ def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
         chh = -(-(h * sv) // vmax)
         return -(-chh // 8), -(-cw // 8)
 
-    def dc_blocks():  # interleaved MCU-grid DC visit order
+    def dc_blocks():  # interleaved MCU-grid DC visit order, with the
+        # MCU index so callers can place restart boundaries
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                mcu = my * mcus_x + mx
                 for i in range(ncomp):
                     sh, sv = samp[i]
                     for v_ in range(sv):
                         for h_ in range(sh):
-                            yield i, int(qblocks[i][my * sv + v_, mx * sh + h_, 0])
+                            yield (
+                                mcu,
+                                i,
+                                int(qblocks[i][my * sv + v_, mx * sh + h_, 0]),
+                            )
 
     out = bytearray()
     # redefine AC table 0 with the progressive spec (EOBn symbols)
@@ -1052,7 +1088,13 @@ def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
     )
     wtr = _BitWriter()
     pred = [0] * ncomp
-    for i, dc in dc_blocks():
+    last_mcu = 0
+    for mcu, i, dc in dc_blocks():
+        if dri and mcu != last_mcu and mcu % dri == 0:
+            wtr.flush()  # byte-align, then RSTn; predictors reset
+            wtr.out += bytes([0xFF, 0xD0 + (mcu // dri - 1) % 8])
+            pred = [0] * ncomp
+        last_mcu = mcu
         v = dc >> 1  # DC point transform: arithmetic shift (G.1.2.1)
         diff = v - pred[i]
         pred[i] = v
@@ -1072,7 +1114,7 @@ def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
         ac = ac_codes[ci]
         eobrun = 0
 
-        def flush_eob(extra_bits=None):
+        def flush_eob():
             nonlocal eobrun
             if eobrun:
                 nb = eobrun.bit_length() - 1
@@ -1080,15 +1122,17 @@ def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
                 wtr.write(code, ln)
                 if nb:
                     wtr.write(eobrun - (1 << nb), nb)
-                if extra_bits is not None:
-                    for b_ in extra_bits:
-                        wtr.write(b_, 1)
-                    extra_bits.clear()
                 eobrun = 0
 
         nby, nbx = real_grid(ci)
+        blk_i = 0
         for r_ in range(nby):
             for c_ in range(nbx):
+                if dri and blk_i and blk_i % dri == 0:
+                    flush_eob()  # EOB runs cannot cross a restart
+                    wtr.flush()
+                    wtr.out += bytes([0xFF, 0xD0 + (blk_i // dri - 1) % 8])
+                blk_i += 1
                 blk = qblocks[ci][r_, c_]
                 run = 0
                 for k in range(ss, se + 1):
@@ -1121,7 +1165,12 @@ def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
         [(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0
     )
     wtr = _BitWriter()
-    for _i, dc in dc_blocks():
+    last_mcu = 0
+    for mcu, _i, dc in dc_blocks():
+        if dri and mcu != last_mcu and mcu % dri == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (mcu // dri - 1) % 8])
+        last_mcu = mcu
         wtr.write(dc & 1, 1)
     wtr.flush()
     out += wtr.out
@@ -1148,8 +1197,14 @@ def _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w):
                 eobrun = 0
 
         nby, nbx = real_grid(ci)
+        blk_i = 0
         for r_ in range(nby):
             for c_ in range(nbx):
+                if dri and blk_i and blk_i % dri == 0:
+                    flush_eob_r()  # run + buffered bits end here
+                    wtr.flush()
+                    wtr.out += bytes([0xFF, 0xD0 + (blk_i // dri - 1) % 8])
+                blk_i += 1
                 blk = qblocks[ci][r_, c_]
                 absv = [abs(int(blk[k])) for k in range(1, 64)]
                 eobpos = 0
@@ -1219,8 +1274,6 @@ def encode_jpeg(
         raise ValueError("color images must have 3 channels")
     if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError("subsampling must be 4:4:4, 4:2:2 or 4:2:0")
-    if progressive and restart_interval:
-        raise ValueError("restart markers unsupported with progressive")
     h, w = img.shape[:2]
     ql, qc = scaled_quant_tables(quality)
 
@@ -1310,7 +1363,9 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     if progressive:
-        out += _encode_progressive_scans(qblocks, samp, mcus_x, mcus_y, h, w)
+        out += _encode_progressive_scans(
+            qblocks, samp, mcus_x, mcus_y, h, w, restart_interval
+        )
         out += b"\xff\xd9"  # EOI
         return bytes(out)
     # SOS

@@ -188,6 +188,21 @@ def _searchsorted_code(cutpoints):
     return code
 
 
+_AUTO_UTIL_THRESHOLD = 0.5
+
+
+def _mass_span_utils(bounds, u01, u99, v01, v99) -> list[float]:
+    """Mass-span utilization ``(p99 − p01) / (max − min)`` per
+    dimension: a healthy column sits near 1.0; outliers that stretch
+    the range push it toward 0 (and crowd a linear code's cells)."""
+    u_lo, u_hi, v_lo, v_hi = bounds
+    utils = []
+    for lo, hi, p01, p99 in ((u_lo, u_hi, u01, u99), (v_lo, v_hi, v01, v99)):
+        span = hi - lo
+        utils.append((p99 - p01) / span if span > 0 else 1.0)
+    return utils
+
+
 def choose_zorder_code(
     events: DataFrame, bounds: tuple[float, float, float, float]
 ) -> str:
@@ -195,21 +210,17 @@ def choose_zorder_code(
     module notes, promoted to a default): linear min/max codes break
     when outliers stretch a column's range so far that most mass lands
     in a handful of code cells — the curve then can't separate the
-    mass region and pruning dies on that dimension.  Metric: mass-span
-    utilization ``(p99 − p01) / (max − min)`` per dimension (one
-    approxQuantile pass for both).  A healthy column sits near 1.0; a
-    heavy tail pushes it toward 0.  Below 0.5 on either dimension the
-    quantile-cutpoint code wins (equal mass per cell by construction),
-    so that is the switch point."""
-    u_lo, u_hi, v_lo, v_hi = bounds
+    mass region and pruning dies on that dimension.  Below
+    ``_AUTO_UTIL_THRESHOLD`` utilization on either dimension the
+    quantile-cutpoint code wins (equal mass per cell by construction).
+    ``write_zordered(code='auto')`` fuses this decision into its
+    single cutpoint-quantile pass; this standalone form exists for
+    callers that only want the verdict."""
     (u01, u99), (v01, v99) = events.approxQuantile(
         ["user_id", "value"], [0.01, 0.99], 0.001
     )
-    utils = []
-    for lo, hi, p01, p99 in ((u_lo, u_hi, u01, u99), (v_lo, v_hi, v01, v99)):
-        span = hi - lo
-        utils.append((p99 - p01) / span if span > 0 else 1.0)
-    return "equi_depth" if min(utils) < 0.5 else "linear"
+    utils = _mass_span_utils(bounds, u01, u99, v01, v99)
+    return "equi_depth" if min(utils) < _AUTO_UTIL_THRESHOLD else "linear"
 
 
 def write_zordered(
@@ -231,23 +242,36 @@ def write_zordered(
     dimension live on the driver — with anything larger rejected
     rather than silently clamped.  The default ``code='auto'`` samples
     each dimension's mass-span utilization and picks the cutpoint code
-    for skewed data, linear otherwise (:func:`choose_zorder_code`)."""
+    for skewed data, linear otherwise — decided and (when cutpoints
+    win) supplied by ONE fused approxQuantile pass, not a probe pass
+    plus a cutpoint pass."""
     u_lo, u_hi, v_lo, v_hi = bounds
+    cuts = None
     if code == "auto":
-        code = choose_zorder_code(events, bounds)
-        if code == "equi_depth":
-            bits = min(bits, 8)
+        bits_eq = min(bits, 8)
+        cut_probs = [i / (1 << bits_eq) for i in range(1, 1 << bits_eq)]
+        probs = sorted({0.01, 0.99, *cut_probs})
+        uq, vq = events.approxQuantile(["user_id", "value"], probs, 0.001)
+        i01, i99 = probs.index(0.01), probs.index(0.99)
+        utils = _mass_span_utils(bounds, uq[i01], uq[i99], vq[i01], vq[i99])
+        if min(utils) < _AUTO_UTIL_THRESHOLD:
+            code = "equi_depth"
+            bits = bits_eq
+            idx = [probs.index(p) for p in cut_probs]
+            cuts = ([uq[i] for i in idx], [vq[i] for i in idx])
+        else:
+            code = "linear"
     if code == "equi_depth":
         if bits > 8:
             raise ValueError(
                 "equi_depth codes support at most 8 bits/dimension "
                 f"(got {bits}): 2^bits-1 cutpoints are driver-held"
             )
-        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        # ONE quantile pass computes both dimensions' cutpoints
-        ucuts, vcuts = events.approxQuantile(
-            ["user_id", "value"], probs, 0.001
-        )
+        if cuts is None:
+            probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+            # ONE quantile pass computes both dimensions' cutpoints
+            cuts = events.approxQuantile(["user_id", "value"], probs, 0.001)
+        ucuts, vcuts = cuts
         z = zvalue(
             _searchsorted_code(ucuts)(F.col("user_id")),
             _searchsorted_code(vcuts)(F.col("value")),

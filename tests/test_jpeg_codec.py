@@ -153,8 +153,42 @@ def test_progressive_constant_frames_match_closed_form():
         img = np.full((12, 20), v, dtype=np.uint8)
         dec = decode_jpeg(encode_jpeg(img, quality=50, progressive=True))
         assert np.unique(dec).tolist() == [constant_roundtrip_value(v)], v
-    with pytest.raises(ValueError):
-        encode_jpeg(img, progressive=True, restart_interval=2)
+
+
+def test_progressive_restart_markers_roundtrip_identically():
+    """DRI inside a progressive stream (what web-crawled camera SOF2
+    files carry): every scan restarts each N units — MCUs in the
+    interleaved DC scans, blocks in the per-component AC scans — with
+    predictors, EOB runs and buffered correction bits flushed at the
+    boundary.  Decode must equal both the unframed progressive decode
+    and the baseline decode."""
+    g = _gradient(48, 64)
+    c = np.dstack([g, g[::-1], g[:, ::-1]])
+    for img, sub, q in [(g, "4:4:4", 30), (c, "4:2:0", 90)]:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        for dri in (1, 3, 5):
+            framed = encode_jpeg(
+                img, quality=q, subsampling=sub,
+                progressive=True, restart_interval=dri,
+            )
+            assert b"\xff\xdd" in framed
+            assert any(bytes([0xFF, 0xD0 + i]) in framed for i in range(8))
+            assert np.array_equal(decode_jpeg(framed), base), (sub, q, dri)
+
+
+def test_truncated_entropy_data_always_raises():
+    """The table-driven decoder must never return wrong pixels for a
+    truncated stream: reads that consume the zero padding past the
+    real data surface as JpegFormatError (end-of-segment bit
+    accounting — the final block has no next symbol-start guard)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    enc = encode_jpeg(img, quality=75)
+    penc = encode_jpeg(img, quality=75, progressive=True)
+    for stream in (enc, penc):
+        for cut in (3, 8, 16, 32, 64):
+            with pytest.raises(JpegFormatError):
+                decode_jpeg(stream[:-cut])
 
 
 def test_quality_scaling_follows_libjpeg_formula():
