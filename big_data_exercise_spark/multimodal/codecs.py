@@ -271,16 +271,37 @@ def _synthesize_png(events: DataFrame, sample_mod: int, fill) -> DataFrame:
     """Shared synthesize loop (one definition the oracles mirror):
     dims from (user_id, event_id), scanline filter cycling event_id %
     5, deterministic event sample; only the pixel ``fill`` differs
-    between the constant and gradient frame families."""
+    between the constant and gradient frame families.
+
+    The ENCODING cycles too — every third frame is Adam7-interlaced
+    and every seventh is paletted (color type 3, identity palette over
+    the fill's shared channel) — so the hash-checked stats queries
+    exercise the full web-PNG decode surface.  PNG is lossless and the
+    fills have identical channels, so the decoded PIXELS (and the
+    oracle formulas) are byte-for-byte unchanged by the layout."""
 
     @F.pandas_udf(T.BinaryType())
     def make_png(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from big_data_exercise_spark.multimodal.png import encode_png_paletted
+
+        identity_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         out = []
         for e, u in zip(event_id, user_id):
             e, u = int(e), int(u)
             w = 16 + (u % 4) * 8
             h = 12 + (e % 3) * 4
-            out.append(encode_png(fill(e, w, h), filter_type=e % 5))
+            interlace = e % 3 == 0
+            img = fill(e, w, h)
+            if e % 7 == 0:
+                buf = encode_png_paletted(
+                    img[..., 0], identity_pal, 8,
+                    filter_type=e % 5, interlace=interlace,
+                )
+            else:
+                buf = encode_png(img, filter_type=e % 5, interlace=interlace)
+            out.append(buf)
         return pd.Series(out)
 
     return events.filter(F.col("event_id") % sample_mod == 0).select(

@@ -9,10 +9,12 @@ format that needs nothing beyond DEFLATE (stdlib zlib) and array math
 (numpy):
 
 * PNG (ISO/IEC 15948): 8-bit greyscale / grey+alpha / RGB / RGBA,
-  scanline filters 0-4 (None/Sub/Up/Average/Paeth), multiple IDAT
-  chunks, CRC-32 verification on every chunk.  Adam7 interlacing is
-  detected and rejected with a clear error (progressive rendering is
-  a display concern, not a data-pipeline one).
+  PALETTED images (color type 3 at bit depths 1/2/4/8, looked up to
+  RGB — the dominant web icon/sprite encoding), scanline filters 0-4
+  (None/Sub/Up/Average/Paeth), multiple IDAT chunks, CRC-32
+  verification on every chunk, and Adam7 interlacing (7 passes, each
+  unfiltered independently and scattered into place — the layout
+  web preview PNGs ship).
 * JPEG: header-level METADATA decode (dimensions + channel count from
   the SOF marker) — full entropy decode still requires cv2/PIL and
   stays behind the optional-dependency lane.
@@ -80,6 +82,8 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
             w, h, depth, color, _comp, _filt, _inter = struct.unpack(
                 ">IIBBBBB", payload
             )
+            if color == 3:  # paletted: decoded output is looked-up RGB
+                return w, h, 3
             if color not in _CHANNELS:
                 raise PngFormatError(f"unsupported color type {color}")
             return w, h, _CHANNELS[color]
@@ -95,41 +99,25 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Full pixel decode → uint8 array (height, width, channels).
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass — ISO/IEC 15948 §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Supports 8-bit depth, color types 0/2/4/6, filters 0-4, any IDAT
-    chunking; rejects interlaced and paletted images explicitly."""
-    if not data.startswith(PNG_SIGNATURE):
-        raise PngFormatError("not a PNG signature")
-    width = height = channels = None
-    idat = bytearray()
-    for ctype, payload in _chunks(data):
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise PngFormatError(f"unsupported bit depth {depth}")
-            if color not in _CHANNELS:
-                raise PngFormatError(f"unsupported color type {color}")
-            if comp != 0 or filt != 0:
-                raise PngFormatError("nonstandard compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError(
-                    "Adam7 interlace unsupported (display concern)"
-                )
-            channels = _CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat.extend(payload)
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise PngFormatError("no IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
-    if raw.size != height * (stride + 1):
-        raise PngFormatError("decompressed size mismatch")
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the scanline filters over one image (or one Adam7
+    pass): ``raw`` is ``height`` rows of ``1 + stride`` bytes (filter
+    tag + data), ``bpp`` the byte distance to the 'left' reference
+    sample.  Filters None/Sub/Up are vectorized; the left-dependent
+    Average/Paeth recurrences run in plain Python ints (~10× faster
+    per element than per-pixel numpy slicing on short scanlines)."""
     raw = raw.reshape(height, stride + 1)
     filters = raw[:, 0]
     scan = raw[:, 1:]
@@ -141,29 +129,26 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = out[y - 1] if y else zero_row
         if f == 0:  # None
             out[y] = row
-        elif f == 1:  # Sub: cumulative sum per channel, mod 256
-            px = row.reshape(width, channels).astype(np.uint64)
+        elif f == 1:  # Sub: cumulative sum per sample group, mod 256
+            px = row.reshape(stride // bpp, bpp).astype(np.uint64)
             out[y] = (
                 np.cumsum(px, axis=0, dtype=np.uint64) % 256
             ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
             out[y] = row + prev  # uint8 wraps = mod 256
         elif f == 3:  # Average — sequential left dependency
-            # plain-int recurrence: Python integer arithmetic beats
-            # per-pixel numpy slicing by ~10× on the short scanlines
-            # this path decodes (each element is a handful of int ops)
             rw, pv = row.tolist(), prev.tolist()
             rec = [0] * stride
             for i in range(stride):
-                left = rec[i - channels] if i >= channels else 0
+                left = rec[i - bpp] if i >= bpp else 0
                 rec[i] = (rw[i] + ((left + pv[i]) >> 1)) & 0xFF
             out[y] = rec
         elif f == 4:  # Paeth — sequential left dependency
             rw, pv = row.tolist(), prev.tolist()
             rec = [0] * stride
             for i in range(stride):
-                if i >= channels:
-                    a, c = rec[i - channels], pv[i - channels]
+                if i >= bpp:
+                    a, c = rec[i - bpp], pv[i - bpp]
                 else:
                     a = c = 0
                 b = pv[i]
@@ -181,7 +166,120 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = rec
         else:
             raise PngFormatError(f"unknown filter type {f}")
-    return out.reshape(height, width, channels)
+    return out
+
+
+def _unpack_row(row: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Packed sub-byte palette indices → one uint8 index per pixel
+    (big-endian bit order within each byte, per spec)."""
+    if depth == 8:
+        return row[:width]
+    bits = np.unpackbits(row)
+    if depth == 1:
+        return bits[:width]
+    vals = bits.reshape(-1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (vals * weights).sum(axis=1).astype(np.uint8)[:width]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Full pixel decode → uint8 array (height, width, channels).
+
+    Supports color types 0/2/4/6 at 8-bit depth, PALETTED images
+    (color type 3, bit depths 1/2/4/8 — returned as the looked-up
+    (h, w, 3) RGB), filters 0-4, any IDAT chunking, and Adam7
+    interlacing (each of the 7 passes unfilters independently and
+    scatters into place — the layout web icon/preview PNGs ship)."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise PngFormatError("not a PNG signature")
+    width = height = channels = None
+    depth = color = interlace = 0
+    palette = None
+    idat = bytearray()
+    for ctype, payload in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise PngFormatError(
+                        f"unsupported palette bit depth {depth}"
+                    )
+                channels = 1  # one index per pixel pre-lookup
+            else:
+                if depth != 8:
+                    raise PngFormatError(f"unsupported bit depth {depth}")
+                if color not in _CHANNELS:
+                    raise PngFormatError(f"unsupported color type {color}")
+                channels = _CHANNELS[color]
+            if comp != 0 or filt != 0:
+                raise PngFormatError("nonstandard compression/filter method")
+        elif ctype == b"PLTE":
+            if len(payload) % 3:
+                raise PngFormatError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise PngFormatError("no IHDR")
+    if color == 3 and palette is None:
+        raise PngFormatError("paletted image without PLTE")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+
+    def row_bytes(w):  # filtered scanline payload bytes for w pixels
+        return (w * depth * channels + 7) // 8 if color == 3 else w * channels
+
+    bpp = 1 if color == 3 else channels  # left-reference distance
+    if interlace == 0:
+        stride = row_bytes(width)
+        if raw.size != height * (stride + 1):
+            raise PngFormatError("decompressed size mismatch")
+        planes = _unfilter(raw, height, stride, bpp)
+        if color == 3:
+            idx = np.vstack(
+                [_unpack_row(planes[y], depth, width) for y in range(height)]
+            ) if height else np.zeros((0, width), np.uint8)
+            if int(idx.max(initial=0)) >= len(palette):
+                raise PngFormatError("palette index out of range")
+            return palette[idx]
+        return planes.reshape(height, width, channels)
+    if interlace != 1:
+        raise PngFormatError(f"unknown interlace method {interlace}")
+
+    if color == 3:
+        out = np.zeros((height, width), dtype=np.uint8)
+    else:
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(width - x0) // dx) if width > x0 else 0
+        ph = -(-(height - y0) // dy) if height > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = row_bytes(pw)
+        need = ph * (stride + 1)
+        chunk = raw[pos : pos + need]
+        if chunk.size != need:
+            raise PngFormatError("decompressed size mismatch (interlaced)")
+        pos += need
+        planes = _unfilter(chunk, ph, stride, bpp)
+        if color == 3:
+            sub = np.vstack(
+                [_unpack_row(planes[y], depth, pw) for y in range(ph)]
+            )
+            out[y0::dy, x0::dx] = sub
+        else:
+            out[y0::dy, x0::dx] = planes.reshape(ph, pw, channels)
+    if pos != raw.size:
+        raise PngFormatError("trailing bytes after final Adam7 pass")
+    if color == 3:
+        if int(out.max(initial=0)) >= len(palette):
+            raise PngFormatError("palette index out of range")
+        return palette[out]
+    return out
 
 
 def _filter_scanlines(img: np.ndarray, filter_type: int) -> bytes:
@@ -221,13 +319,25 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
+def _adam7_passes(img: np.ndarray):
+    """Yield each non-empty Adam7 sub-image of ``img`` (h, w, ch)."""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            yield sub
+
+
 def encode_png(
-    img: np.ndarray, filter_type: int = 0, compress_level: int = 6
+    img: np.ndarray,
+    filter_type: int = 0,
+    compress_level: int = 6,
+    interlace: bool = False,
 ) -> bytes:
     """uint8 (h, w) or (h, w, ch∈{1,2,3,4}) array → spec-compliant PNG
-    bytes (8-bit, non-interlaced, single IDAT).  ``filter_type``
-    selects the scanline filter for EVERY row — the knob the codec
-    tests turn to exercise each decode path against real bytes."""
+    bytes (8-bit, single IDAT).  ``filter_type`` selects the scanline
+    filter for EVERY row — the knob the codec tests turn to exercise
+    each decode path against real bytes; ``interlace=True`` emits the
+    Adam7 layout (each pass filtered independently)."""
     if img.ndim == 2:
         img = img[:, :, None]
     if img.dtype != np.uint8:
@@ -235,11 +345,78 @@ def encode_png(
     h, w, ch = img.shape
     if ch not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {ch}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
-    idat = zlib.compress(_filter_scanlines(img, filter_type), compress_level)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        body = b"".join(
+            _filter_scanlines(sub, filter_type) for sub in _adam7_passes(img)
+        )
+    else:
+        body = _filter_scanlines(img, filter_type)
+    idat = zlib.compress(body, compress_level)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _pack_index_rows(idx: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) palette indices → (h, row_bytes) packed scanline bytes
+    (big-endian bit order; rows padded to a byte boundary per spec)."""
+    h, w = idx.shape
+    if depth == 8:
+        return idx
+    shifts = np.arange(depth - 1, -1, -1)
+    bits = ((idx[:, :, None] >> shifts) & 1).reshape(h, w * depth)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png_paletted(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    filter_type: int = 0,
+    compress_level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette →
+    color-type-3 PNG (the dominant web icon/sprite encoding).
+    ``bit_depth`` ∈ {1, 2, 4, 8} packs indices accordingly; every
+    index must fit both the palette and the depth."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("indices must be a uint8 (h, w) array")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("palette must be (n, 3) uint8")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("bit_depth must be 1, 2, 4 or 8")
+    if len(palette) > (1 << bit_depth):
+        raise ValueError("palette does not fit the bit depth")
+    if indices.size and int(indices.max()) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
+    )
+
+    def filt(sub_idx):
+        packed = _pack_index_rows(sub_idx, bit_depth)
+        return _filter_scanlines(packed[:, :, None], filter_type)
+
+    if interlace:
+        body = b"".join(
+            filt(sub[:, :, 0]) for sub in _adam7_passes(indices[:, :, None])
+        )
+    else:
+        body = filt(indices)
+    idat = zlib.compress(body, compress_level)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.tobytes())
         + _chunk(b"IDAT", idat)
         + _chunk(b"IEND", b"")
     )

@@ -41,21 +41,65 @@ def test_png_crc_detects_corruption():
         decode_png(bytes(data))
 
 
-def test_png_rejects_interlace_and_bad_signature():
+def test_png_rejects_bad_signature_and_lying_interlace_flag():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     data = bytearray(encode_png(img))
     # IHDR payload: sig(8) + len(4) + type(4) + 13 bytes; interlace
     # flag is the last IHDR byte (offset 8+8+12=28); fixing the CRC
-    # makes it a well-formed interlaced file we must refuse clearly.
+    # makes a well-formed header whose flag LIES about the body layout
+    # (the Adam7 passes sum to a different byte count) — the decoder
+    # must catch the mismatch, not mis-scatter pixels.
     import zlib
 
     data[28] = 1
     ihdr = bytes(data[12:16]) + bytes(data[16:29])
     data[29:33] = struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(PngFormatError, match="size mismatch|trailing"):
         decode_png(bytes(data))
     with pytest.raises(PngFormatError, match="signature"):
         decode_png(b"not a png at all")
+
+
+def test_adam7_interlaced_roundtrip_all_filters_and_shapes():
+    """Adam7 decode (web preview/icon PNGs): every pass unfilters
+    independently and scatters into place.  Round-trip across awkward
+    dims (empty passes at 1×1 and 2×3, the classic off-by-one pass-4/6
+    y-origins at 3×17) must reproduce the array exactly for every
+    filter type and channel count."""
+    rng = np.random.default_rng(4)
+    for shape in [(1, 1), (2, 3), (8, 8), (9, 5), (3, 17), (20, 33)]:
+        for ch in (1, 2, 3, 4):
+            img = rng.integers(0, 256, (*shape, ch)).astype(np.uint8)
+            for ft in range(5):
+                enc = encode_png(img, filter_type=ft, interlace=True)
+                assert enc[28] == 1  # IHDR interlace flag really set
+                assert np.array_equal(decode_png(enc), img), (shape, ch, ft)
+
+
+def test_paletted_roundtrip_all_depths():
+    """Color-type-3 decode (the dominant web icon/sprite encoding):
+    packed sub-byte indices at depths 1/2/4/8, plain and interlaced,
+    look up to exactly palette[indices]."""
+    from big_data_exercise_spark.multimodal.png import encode_png_paletted
+
+    rng = np.random.default_rng(5)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        for shape in [(1, 1), (5, 9), (13, 21)]:
+            idx = rng.integers(0, n, shape).astype(np.uint8)
+            for inter in (False, True):
+                for ft in (0, 1, 4):
+                    enc = encode_png_paletted(
+                        idx, pal, depth, filter_type=ft, interlace=inter
+                    )
+                    assert np.array_equal(decode_png(enc), pal[idx]), (
+                        depth, shape, inter, ft,
+                    )
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png_paletted(
+            np.full((2, 2), 9, np.uint8), pal[:4], bit_depth=4
+        )
 
 
 def test_jpeg_meta_parses_sof_and_rejects_non_jpeg():
