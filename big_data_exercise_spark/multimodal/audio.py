@@ -1,20 +1,24 @@
 """Binary audio columns: synthesize, decode, windowed segment energy.
 
 Audio rides the same design as frames (multimodal/codecs.py): opaque
-``binary`` clips with typed metadata, Arrow-batched mapInPandas for
-anything that must touch samples, and a deterministic FAKE codec so
-the Spark-side plumbing (schema, batch shape, explode) is real and
-oracle-checkable without audio libs in the container. A real pipeline
-swaps ``_decode_samples`` for soundfile/librosa behind the same
-iterator — the lazy-per-worker-load pattern is identical to the
-reference's model singleton (consumer_postgres_streaming.py:259-266).
+``binary`` clips with typed metadata and Arrow-batched mapInPandas
+for anything that must touch samples.  Clips are REAL RIFF/WAVE PCM
+files (the one audio container that needs nothing beyond ``struct``
+and numpy — the same no-external-libs discipline as the PNG/JPEG
+codecs): canonical 44-byte header, 8/16-bit integer PCM, mono or
+multi-channel, unknown chunks (LIST/fact/cue) skipped with RIFF's
+odd-size pad rule.  Compressed formats (MP3/Opus/FLAC) still need
+soundfile/librosa — swap ``decode_wav`` behind the same iterator; the
+lazy-per-worker-load pattern is identical to the reference's model
+singleton (consumer_postgres_streaming.py:259-266).
 
-FAKE clip format (deterministic, self-describing):
-    b"FAKEPCM0" | sample_rate:4 BE | n_samples:4 BE | seed:8 BE |
-    int16-LE PCM payload, sample_i = ((seed*2654435761 + i*40503)
-    mod 65536) - 32768
-The closed-form sample function (not a recurrence) is what lets a
-SQL oracle recompute window energies without parsing binary.
+Synthesized sample values stay the closed form
+``sample_i = ((seed*2654435761 + i*40503) mod 65536) - 32768`` (a
+direct function of i, not a recurrence), which is what lets a SQL
+oracle recompute window energies without parsing binary — the WAV
+container changes the BYTES, never the samples, so the hash-checked
+oracle is container-independent.  The legacy b"FAKEPCM0" framing is
+still decoded for stored columns written by earlier versions.
 
 Scale shape: synthesis and decoding are per-row (zero shuffle);
 windowed energy explodes |clip|/win rows per clip — partition-local.
@@ -46,8 +50,82 @@ def _samples(seed: int, n: int) -> np.ndarray:
 
 
 def encode_fake_clip(seed: int, n: int, rate: int = SAMPLE_RATE) -> bytes:
+    """Legacy self-describing framing (kept for stored columns)."""
     pcm = _samples(seed, n).astype("<i2").tobytes()
     return MAGIC + struct.pack(">IIQ", rate, n, seed) + pcm
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = SAMPLE_RATE, bits: int = 16
+) -> bytes:
+    """int array (n,) mono or (n, ch) → canonical RIFF/WAVE PCM bytes
+    (fmt chunk audio format 1; 8-bit stored unsigned per spec, 16-bit
+    little-endian signed; odd-length data chunks get RIFF's pad
+    byte)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if bits == 16:
+        payload = samples.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = ch * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    data = payload + (b"\x00" if len(payload) % 2 else b"")
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM → (sample_rate, int16 array (n, ch)).  Walks the
+    chunk list (skipping LIST/fact/cue/… with the odd-size pad rule),
+    accepts 8- and 16-bit integer PCM; raises ValueError on non-PCM
+    encodings or malformed structure.  8-bit samples are widened to
+    the signed 16-bit scale's domain by the usual −128 recenter (kept
+    at their 8-bit magnitudes — energy math stays exact int64)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(
+                    f"only integer PCM supported (audio format {audio_fmt})"
+                )
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits}")
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # RIFF pads odd chunks
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    ch, rate, bits = fmt
+    if bits == 16:
+        arr = np.frombuffer(pcm[: len(pcm) // (2 * ch) * 2 * ch], "<i2")
+    else:
+        arr = np.frombuffer(pcm[: len(pcm) // ch * ch], np.uint8).astype(
+            np.int16
+        ) - 128
+    return rate, arr.reshape(-1, ch).astype(np.int16)
 
 
 def synthesize_clips(events: DataFrame, limit: int = 200) -> DataFrame:
@@ -58,7 +136,7 @@ def synthesize_clips(events: DataFrame, limit: int = 200) -> DataFrame:
     @F.pandas_udf("binary")
     def make_clip(event_id: pd.Series) -> pd.Series:
         return event_id.map(
-            lambda e: encode_fake_clip(int(e), _n_samples(int(e)))
+            lambda e: encode_wav(_samples(int(e), _n_samples(int(e))))
         )
 
     return (
@@ -81,13 +159,20 @@ def segment_energy(clips: DataFrame, win: int = WIN) -> DataFrame:
             out = {"event_id": [], "seg": [], "n_windows": [], "energy": []}
             for eid, buf in zip(pdf["event_id"], pdf["clip"]):
                 buf = bytes(buf)
-                if buf[:8] != MAGIC:
+                if buf[:4] == b"RIFF":  # real WAV branch
+                    try:
+                        _rate, arr = decode_wav(buf)
+                    except ValueError:
+                        continue  # foreign blob: skip, never crash
+                    pcm = arr[:, 0].astype(np.int64)
+                elif buf[:8] == MAGIC:  # legacy framing
+                    _rate, n, _seed = struct.unpack(">IIQ", buf[8:24])
+                    pcm = np.frombuffer(
+                        buf[24 : 24 + 2 * n], dtype="<i2"
+                    ).astype(np.int64)
+                else:
                     continue  # foreign blob: skip, never crash the task
-                _rate, n, seed = struct.unpack(">IIQ", buf[8:24])
-                pcm = np.frombuffer(buf[24:24 + 2 * n], dtype="<i2").astype(
-                    np.int64
-                )
-                k = n // win
+                k = len(pcm) // win
                 for j in range(k):
                     w = pcm[j * win:(j + 1) * win]
                     out["event_id"].append(int(eid))

@@ -486,14 +486,63 @@ def test_audio_energy_matches_numpy_reference(spark):
 
 
 def test_audio_decoder_skips_foreign_blobs(spark):
+    """Foreign blobs are skipped; BOTH the real WAV container and the
+    legacy FAKEPCM framing decode to identical energies (same sample
+    formula, different bytes)."""
     from big_data_exercise_spark.multimodal import audio
 
     clips = spark.createDataFrame(
-        [(1, b"not-audio-at-all"), (2, audio.encode_fake_clip(2, 128))],
+        [
+            (1, b"not-audio-at-all"),
+            (2, audio.encode_fake_clip(2, 128)),
+            (3, audio.encode_wav(audio._samples(2, 128))),
+        ],
         "event_id long, clip binary",
     )
     rows = audio.segment_energy(clips).collect()
-    assert {r["event_id"] for r in rows} == {2}
+    assert {r["event_id"] for r in rows} == {2, 3}
+    by_eid = {}
+    for r in rows:
+        by_eid.setdefault(r["event_id"], {})[r["seg"]] = r["energy"]
+    assert by_eid[2] == by_eid[3]
+
+
+def test_wav_codec_roundtrip_and_chunk_walking():
+    """Real RIFF/WAVE codec: mono/stereo at 8/16 bits round-trips
+    sample-exact; foreign chunks (LIST) and RIFF's odd-size pad rule
+    are honored; non-PCM encodings are rejected by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from big_data_exercise_spark.multimodal.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(6)
+    mono = rng.integers(-32768, 32768, 301).astype(np.int16)
+    rate, arr = decode_wav(encode_wav(mono, rate=8000))
+    assert rate == 8000 and np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (50, 2)).astype(np.int16)
+    _, arr2 = decode_wav(encode_wav(stereo))
+    assert np.array_equal(arr2, stereo)
+    small = rng.integers(-128, 128, 33).astype(np.int16)  # odd n → pad
+    _, arr3 = decode_wav(encode_wav(small, bits=8))
+    assert np.array_equal(arr3[:, 0], small)
+
+    # splice a LIST metadata chunk (odd size → pad byte) before data
+    wav = encode_wav(mono)
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:12] + lst + wav[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    _, arr4 = decode_wav(spliced)
+    assert np.array_equal(arr4[:, 0], mono)
+
+    ieee = bytearray(encode_wav(mono))
+    ieee[20] = 3  # audio format 3 = IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(ieee))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"junk")
 
 
 def test_chunking_covers_every_token_with_overlap(spark):
