@@ -110,6 +110,37 @@ def main() -> None:
             "wall-clock ratchets vs idle-host rounds are unreliable",
             file=sys.stderr,
         )
+    # Disk-write probe: loadavg can't see a slow or contended disk,
+    # but shuffle files, state stores, checkpoints and sink writes all
+    # land on it — a round-5 quiet-CPU run measured every write-heavy
+    # query 1.4-2.8× slower while the plan-bound queries stayed flat,
+    # explained entirely by ~98 MB/s fdatasync throughput. Embed the
+    # measured rate so cross-round ratchets can be read against it.
+    disk_mbps = None
+    try:
+        import tempfile
+
+        # 512 MB: small bursts absorb into write-back cache and read
+        # 3× too fast (measured 331 vs dd's sustained 97 MB/s on the
+        # same disk); past the cache the fsync'd rate is the one the
+        # shuffle/state writers actually feel
+        buf = os.urandom(1 << 20)
+        with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+            t0 = time.perf_counter()
+            for _ in range(512):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            disk_mbps = round(512 / (time.perf_counter() - t0), 1)
+        if disk_mbps < 300:
+            print(
+                f"# WARNING: disk write {disk_mbps} MB/s — write-heavy "
+                "queries (state stores, checkpoints, file sinks) will "
+                "read slow vs fast-disk rounds",
+                file=sys.stderr,
+            )
+    except Exception as exc:  # noqa: BLE001
+        print(f"# disk probe failed: {exc}", file=sys.stderr)
     spark = get_spark("bdes-bench", cpus=cpus, shuffle_partitions=cpus)
     # Local bench files are single-digit MB; the production 128 MB split
     # size would scan each table in 1-3 tasks and serialize CPU-heavy
@@ -254,6 +285,7 @@ def main() -> None:
         # uniformly; start-load < 1 marks a trustworthy ratchet run)
         "load_avg_start": load_start,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "disk_write_mbps": disk_mbps,
     }
     if errors:
         out["errors"] = errors
