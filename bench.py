@@ -116,31 +116,37 @@ def main() -> None:
     # query 1.4-2.8× slower while the plan-bound queries stayed flat,
     # explained entirely by ~98 MB/s fdatasync throughput. Embed the
     # measured rate so cross-round ratchets can be read against it.
-    disk_mbps = None
-    try:
-        import tempfile
+    def disk_probe():
+        # 512 MB written + fsync'd: small bursts absorb into write-back
+        # cache and read 3× too fast; and on burst-credit block storage
+        # (measured on this host: 572 MB/s with credits, 97 MB/s
+        # drained) a start-of-run probe is optimistic — which is why
+        # the probe runs again AFTER the queries, when the bench's own
+        # writes have drained the bucket to the rate the shuffle/state
+        # writers actually felt.
+        try:
+            import tempfile
 
-        # 512 MB: small bursts absorb into write-back cache and read
-        # 3× too fast (measured 331 vs dd's sustained 97 MB/s on the
-        # same disk); past the cache the fsync'd rate is the one the
-        # shuffle/state writers actually feel
-        buf = os.urandom(1 << 20)
-        with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
-            t0 = time.perf_counter()
-            for _ in range(512):
-                f.write(buf)
-            f.flush()
-            os.fsync(f.fileno())
-            disk_mbps = round(512 / (time.perf_counter() - t0), 1)
-        if disk_mbps < 300:
-            print(
-                f"# WARNING: disk write {disk_mbps} MB/s — write-heavy "
-                "queries (state stores, checkpoints, file sinks) will "
-                "read slow vs fast-disk rounds",
-                file=sys.stderr,
-            )
-    except Exception as exc:  # noqa: BLE001
-        print(f"# disk probe failed: {exc}", file=sys.stderr)
+            buf = os.urandom(1 << 20)
+            with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+                t0 = time.perf_counter()
+                for _ in range(512):
+                    f.write(buf)
+                f.flush()
+                os.fsync(f.fileno())
+                return round(512 / (time.perf_counter() - t0), 1)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# disk probe failed: {exc}", file=sys.stderr)
+            return None
+
+    disk_mbps = disk_probe()
+    if disk_mbps is not None and disk_mbps < 300:
+        print(
+            f"# WARNING: disk write {disk_mbps} MB/s at start — "
+            "write-heavy queries (state stores, checkpoints, file "
+            "sinks) will read slow vs fast-disk rounds",
+            file=sys.stderr,
+        )
     spark = get_spark("bdes-bench", cpus=cpus, shuffle_partitions=cpus)
     # Local bench files are single-digit MB; the production 128 MB split
     # size would scan each table in 1-3 tasks and serialize CPU-heavy
@@ -285,7 +291,8 @@ def main() -> None:
         # uniformly; start-load < 1 marks a trustworthy ratchet run)
         "load_avg_start": load_start,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
-        "disk_write_mbps": disk_mbps,
+        "disk_write_mbps_start": disk_mbps,
+        "disk_write_mbps_end": disk_probe(),
     }
     if errors:
         out["errors"] = errors
