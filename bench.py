@@ -271,6 +271,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["jpeg_fps"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # end-of-run probe: on burst-credit storage the bench's own writes
+    # drain the bucket, so THIS is the rate the queries actually felt —
+    # warn here too (the start probe alone is optimistic)
+    disk_end = disk_probe()
+    if disk_end is not None and disk_end < 300:
+        print(
+            f"# WARNING: disk write {disk_end} MB/s at end — the "
+            "write-heavy query walls above were disk-bound",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     sf_txt = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -292,7 +303,7 @@ def main() -> None:
         "load_avg_start": load_start,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "disk_write_mbps_start": disk_mbps,
-        "disk_write_mbps_end": disk_probe(),
+        "disk_write_mbps_end": disk_end,
     }
     if errors:
         out["errors"] = errors

@@ -68,7 +68,10 @@ def encode_wav(
     if bits == 16:
         payload = samples.astype("<i2").tobytes()
     elif bits == 8:
-        payload = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+        s64 = samples.astype(np.int64)
+        if samples.size and (s64.min() < -128 or s64.max() > 127):
+            raise ValueError("8-bit samples must lie in [-128, 127]")
+        payload = (s64 + 128).astype(np.uint8).tobytes()
     else:
         raise ValueError("bits must be 8 or 16")
     block = ch * (bits // 8)
@@ -91,10 +94,14 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     at their 8-bit magnitudes — energy math stays exact int64)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    # walk only the declared RIFF body — downloaded files often carry
+    # trailing appended bytes (tags, padding) that are NOT chunks
+    end = min(len(data), 8 + riff_size)
     pos = 12
     fmt = None
     pcm = None
-    while pos + 8 <= len(data):
+    while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
@@ -112,6 +119,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
                 )
             if bits not in (8, 16):
                 raise ValueError(f"unsupported bit depth {bits}")
+            if ch < 1:
+                raise ValueError("fmt chunk declares zero channels")
             fmt = (ch, rate, bits)
         elif cid == b"data":
             pcm = body
@@ -158,20 +167,28 @@ def segment_energy(clips: DataFrame, win: int = WIN) -> DataFrame:
         for pdf in batches:
             out = {"event_id": [], "seg": [], "n_windows": [], "energy": []}
             for eid, buf in zip(pdf["event_id"], pdf["clip"]):
+                # corrupt/foreign blobs of EITHER framing are skipped,
+                # never crash the task (struct.error is not a
+                # ValueError subclass — both must be caught)
                 buf = bytes(buf)
-                if buf[:4] == b"RIFF":  # real WAV branch
-                    try:
+                try:
+                    if buf[:4] == b"RIFF":  # real WAV branch
                         _rate, arr = decode_wav(buf)
-                    except ValueError:
-                        continue  # foreign blob: skip, never crash
-                    pcm = arr[:, 0].astype(np.int64)
-                elif buf[:8] == MAGIC:  # legacy framing
-                    _rate, n, _seed = struct.unpack(">IIQ", buf[8:24])
-                    pcm = np.frombuffer(
-                        buf[24 : 24 + 2 * n], dtype="<i2"
-                    ).astype(np.int64)
-                else:
-                    continue  # foreign blob: skip, never crash the task
+                    elif buf[:8] == MAGIC:  # legacy framing
+                        _rate, n, _seed = struct.unpack(">IIQ", buf[8:24])
+                        arr = np.frombuffer(
+                            buf[24 : 24 + 2 * n], dtype="<i2"
+                        ).reshape(-1, 1)
+                    else:
+                        continue
+                except (ValueError, struct.error):
+                    continue
+                # windows are per FRAME (sample instant); energy sums
+                # s² over every channel in the window — mono clips
+                # (all this repo synthesizes) are unaffected, stereo
+                # clips count both channels instead of silently
+                # dropping one
+                pcm = arr.astype(np.int64)
                 k = len(pcm) // win
                 for j in range(k):
                     w = pcm[j * win:(j + 1) * win]

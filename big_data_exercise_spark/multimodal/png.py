@@ -169,17 +169,19 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
-def _unpack_row(row: np.ndarray, depth: int, width: int) -> np.ndarray:
-    """Packed sub-byte palette indices → one uint8 index per pixel
+def _unpack_indices(planes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(h, row_bytes) packed palette-index scanlines → (h, width)
+    uint8 indices, one vectorized pass over the whole plane
     (big-endian bit order within each byte, per spec)."""
     if depth == 8:
-        return row[:width]
-    bits = np.unpackbits(row)
+        return planes[:, :width]
+    bits = np.unpackbits(planes, axis=1)
     if depth == 1:
-        return bits[:width]
-    vals = bits.reshape(-1, depth)
+        return bits[:, :width]
+    h = planes.shape[0]
+    vals = bits.reshape(h, -1, depth)
     weights = 1 << np.arange(depth - 1, -1, -1)
-    return (vals * weights).sum(axis=1).astype(np.uint8)[:width]
+    return (vals * weights).sum(axis=2).astype(np.uint8)[:, :width]
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -239,9 +241,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise PngFormatError("decompressed size mismatch")
         planes = _unfilter(raw, height, stride, bpp)
         if color == 3:
-            idx = np.vstack(
-                [_unpack_row(planes[y], depth, width) for y in range(height)]
-            ) if height else np.zeros((0, width), np.uint8)
+            idx = _unpack_indices(planes, depth, width)
             if int(idx.max(initial=0)) >= len(palette):
                 raise PngFormatError("palette index out of range")
             return palette[idx]
@@ -267,10 +267,7 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += need
         planes = _unfilter(chunk, ph, stride, bpp)
         if color == 3:
-            sub = np.vstack(
-                [_unpack_row(planes[y], depth, pw) for y in range(ph)]
-            )
-            out[y0::dy, x0::dx] = sub
+            out[y0::dy, x0::dx] = _unpack_indices(planes, depth, pw)
         else:
             out[y0::dy, x0::dx] = planes.reshape(ph, pw, channels)
     if pos != raw.size:

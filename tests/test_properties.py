@@ -544,6 +544,50 @@ def test_wav_codec_roundtrip_and_chunk_walking():
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"junk")
 
+    # trailing appended bytes after the RIFF body (downloaded-file
+    # reality) must NOT be parsed as chunks — the clip stays readable
+    _, arr5 = decode_wav(encode_wav(mono) + b"TAGGTAGGx")
+    assert np.array_equal(arr5[:, 0], mono)
+    # zero-channel fmt is a ValueError, not a ZeroDivisionError
+    zero_ch = bytearray(encode_wav(mono))
+    zero_ch[22:24] = struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav(bytes(zero_ch))
+    # 8-bit range is validated, never silently wrapped
+    with pytest.raises(ValueError, match="-128"):
+        encode_wav(np.array([1000, -1000], dtype=np.int16), bits=8)
+
+
+def test_segment_energy_survives_corrupt_clips_and_sums_channels(spark):
+    """One corrupt stored clip (either framing) must never kill the
+    task, and multi-channel energy counts every channel."""
+    import numpy as np
+
+    from big_data_exercise_spark.multimodal import audio
+
+    stereo = np.stack(
+        [audio._samples(5, 128), audio._samples(9, 128)], axis=1
+    )
+    clips = spark.createDataFrame(
+        [
+            (1, b"FAKEPCM0-trunc"),  # legacy magic, truncated header
+            (2, audio.encode_wav(audio._samples(3, 64))[:30]),  # cut WAV
+            (3, audio.encode_wav(stereo)),
+            (4, audio.encode_fake_clip(7, 128)[:40]),  # odd-cut payload
+        ],
+        "event_id long, clip binary",
+    )
+    rows = audio.segment_energy(clips).collect()
+    assert {r["event_id"] for r in rows} == {3}
+    want = {
+        j: int(
+            (stereo[j * audio.WIN : (j + 1) * audio.WIN].astype(np.int64) ** 2).sum()
+        )
+        for j in range(2)
+    }
+    got = {r["seg"]: r["energy"] for r in rows}
+    assert got == want
+
 
 def test_chunking_covers_every_token_with_overlap(spark):
     from big_data_exercise_spark.functions.text import chunk_documents
