@@ -92,6 +92,9 @@ HEADLINE = [
     # mask stats through the real PNG codec (fire_detections shape)
     "absa_aspect_sentiments",
     "fire_mask_stats",
+    # round-5: the fire pipeline STREAMING like the reference runs it
+    # (real PNG decode inside the micro-batch, append mode)
+    "stream_fire_mask_stats",
 ]
 
 

@@ -3216,6 +3216,56 @@ def _specs() -> list[QuerySpec]:
         "decode UDF -> append (fire_consumer_streaming.py analog)",
     ))
 
+    def _stream_fire(sp: SparkSession, d: str) -> DataFrame:
+        # The fire pipeline AS THE REFERENCE RUNS IT — streaming, with
+        # the REAL codec in the micro-batch path: frame stream → spec
+        # PNG decode (plain/Adam7/paletted mix) → threshold mask →
+        # per-frame detection rows, append mode
+        # (fire_consumer_streaming.py:38-295 — its consumer decodes
+        # real frames inside the stream, not in a batch job).
+        # fire_mask_stats is stateless end to end (filter, pandas_udf,
+        # mapInPandas, select), so the SAME operator composes onto the
+        # stream unchanged and the SAME pixel-regenerating oracle
+        # applies.
+        tune_session(sp)
+        return streams.run_to_memory(
+            codecs.fire_mask_stats(streams.stream_events(sp, d)), "append"
+        )
+
+    s.append(QuerySpec(
+        "stream_fire_mask_stats",
+        _stream_fire,
+        f"""
+        WITH f AS (
+          SELECT user_id AS camera_id, event_id AS frame_number,
+                 event_id AS e,
+                 16 + (user_id % 4) * 8 AS w,
+                 12 + (event_id % 3) * 4 AS h
+          FROM events WHERE event_id % 83 = 0),
+        fx AS (
+          SELECT camera_id, frame_number, e, w, h,
+                 unnest(range(0, w)) AS x FROM f),
+        fy AS (
+          SELECT camera_id, frame_number, e, w, h, x,
+                 unnest(range(0, h)) AS y FROM fx),
+        px AS (
+          SELECT camera_id, frame_number, w, h,
+                 SUM(CASE WHEN (e + x + y) % 251 > 127
+                          THEN 1 ELSE 0 END) AS n_hot
+          FROM fy GROUP BY 1, 2, 3, 4)
+        SELECT camera_id, frame_number,
+               CAST(n_hot AS BIGINT) AS n_hot,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               (n_hot * 10 > w * h * 3) AS fire_detected,
+               {round_det_sql("n_hot / (w * h)", 4)} AS fire_percentage
+        FROM px
+        """,
+        ("streaming", "multimodal", "codec", "segmentation"),
+        "the fire pipeline streaming like the reference runs it: "
+        "frame stream -> real PNG decode in the micro-batch -> mask "
+        "stats, append mode, pixel-regenerating oracle",
+    ))
+
     def _stream_sentiment(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         return streams.run_to_memory(
