@@ -19,6 +19,23 @@ Cost note: decimal aggregation is marginally slower than double
 (no SIMD), but the aggregate state is one 128-bit value per group —
 at 100 TB this changes nothing about the shuffle shape. If exactness
 is NOT required, plain double sums remain available via F.sum.
+
+Domain boundary (found by the hypothesis fuzz, pinned in
+tests/test_numeric_parity.py): the INPUT cast double→DECIMAL(30,8)
+itself splits between engines at large magnitude.  Spark casts via
+``BigDecimal.valueOf`` (exact for any double); DuckDB's column cast
+scales by 10⁸ in DOUBLE arithmetic, whose ulp reaches 1 around
+|v| ≈ 9·10⁷ — beyond that the cast itself goes inexact
+(28125358491.0 → 28125358491.00000256), and already from |v| ≈ 10⁷
+the scaled product's rounding can land a 17-significant-digit
+adversarial double on the other side of a half-integer than Spark's
+exact path (the fuzz's original counterexamples were exactly this
+shape).  Empirically the engines agree bit-for-bit across the
+small-magnitude double space (20k uniform draws, zero splits) and
+PROVABLY on decimals of ≤ 6 fractional digits with |v| ≤ 10⁷ —
+generously above every dataset column this engine ships (prices
+~10⁵, values ≤ 10³); the hypothesis fuzz sweeps that domain and the
+pin test demonstrates the magnitude boundary.
 """
 
 from __future__ import annotations
