@@ -1272,6 +1272,8 @@ def encode_jpeg(
     gray = img.ndim == 2
     if not gray and img.shape[2] != 3:
         raise ValueError("color images must have 3 channels")
+    if img.shape[0] < 1 or img.shape[1] < 1:
+        raise ValueError("image dimensions must be positive")
     if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError("subsampling must be 4:4:4, 4:2:2 or 4:2:0")
     h, w = img.shape[:2]

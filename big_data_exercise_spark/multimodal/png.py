@@ -227,6 +227,8 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise PngFormatError("no IHDR")
+    if width < 1 or height < 1:
+        raise PngFormatError("invalid zero dimension in IHDR")
     if color == 3 and palette is None:
         raise PngFormatError("paletted image without PLTE")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
@@ -342,6 +344,8 @@ def encode_png(
     h, w, ch = img.shape
     if ch not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {ch}")
+    if h < 1 or w < 1:
+        raise ValueError("image dimensions must be positive")
     ihdr = struct.pack(
         ">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
     )
@@ -395,6 +399,8 @@ def encode_png_paletted(
     if indices.size and int(indices.max()) >= len(palette):
         raise ValueError("palette index out of range")
     h, w = indices.shape
+    if h < 1 or w < 1:
+        raise ValueError("image dimensions must be positive")
     ihdr = struct.pack(
         ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
     )

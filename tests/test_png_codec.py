@@ -76,6 +76,76 @@ def test_adam7_interlaced_roundtrip_all_filters_and_shapes():
                 assert np.array_equal(decode_png(enc), img), (shape, ch, ft)
 
 
+def test_png_hypothesis_roundtrip_fuzz():
+    """Property sweep over the whole encode surface: any dims ×
+    channels × filter × interlace (plus palette at any depth) must
+    round-trip to the exact array.  Hypothesis shrinks whatever the
+    fixed matrices missed (the Adam7 pass-table bug was exactly a
+    shape-dependent corner)."""
+    from hypothesis import given, settings, strategies as st
+
+    from big_data_exercise_spark.multimodal.png import encode_png_paletted
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ft=st.integers(0, 4),
+        inter=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def run(h, w, ch, ft, inter, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        enc = encode_png(img, filter_type=ft, interlace=inter)
+        assert np.array_equal(decode_png(enc), img)
+
+    run()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        depth=st.sampled_from([1, 2, 4, 8]),
+        ft=st.integers(0, 4),
+        inter=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def run_pal(h, w, depth, ft, inter, seed):
+        rng = np.random.default_rng(seed)
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (h, w)).astype(np.uint8)
+        enc = encode_png_paletted(
+            idx, pal, depth, filter_type=ft, interlace=inter
+        )
+        assert np.array_equal(decode_png(enc), pal[idx])
+
+    run_pal()
+
+
+def test_png_empty_dims_rejected():
+    from big_data_exercise_spark.multimodal.png import encode_png_paletted
+
+    pal = np.zeros((2, 3), np.uint8)
+    for bad in [(0, 5), (5, 0)]:
+        with pytest.raises(ValueError, match="positive"):
+            encode_png(np.zeros(bad, np.uint8))
+        with pytest.raises(ValueError, match="positive"):
+            encode_png_paletted(np.zeros(bad, np.uint8), pal)
+    # a crafted stream claiming zero width must be rejected, not crash
+    import struct as _s
+    import zlib as _z
+
+    data = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+    data[16:20] = _s.pack(">I", 0)  # IHDR width = 0
+    ihdr = bytes(data[12:16]) + bytes(data[16:29])
+    data[29:33] = _s.pack(">I", _z.crc32(ihdr) & 0xFFFFFFFF)
+    with pytest.raises(PngFormatError, match="zero dimension"):
+        decode_png(bytes(data))
+
+
 def test_paletted_roundtrip_all_depths():
     """Color-type-3 decode (the dominant web icon/sprite encoding):
     packed sub-byte indices at depths 1/2/4/8, plain and interlaced,
