@@ -8,7 +8,8 @@ carries its own spec-compliant implementation of the one lossless
 format that needs nothing beyond DEFLATE (stdlib zlib) and array math
 (numpy):
 
-* PNG (ISO/IEC 15948): 8-bit greyscale / grey+alpha / RGB / RGBA,
+* PNG (ISO/IEC 15948): 8- and 16-bit greyscale / grey+alpha / RGB /
+  RGBA (16-bit decodes to uint16, big-endian per spec),
   PALETTED images (color type 3 at bit depths 1/2/4/8, looked up to
   RGB — the dominant web icon/sprite encoding), scanline filters 0-4
   (None/Sub/Up/Average/Paeth), multiple IDAT chunks, CRC-32
@@ -185,9 +186,10 @@ def _unpack_indices(planes: np.ndarray, depth: int, width: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Full pixel decode → uint8 array (height, width, channels).
+    """Full pixel decode → (height, width, channels) array — uint8,
+    or uint16 for 16-bit sample depth.
 
-    Supports color types 0/2/4/6 at 8-bit depth, PALETTED images
+    Supports color types 0/2/4/6 at 8- and 16-bit depth, PALETTED images
     (color type 3, bit depths 1/2/4/8 — returned as the looked-up
     (h, w, 3) RGB), filters 0-4, any IDAT chunking, and Adam7
     interlacing (each of the 7 passes unfilters independently and
@@ -210,7 +212,7 @@ def decode_png(data: bytes) -> np.ndarray:
                     )
                 channels = 1  # one index per pixel pre-lookup
             else:
-                if depth != 8:
+                if depth not in (8, 16):
                     raise PngFormatError(f"unsupported bit depth {depth}")
                 if color not in _CHANNELS:
                     raise PngFormatError(f"unsupported color type {color}")
@@ -234,9 +236,20 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
 
     def row_bytes(w):  # filtered scanline payload bytes for w pixels
-        return (w * depth * channels + 7) // 8 if color == 3 else w * channels
+        if color == 3:
+            return (w * depth * channels + 7) // 8
+        return w * channels * (depth // 8)
 
-    bpp = 1 if color == 3 else channels  # left-reference distance
+    def to_samples(planes, ph, pw):
+        """Unfiltered byte rows → (ph, pw, channels) sample array
+        (uint8, or big-endian-combined uint16 at depth 16)."""
+        if depth == 16:
+            p = planes.reshape(ph, pw, channels, 2)
+            return (p[..., 0].astype(np.uint16) << 8) | p[..., 1]
+        return planes.reshape(ph, pw, channels)
+
+    # left-reference distance is in BYTES (one full pixel)
+    bpp = 1 if color == 3 else channels * (depth // 8)
     if interlace == 0:
         stride = row_bytes(width)
         if raw.size != height * (stride + 1):
@@ -247,14 +260,17 @@ def decode_png(data: bytes) -> np.ndarray:
             if int(idx.max(initial=0)) >= len(palette):
                 raise PngFormatError("palette index out of range")
             return palette[idx]
-        return planes.reshape(height, width, channels)
+        return to_samples(planes, height, width)
     if interlace != 1:
         raise PngFormatError(f"unknown interlace method {interlace}")
 
     if color == 3:
         out = np.zeros((height, width), dtype=np.uint8)
     else:
-        out = np.zeros((height, width, channels), dtype=np.uint8)
+        out = np.zeros(
+            (height, width, channels),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = -(-(width - x0) // dx) if width > x0 else 0
@@ -271,7 +287,7 @@ def decode_png(data: bytes) -> np.ndarray:
         if color == 3:
             out[y0::dy, x0::dx] = _unpack_indices(planes, depth, pw)
         else:
-            out[y0::dy, x0::dx] = planes.reshape(ph, pw, channels)
+            out[y0::dy, x0::dx] = to_samples(planes, ph, pw)
     if pos != raw.size:
         raise PngFormatError("trailing bytes after final Adam7 pass")
     if color == 3:
@@ -332,22 +348,33 @@ def encode_png(
     compress_level: int = 6,
     interlace: bool = False,
 ) -> bytes:
-    """uint8 (h, w) or (h, w, ch∈{1,2,3,4}) array → spec-compliant PNG
-    bytes (8-bit, single IDAT).  ``filter_type`` selects the scanline
-    filter for EVERY row — the knob the codec tests turn to exercise
-    each decode path against real bytes; ``interlace=True`` emits the
-    Adam7 layout (each pass filtered independently)."""
+    """uint8 or uint16 (h, w) / (h, w, ch∈{1,2,3,4}) array →
+    spec-compliant PNG bytes (8- or 16-bit per the input dtype, single
+    IDAT).  ``filter_type`` selects the scanline filter for EVERY row
+    — the knob the codec tests turn to exercise each decode path
+    against real bytes; ``interlace=True`` emits the Adam7 layout
+    (each pass filtered independently).  Filtering operates on BYTES
+    with a full-pixel left reference, per spec, so the 16-bit path
+    rides the same machinery over big-endian sample bytes."""
     if img.ndim == 2:
         img = img[:, :, None]
-    if img.dtype != np.uint8:
-        raise ValueError("encode_png takes uint8 arrays")
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError("encode_png takes uint8 or uint16 arrays")
     h, w, ch = img.shape
     if ch not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {ch}")
     if h < 1 or w < 1:
         raise ValueError("image dimensions must be positive")
+    depth = 16 if img.dtype == np.uint16 else 8
+    if depth == 16:
+        # big-endian sample bytes; the filter's left reference is one
+        # full pixel = ch*2 bytes, which _filter_scanlines derives
+        # from the trailing axis
+        img = (
+            img.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+        )
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
+        ">IIBBBBB", w, h, depth, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
     )
     if interlace:
         body = b"".join(

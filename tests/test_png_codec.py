@@ -93,13 +93,19 @@ def test_png_hypothesis_roundtrip_fuzz():
         ch=st.sampled_from([1, 2, 3, 4]),
         ft=st.integers(0, 4),
         inter=st.booleans(),
+        deep=st.booleans(),
         seed=st.integers(0, 2**31),
     )
-    def run(h, w, ch, ft, inter, seed):
+    def run(h, w, ch, ft, inter, deep, seed):
         rng = np.random.default_rng(seed)
-        img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        if deep:  # 16-bit samples, big-endian on the wire
+            img = rng.integers(0, 65536, (h, w, ch)).astype(np.uint16)
+        else:
+            img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
         enc = encode_png(img, filter_type=ft, interlace=inter)
-        assert np.array_equal(decode_png(enc), img)
+        dec = decode_png(enc)
+        assert dec.dtype == img.dtype
+        assert np.array_equal(dec, img)
 
     run()
 
