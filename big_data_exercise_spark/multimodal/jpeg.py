@@ -371,6 +371,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise JpegFormatError("only 8-bit precision supported")
+            if h < 1 or w < 1:
+                raise JpegFormatError("invalid zero dimension in SOF")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]

@@ -358,20 +358,24 @@ def encode_png(
     rides the same machinery over big-endian sample bytes."""
     if img.ndim == 2:
         img = img[:, :, None]
-    if img.dtype not in (np.uint8, np.uint16):
+    # endianness-insensitive dtype check: '>u2' input is semantically
+    # uint16 too (numpy dtype equality is byte-order-sensitive)
+    if img.dtype.kind != "u" or img.dtype.itemsize not in (1, 2):
         raise ValueError("encode_png takes uint8 or uint16 arrays")
     h, w, ch = img.shape
     if ch not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {ch}")
     if h < 1 or w < 1:
         raise ValueError("image dimensions must be positive")
-    depth = 16 if img.dtype == np.uint16 else 8
+    depth = 16 if img.dtype.itemsize == 2 else 8
     if depth == 16:
         # big-endian sample bytes; the filter's left reference is one
         # full pixel = ch*2 bytes, which _filter_scanlines derives
-        # from the trailing axis
+        # from the trailing axis.  order="C" because .view needs a
+        # contiguous last axis (Fortran-ordered input otherwise
+        # crashes inside numpy)
         img = (
-            img.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+            img.astype(">u2", order="C").view(np.uint8).reshape(h, w, ch * 2)
         )
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, _COLOR_TYPE[ch], 0, 0, 1 if interlace else 0

@@ -180,9 +180,9 @@ def test_jpeg_hypothesis_roundtrip_fuzz():
     """Property sweep: any dims × gray/color × subsampling × quality ×
     restart interval must round-trip with the right shape, and the
     progressive stream must decode pixel-identical to the baseline
-    stream (the invariant that pins the entire §G.2 path).  Bounded
-    reconstruction error is asserted at high quality where the bound
-    is meaningful."""
+    stream (the invariant that pins the entire §G.2 path; quality-
+    level reconstruction bounds live in the smooth-content test — a
+    tight bound is meaningless on random noise)."""
     from hypothesis import given, settings, strategies as st
 
     @settings(max_examples=30, deadline=None)
@@ -216,9 +216,18 @@ def test_jpeg_hypothesis_roundtrip_fuzz():
 
 
 def test_jpeg_empty_dims_rejected():
+    import struct
+
     for bad in [(0, 5), (5, 0), (0, 0)]:
         with pytest.raises(ValueError, match="positive"):
             encode_jpeg(np.zeros(bad, np.uint8))
+    # and a crafted SOF claiming zero dims must raise JpegFormatError,
+    # never leak a raw ZeroDivisionError to the caller
+    b = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 5 : i + 7] = struct.pack(">H", 0)  # SOF height = 0
+    with pytest.raises(JpegFormatError, match="zero dimension"):
+        decode_jpeg(bytes(b))
 
 
 def test_truncated_entropy_data_always_raises():
