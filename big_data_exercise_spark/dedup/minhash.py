@@ -62,8 +62,12 @@ def doc_token_ids(documents: DataFrame, use_vocab_ranks: bool = False) -> DataFr
     )
     if not use_vocab_ranks:
         # 100 TB mode: non-negative 63-bit hash, no vocab materialization.
+        # & MAX_LONG, not abs(): abs(Long.MIN_VALUE) throws under ANSI
+        # mode; the mask is overflow-free with the same 2-preimage
+        # collision profile.
         return exploded.select(
-            "doc_id", F.abs(F.xxhash64("tok")).alias("tok_id")
+            "doc_id",
+            F.xxhash64("tok").bitwiseAND(F.lit((1 << 63) - 1)).alias("tok_id"),
         )
     from big_data_exercise_spark.operators.windows import global_row_number
 
@@ -75,8 +79,18 @@ def doc_token_ids(documents: DataFrame, use_vocab_ranks: bool = False) -> DataFr
 
 
 def _signatures_from_ids(tt: DataFrame, num_hashes: int = 12) -> DataFrame:
+    # Reduce tok_id mod P BEFORE the multiply: (a·(x mod P) + b) mod P
+    # ≡ (a·x + b) mod P for non-negative x, so vocab-mode values (and
+    # the DuckDB oracle, which computes the small-rank form directly)
+    # are unchanged — but the product now stays < 41·8191 instead of
+    # overflowing int64 on 63-bit xxhash ids. Without this the
+    # production mode crashes under ANSI mode (Spark 4's default for
+    # embedding applications); with it the pipeline is ANSI-safe and
+    # the hash family is the true universal-hash value rather than the
+    # wrapped-multiply artifact.
+    x = F.col("tok_id") % F.lit(P)
     mins = [
-        F.min((F.lit(A[j]) * F.col("tok_id") + F.lit(B[j])) % F.lit(P)).alias(f"h{j}")
+        F.min((F.lit(A[j]) * x + F.lit(B[j])) % F.lit(P)).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return tt.groupBy("doc_id").agg(*mins)
@@ -171,7 +185,10 @@ def near_duplicates(
         F.col("rep_id").alias("doc_id"), F.explode("toks").alias("tok")
     )
     if not use_vocab_ranks:
-        tt = exploded.select("doc_id", F.abs(F.xxhash64("tok")).alias("tok_id"))
+        tt = exploded.select(
+            "doc_id",
+            F.xxhash64("tok").bitwiseAND(F.lit((1 << 63) - 1)).alias("tok_id"),
+        )
     else:
         # Vocabulary over rep sets == vocabulary over all docs (every
         # set has a representative), so ranks match the per-doc oracle.

@@ -103,7 +103,12 @@ def exact_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
     # per-pair intersect ~an order of magnitude cheaper than string
     # arrays — the same discipline as the MinHash verifier.
     sets = (
-        toks.select("doc_id", F.abs(F.xxhash64("tok")).alias("tok_id"))
+        # & MAX_LONG, not abs(): abs(Long.MIN_VALUE) throws under ANSI
+        # mode (Spark 4 default); same 2-preimage collision profile.
+        toks.select(
+            "doc_id",
+            F.xxhash64("tok").bitwiseAND(F.lit((1 << 63) - 1)).alias("tok_id"),
+        )
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("tok_id")).alias("toks"))
     )
@@ -193,7 +198,12 @@ def incremental_jaccard_pairs(
     )
 
     sets = (
-        toks.select("doc_id", F.abs(F.xxhash64("tok")).alias("tok_id"))
+        # & MAX_LONG, not abs(): abs(Long.MIN_VALUE) throws under ANSI
+        # mode (Spark 4 default); same 2-preimage collision profile.
+        toks.select(
+            "doc_id",
+            F.xxhash64("tok").bitwiseAND(F.lit((1 << 63) - 1)).alias("tok_id"),
+        )
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("tok_id")).alias("toks"))
     )
