@@ -1887,11 +1887,18 @@ def _specs() -> list[QuerySpec]:
         # vocab-rank MinHash pipeline as above) → connected components
         # → keep exactly the min-doc_id representative per cluster.
         # Spark side: iterative min-label propagation
-        # (dedup/cluster.py); oracle side: recursive transitive
-        # closure over the identical pair set.
+        # (dedup/cluster.py) over near_duplicate_edges — star edges
+        # per exact-dup clique plus rep-level verified pairs, Σk rows
+        # instead of the report's Σk² clique expansion; the components
+        # (and so this query's output) are identical by construction.
+        # Oracle side: recursive transitive closure over the full
+        # quadratic pair set — closure is connectivity-invariant, so
+        # the two sides still hash-match.
         lambda sp, d: cluster.dedup_cluster_assignment(
             _t(sp, d, "documents"),
-            minhash.near_duplicates(_t(sp, d, "documents"), use_vocab_ranks=True),
+            minhash.near_duplicate_edges(
+                _t(sp, d, "documents"), use_vocab_ranks=True
+            ),
         ),
         f"""
         WITH RECURSIVE {_MINHASH_CTES},

@@ -195,6 +195,31 @@ def test_connected_components_direction_invariant(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_near_duplicate_edges_same_components(spark):
+    """The closure feed (`near_duplicate_edges`: star edges per
+    exact-dup clique + rep-level verified pairs) must produce the
+    exact same (cluster_id, keep) verdicts as the full quadratic pair
+    report — clique→star substitution is connectivity-preserving —
+    while carrying strictly fewer rows on a dup-heavy corpus (Σk vs
+    Σk², the 100 TB reason the edge form exists)."""
+    from big_data_exercise_spark.dedup import cluster, minhash
+    from big_data_exercise_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash.near_duplicates(docs, use_vocab_ranks=True)
+    edges = minhash.near_duplicate_edges(docs, use_vocab_ranks=True)
+    via_pairs = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster.dedup_cluster_assignment(docs, pairs).collect()
+    }
+    via_edges = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster.dedup_cluster_assignment(docs, edges).collect()
+    }
+    assert via_edges == via_pairs
+    assert edges.count() < pairs.count()
+
+
 def test_python_datasource_partitioned_read(spark):
     """The Python DataSource must plan a genuinely partitioned read
     (one id-range per partition, executor-side iterators) and cover
