@@ -147,6 +147,58 @@ def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFram
     )
 
 
+def _collapsed_fingerprints(documents: DataFrame, k: int = K, w: int = WIN):
+    """Exact-dup collapse for the winnowing CLOSURE path, mirroring
+    the MinHash pipeline's discipline (`minhash._verified_rep_pairs`):
+    fingerprint sets are a pure function of the NORMALIZED text
+    (printable-ASCII strip, then lowercase — the kernel's own first
+    step), so documents with identical normalized text share every
+    fingerprint, every bucket, and every pair statistic. The Σ bucket²
+    self-join therefore runs once per DISTINCT normalized text; a web
+    corpus at 100 TB is 20-50 % exact dups, and without the collapse a
+    k-member duplicate cluster contributes k²·|fps| rows to the bucket
+    join.
+
+    Returns ``(mem, fps)``: ``mem`` maps every doc to its cluster
+    representative (doc_id, rep_id — min doc_id per normalized text),
+    ``fps`` is the (doc_id=rep, fp) fingerprint set table over
+    representatives only.
+    """
+    from big_data_exercise_spark.tables import ensure_parallelism
+
+    documents = ensure_parallelism(documents)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""))
+    keyed = documents.select("doc_id", "text", F.md5(norm).alias("nfp"))
+    members = keyed.select("doc_id", "nfp").localCheckpoint(eager=False)
+    # ONE aggregation picks each cluster's representative doc AND its
+    # text (min_by ties the text to the min doc_id) — no join back
+    # against the corpus. A join formulation here is a trap twice
+    # over: checkpointed inputs carry unknown stats, so Catalyst plans
+    # a sort-merge join, and AQE byte-coalesces its exchanges (~1 MB
+    # of rep text → 3 partitions), starving the CPU-bound fingerprint
+    # kernel downstream. The explicit repartition pins kernel
+    # parallelism to the session's shuffle.partitions (the
+    # cluster-sized knob) — AQE never coalesces an explicit N.
+    n_shuffle = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    rep_docs = (
+        keyed.groupBy("nfp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .repartition(n_shuffle)
+        .localCheckpoint(eager=False)
+    )
+    fps = fingerprint_sets(rep_docs, k, w).localCheckpoint(eager=False)
+    reps = rep_docs.select("nfp", F.col("doc_id").alias("rep_id"))
+    mem = members.join(reps, "nfp").select(
+        F.col("doc_id").alias("doc_id"), "rep_id"
+    )
+    return mem, fps
+
+
 def containment_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -233,7 +285,12 @@ def overlap_pairs(
     filter, so the trade is explicit and oracle-checkable: pair recall
     drops only for pairs whose EVERY shared fingerprint is
     boilerplate-hot, and the join cost bound becomes
-    Σ min(bucket, cap)²."""
+    Σ min(bucket, cap)².
+
+    This is the quadratic pair REPORT (its output is Σk² on duplicate
+    clusters by definition); when only connectivity is needed — the
+    dedup closure — use :func:`overlap_edges`, which is linear in
+    cluster size end to end."""
     fps = fingerprint_sets(documents, k, w).localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = fps.groupBy("fp").agg(F.count("*").alias("bsz"))
@@ -251,3 +308,74 @@ def overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def _rep_overlap(
+    documents: DataFrame,
+    min_shared: int,
+    k: int,
+    w: int,
+    max_bucket: int | None,
+):
+    """Representative-level overlap machinery for
+    :func:`overlap_edges`: ``(mem, rep_shared, sz_ok)`` — the
+    member→rep map, the qualifying rep-level pair list (id1 < id2,
+    n_shared ≥ ``min_shared``), and the reps whose own fingerprint
+    count qualifies (rid, n_shared) — i.e. whose exact-dup members
+    pair with EACH OTHER in the full report."""
+    mem, fps = _collapsed_fingerprints(documents, k, w)
+    if max_bucket is not None:
+        # hotness = number of DOCS carrying the fingerprint = Σ cluster
+        # sizes over the reps that carry it (members share rep sets).
+        csize = mem.groupBy("rep_id").agg(F.count("*").alias("cn"))
+        hot = (
+            fps.join(csize, fps.doc_id == csize.rep_id)
+            .groupBy("fp")
+            .agg(F.sum("cn").alias("bsz"))
+        )
+        fps = (
+            fps.join(hot.filter(F.col("bsz") <= max_bucket).select("fp"), "fp")
+            .select("doc_id", "fp")
+            .localCheckpoint(eager=False)
+        )
+    a = fps.select(F.col("doc_id").alias("id1"), "fp")
+    b = fps.select(F.col("doc_id").alias("id2"), "fp")
+    rep_shared = (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sz_ok = (
+        fps.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("doc_id").alias("rid"), "n_shared")
+    )
+    return mem, rep_shared, sz_ok
+
+
+def overlap_edges(
+    documents: DataFrame,
+    min_shared: int = 20,
+    k: int = K,
+    w: int = WIN,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Connectivity-preserving substring near-dup edges (id1, id2) —
+    the winnowing sibling of ``minhash.near_duplicate_edges``: rep-
+    level qualifying pairs plus member→rep star edges for clusters
+    whose fingerprint count qualifies (members of such a cluster pair
+    with each other in the full report; a cross pair implies both
+    clusters qualify, since n_shared ≤ min(|fps|), so stars cover every
+    connected member). Components equal those of
+    :func:`overlap_pairs`'s quadratic expansion; row count is Σk, not
+    Σk² — feed THIS to the dedup closure."""
+    mem, rep_shared, sz_ok = _rep_overlap(documents, min_shared, k, w, max_bucket)
+    stars = (
+        mem.join(sz_ok.select("rid"), mem.rep_id == F.col("rid"))
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id1"), F.col("doc_id").alias("id2"))
+    )
+    return rep_shared.select("id1", "id2").unionByName(stars)

@@ -2019,6 +2019,10 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: cluster.dedup_cluster_assignment(
             _t(sp, d, "documents"),
             winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+            # (winnow.overlap_edges is the dup-heavy-corpus variant:
+            # identical components on Σk rows instead of Σk² — the
+            # synthetic corpus has no exact-text dups, so the report
+            # path is the faster default here; see PLANS.md)
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},
@@ -2044,6 +2048,10 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: cluster.kept_corpus_stats(
             _t(sp, d, "documents"),
             winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+            # (winnow.overlap_edges is the dup-heavy-corpus variant:
+            # identical components on Σk rows instead of Σk² — the
+            # synthetic corpus has no exact-text dups, so the report
+            # path is the faster default here; see PLANS.md)
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},
@@ -2075,6 +2083,10 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: text.curated_corpus(
             _t(sp, d, "documents"),
             winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+            # (winnow.overlap_edges is the dup-heavy-corpus variant:
+            # identical components on Σk rows instead of Σk² — the
+            # synthetic corpus has no exact-text dups, so the report
+            # path is the faster default here; see PLANS.md)
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},
@@ -4807,6 +4819,10 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: text.governed_corpus(
             _t(sp, d, "documents"),
             winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
+            # (winnow.overlap_edges is the dup-heavy-corpus variant:
+            # identical components on Σk rows instead of Σk² — the
+            # synthetic corpus has no exact-text dups, so the report
+            # path is the faster default here; see PLANS.md)
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},

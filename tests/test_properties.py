@@ -220,6 +220,28 @@ def test_near_duplicate_edges_same_components(spark):
     assert edges.count() < pairs.count()
 
 
+def test_winnow_edges_same_components(spark):
+    """`overlap_edges` (exact-dup collapse → rep pairs + star edges)
+    must reach the same connected components as the quadratic
+    `overlap_pairs` report — the contract that lets the four closure
+    queries consume Σk rows instead of Σk²."""
+    from big_data_exercise_spark.dedup import cluster, winnow
+    from big_data_exercise_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = winnow.overlap_pairs(docs).select("id1", "id2")
+    edges = winnow.overlap_edges(docs)
+    via_pairs = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster.dedup_cluster_assignment(docs, pairs).collect()
+    }
+    via_edges = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster.dedup_cluster_assignment(docs, edges).collect()
+    }
+    assert via_edges == via_pairs
+
+
 def test_python_datasource_partitioned_read(spark):
     """The Python DataSource must plan a genuinely partitioned read
     (one id-range per partition, executor-side iterators) and cover
