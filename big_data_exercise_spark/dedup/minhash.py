@@ -329,6 +329,13 @@ def near_duplicate_edges(
     members, reps, verified = _verified_rep_pairs(
         documents, threshold, num_hashes, bands, use_vocab_ranks
     )
+    if threshold > 1.0:
+        # Mirror near_duplicates' contract exactly: exact-dup members
+        # pair at jaccard 1.0, so a threshold above 1.0 excludes the
+        # intra-cluster cliques from the report — the star edges must
+        # vanish too, or the closure over edges would merge clusters
+        # the closure over the report leaves as singletons.
+        return verified.select("id1", "id2")
     stars = (
         members.join(reps, "fp")
         .filter(F.col("doc_id") != F.col("rep_id"))

@@ -81,7 +81,12 @@ def fingerprint_sets_relational(
     )
 
 
-def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFrame:
+def fingerprint_sets(
+    documents: DataFrame,
+    k: int = K,
+    w: int = WIN,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """Distinct (doc_id, fp) winnowing fingerprints — the bucket-join
     key for substring-level candidate pairs.
 
@@ -140,11 +145,18 @@ def fingerprint_sets(documents: DataFrame, k: int = K, w: int = WIN) -> DataFram
                     }
                 )
 
-    from big_data_exercise_spark.tables import ensure_parallelism
+    docs = documents.select("doc_id", "text")
+    if not pre_partitioned:
+        # ensure_parallelism probes .rdd.getNumPartitions() — cheap on
+        # a parquet scan, but on a lazily-checkpointed input the probe
+        # would force an eager materialization under the degraded
+        # 64 MB byte-advisory coalescing (the documented lazy-
+        # checkpoint trap). Callers that already pinned parallelism
+        # with an explicit repartition pass pre_partitioned=True.
+        from big_data_exercise_spark.tables import ensure_parallelism
 
-    return ensure_parallelism(documents.select("doc_id", "text")).mapInPandas(
-        winnow_batches, "doc_id long, fp long"
-    )
+        docs = ensure_parallelism(docs)
+    return docs.mapInPandas(winnow_batches, "doc_id long, fp long")
 
 
 def _collapsed_fingerprints(documents: DataFrame, k: int = K, w: int = WIN):
@@ -179,9 +191,15 @@ def _collapsed_fingerprints(documents: DataFrame, k: int = K, w: int = WIN):
     # kernel downstream. The explicit repartition pins kernel
     # parallelism to the session's shuffle.partitions (the
     # cluster-sized knob) — AQE never coalesces an explicit N.
-    n_shuffle = int(
-        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    # shuffle.partitions is not numeric on every platform (managed
+    # runtimes set "auto"); fall back to the cluster's default
+    # parallelism rather than crashing a foreign session.
+    try:
+        n_shuffle = int(
+            documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_shuffle = documents.sparkSession.sparkContext.defaultParallelism
     rep_docs = (
         keyed.groupBy("nfp")
         .agg(
@@ -191,7 +209,14 @@ def _collapsed_fingerprints(documents: DataFrame, k: int = K, w: int = WIN):
         .repartition(n_shuffle)
         .localCheckpoint(eager=False)
     )
-    fps = fingerprint_sets(rep_docs, k, w).localCheckpoint(eager=False)
+    # pre_partitioned: the explicit repartition above already pins
+    # kernel parallelism, and ensure_parallelism's .rdd probe would
+    # eagerly materialize the lazy checkpoint (the trap documented in
+    # minhash.py — eager materialization gets byte-advisory AQE
+    # coalescing instead of parallelismFirst).
+    fps = fingerprint_sets(rep_docs, k, w, pre_partitioned=True).localCheckpoint(
+        eager=False
+    )
     reps = rep_docs.select("nfp", F.col("doc_id").alias("rep_id"))
     mem = members.join(reps, "nfp").select(
         F.col("doc_id").alias("doc_id"), "rep_id"
@@ -299,6 +324,16 @@ def overlap_pairs(
             .select("doc_id", "fp")
             .localCheckpoint(eager=False)
         )
+    return _shared_pairs(fps, min_shared)
+
+
+def _shared_pairs(fps: DataFrame, min_shared: int) -> DataFrame:
+    """The Σ bucket² fingerprint self-join: qualifying (id1 < id2,
+    n_shared ≥ ``min_shared``) pairs over a (doc_id, fp) set table.
+    Shared by the quadratic report (:func:`overlap_pairs`) and the
+    rep-level edge path (:func:`_rep_overlap`) — the edge path's
+    correctness contract is pairing-semantics parity with the report,
+    so there must be exactly one copy of the pairing semantics."""
     a = fps.select(F.col("doc_id").alias("id1"), "fp")
     b = fps.select(F.col("doc_id").alias("id2"), "fp")
     return (
@@ -338,15 +373,7 @@ def _rep_overlap(
             .select("doc_id", "fp")
             .localCheckpoint(eager=False)
         )
-    a = fps.select(F.col("doc_id").alias("id1"), "fp")
-    b = fps.select(F.col("doc_id").alias("id2"), "fp")
-    rep_shared = (
-        a.join(b, "fp")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    rep_shared = _shared_pairs(fps, min_shared)
     sz_ok = (
         fps.groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))

@@ -195,17 +195,38 @@ def test_connected_components_direction_invariant(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def _planted_dup_corpus(spark, copies: int = 3, take: int = 12):
+    """The documents table plus ``copies`` exact clones of ``take``
+    docs under fresh ids — guarantees exact-dup clusters exist
+    regardless of which SF_DIR the suite runs against (the synthetic
+    corpus itself has virtually no exact-text duplicates, so edge-vs-
+    report assertions that depend on collapsible clusters must plant
+    them)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    seed = docs.orderBy("doc_id").limit(take)
+    out = docs
+    for i in range(copies):
+        out = out.unionByName(
+            seed.withColumn(
+                "doc_id", F.col("doc_id") + F.lit((mx + 1) * (i + 1))
+            )
+        )
+    return out
+
+
 def test_near_duplicate_edges_same_components(spark):
     """The closure feed (`near_duplicate_edges`: star edges per
     exact-dup clique + rep-level verified pairs) must produce the
     exact same (cluster_id, keep) verdicts as the full quadratic pair
     report — clique→star substitution is connectivity-preserving —
     while carrying strictly fewer rows on a dup-heavy corpus (Σk vs
-    Σk², the 100 TB reason the edge form exists)."""
+    Σk², the 100 TB reason the edge form exists). The dup clusters
+    are planted, so the strict row-count inequality is guaranteed by
+    construction rather than by corpus luck."""
     from big_data_exercise_spark.dedup import cluster, minhash
-    from big_data_exercise_spark.tables import load_table
 
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = _planted_dup_corpus(spark)
     pairs = minhash.near_duplicates(docs, use_vocab_ranks=True)
     edges = minhash.near_duplicate_edges(docs, use_vocab_ranks=True)
     via_pairs = {
@@ -220,15 +241,37 @@ def test_near_duplicate_edges_same_components(spark):
     assert edges.count() < pairs.count()
 
 
+def test_near_duplicate_edges_threshold_above_one(spark):
+    """threshold > 1.0 excludes even exact duplicates from the pair
+    report (`near_duplicates` returns only cross pairs, which cap at
+    jaccard 1.0) — the edge form must drop its star edges too, or the
+    closure over edges would merge clusters the closure over the
+    report leaves as singletons."""
+    from big_data_exercise_spark.dedup import cluster, minhash
+
+    docs = _planted_dup_corpus(spark, copies=1, take=6)
+    pairs = minhash.near_duplicates(docs, threshold=1.01, use_vocab_ranks=True)
+    edges = minhash.near_duplicate_edges(
+        docs, threshold=1.01, use_vocab_ranks=True
+    )
+    assert edges.count() == 0 and pairs.count() == 0
+    via_edges = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster.dedup_cluster_assignment(docs, edges).collect()
+    }
+    # every doc is its own singleton cluster, kept
+    assert all(cid == d and keep for d, (cid, keep) in via_edges.items())
+
+
 def test_winnow_edges_same_components(spark):
     """`overlap_edges` (exact-dup collapse → rep pairs + star edges)
     must reach the same connected components as the quadratic
     `overlap_pairs` report — the contract that lets the four closure
-    queries consume Σk rows instead of Σk²."""
+    queries consume Σk rows instead of Σk². Runs on a planted-dup
+    corpus so the collapse path actually collapses something."""
     from big_data_exercise_spark.dedup import cluster, winnow
-    from big_data_exercise_spark.tables import load_table
 
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = _planted_dup_corpus(spark)
     pairs = winnow.overlap_pairs(docs).select("id1", "id2")
     edges = winnow.overlap_edges(docs)
     via_pairs = {
@@ -240,6 +283,31 @@ def test_winnow_edges_same_components(spark):
         for r in cluster.dedup_cluster_assignment(docs, edges).collect()
     }
     assert via_edges == via_pairs
+    assert edges.count() < pairs.count()
+
+
+def test_winnow_edges_same_components_capped(spark):
+    """The max_bucket branch of the edge path: rep-level hotness is
+    cluster-size-weighted (Σ member counts per fingerprint), so the
+    cap drops exactly the fingerprints the per-doc report path drops,
+    and the post-cap components still match — including clusters
+    whose every fingerprint is boilerplate-hot (stars must vanish for
+    those, because their members stop pairing in the report too)."""
+    from big_data_exercise_spark.dedup import cluster, winnow
+
+    docs = _planted_dup_corpus(spark)
+    for cap in (4, 40):
+        pairs = winnow.overlap_pairs(docs, max_bucket=cap).select("id1", "id2")
+        edges = winnow.overlap_edges(docs, max_bucket=cap)
+        via_pairs = {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in cluster.dedup_cluster_assignment(docs, pairs).collect()
+        }
+        via_edges = {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in cluster.dedup_cluster_assignment(docs, edges).collect()
+        }
+        assert via_edges == via_pairs, f"max_bucket={cap}"
 
 
 def test_python_datasource_partitioned_read(spark):
