@@ -30,10 +30,14 @@ def dot_sql(a: str, b: str, dim: int) -> str:
     string is a single call; and unlike the zip_with/aggregate fold
     (CodegenFallback, interpreted per element) the parsed chain
     compiles under whole-stage codegen. A vector shorter than ``dim``
-    yields NULL (element_at out of range) rather than the fold's silent
-    truncation — the stricter behavior."""
+    yields NULL (try_element_at out of range) rather than the fold's
+    silent truncation — the stricter behavior, and the SAME behavior
+    under ANSI mode: plain element_at returns NULL out-of-range only
+    in permissive mode but throws under ANSI (Spark 4's default for
+    embedding applications), so the try_ form is what the documented
+    contract actually means."""
     terms = " + ".join(
-        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
+        f"CAST(try_element_at({a}, {i}) AS DOUBLE) * CAST(try_element_at({b}, {i}) AS DOUBLE)"
         for i in range(1, dim + 1)
     )
     return f"CAST(0.0 AS DOUBLE) + {terms}"

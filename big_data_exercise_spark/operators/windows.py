@@ -135,6 +135,11 @@ def value_ranks(events: DataFrame, top: int = 20) -> DataFrame:
     )
     return (
         ranked.join(F.broadcast(counts), "event_type")
+        # Filter on the LONG rank, cast only the surviving top rows:
+        # a 100 TB group's row number exceeds int32, so casting before
+        # the filter wraps silently in permissive mode and throws
+        # under ANSI. Post-filter, dr ≤ top is always int-safe.
+        .filter(F.col("__rn") <= top)
         .select(
             "event_type",
             "event_id",
@@ -142,7 +147,6 @@ def value_ranks(events: DataFrame, top: int = 20) -> DataFrame:
             round_det(pr, 6).alias("pr"),
             ntile_from_rank(F.col("__rn"), F.col("__n"), 4).alias("quartile"),
         )
-        .filter(F.col("dr") <= top)
     )
 
 

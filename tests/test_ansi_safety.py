@@ -75,6 +75,37 @@ def test_simhash_ansi_identical(ansi):
     assert under_ansi == permissive
 
 
+def test_value_ranks_ansi_and_rank_cast_order(ansi):
+    """`value_ranks` must filter on the LONG rank before the int cast
+    (a 100 TB group's row number exceeds int32 — pre-filter casting
+    wraps silently in permissive mode and throws under ANSI), and the
+    ANSI run must match the permissive run row-for-row."""
+    from big_data_exercise_spark.operators.windows import value_ranks
+
+    events = load_table(ansi, SF_DIR, "events")
+    under_ansi = _pairs(value_ranks(events))
+    ansi.conf.set("spark.sql.ansi.enabled", "false")
+    assert under_ansi == _pairs(value_ranks(events))
+    assert len(under_ansi) > 0
+
+
+def test_fixture_dot_ragged_null_under_ansi(ansi):
+    """The codegen'd fixed-width dot chain documents NULL for vectors
+    shorter than ``dim``; with plain element_at that was only the
+    permissive-mode behavior (ANSI throws on out-of-range). The
+    try_element_at form must yield NULL in BOTH modes."""
+    from big_data_exercise_spark.functions.arrays import dot_sql
+
+    df = ansi.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 1.0, 1.0, 1.0])], "id long, e array<double>"
+    )
+    expr = dot_sql("e", "e", 4) + " AS d"
+    got_ansi = {(r.id, r.d) for r in df.selectExpr("id", expr).collect()}
+    ansi.conf.set("spark.sql.ansi.enabled", "false")
+    got_perm = {(r.id, r.d) for r in df.selectExpr("id", expr).collect()}
+    assert got_ansi == got_perm == {(1, None), (2, 4.0)}
+
+
 def test_ssjoin_ansi_identical(ansi):
     """Exact and incremental set-similarity joins (masked xxhash64
     token ids) run clean under ANSI."""
