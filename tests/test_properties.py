@@ -286,6 +286,75 @@ def test_winnow_edges_same_components(spark):
     assert edges.count() < pairs.count()
 
 
+def test_edge_report_equivalence_fuzz(spark):
+    """Hypothesis drive of the clique→star substitution claim: on
+    random corpora (tiny shared vocabulary → organic near-dups, random
+    clone multiplicities → exact-dup cliques of random size), the
+    connected components of `near_duplicate_edges` / `overlap_edges`
+    must equal those of the quadratic pair reports. Components are
+    computed driver-side with union-find so each example costs two
+    collects per family, not two iterative closures."""
+    from hypothesis import given, settings, strategies as st
+
+    from big_data_exercise_spark.dedup import minhash, winnow
+
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox"]
+    doc = st.lists(
+        st.sampled_from(vocab), min_size=3, max_size=8
+    )  # ≥ 3 words ≥ 17 chars: clears the k+w-1 winnow floor
+    corpus = st.lists(
+        st.tuples(doc, st.integers(min_value=0, max_value=2)),  # (text, clones)
+        min_size=2,
+        max_size=8,
+    )
+
+    def components(n_ids, pair_rows):
+        parent = {i: i for i in n_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in n_ids}
+
+    @settings(max_examples=5, deadline=None)
+    @given(corpus)
+    def run(spec):
+        rows, next_id = [], 0
+        for words, clones in spec:
+            text = " ".join(words)
+            for _ in range(clones + 1):
+                rows.append((next_id, text))
+                next_id += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ids = [r[0] for r in rows]
+        for pairs_df, edges_df in (
+            (
+                minhash.near_duplicates(docs, use_vocab_ranks=True),
+                minhash.near_duplicate_edges(docs, use_vocab_ranks=True),
+            ),
+            (
+                winnow.overlap_pairs(docs, min_shared=2),
+                winnow.overlap_edges(docs, min_shared=2),
+            ),
+        ):
+            via_pairs = components(
+                ids, [(r["id1"], r["id2"]) for r in pairs_df.collect()]
+            )
+            via_edges = components(
+                ids, [(r["id1"], r["id2"]) for r in edges_df.collect()]
+            )
+            assert via_edges == via_pairs
+
+    run()
+
+
 def test_winnow_edges_same_components_capped(spark):
     """The max_bucket branch of the edge path: rep-level hotness is
     cluster-size-weighted (Σ member counts per fingerprint), so the
