@@ -374,6 +374,54 @@ def test_file_log_restart_replays_committed_offsets_only(spark, tmp_path):
     )
 
 
+def test_file_log_discovers_partition_mid_stream(spark, tmp_path):
+    """Partition discovery WITHOUT a restart: the restart test above
+    covers topic growth across a checkpoint recovery; Kafka's contract
+    also discovers new partitions between triggers of a continuously
+    running consumer (metadata refresh, no rebalance restart needed).
+    One live query: drain the 2-partition log, grow the topic and
+    produce onto all 3 partitions while the query keeps running, drain
+    again — the new partition must appear read-from-0 with zero
+    duplicates anywhere."""
+    from big_data_exercise_spark.sources.pydatasource import (
+        FileLogProducer,
+        file_log_stream,
+    )
+
+    log_dir = str(tmp_path / "log")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    prod = FileLogProducer(log_dir, partitions=2)
+    for i in range(12):
+        prod.send(f"k{i}", f"v{i}", ts_us=i * 1_000_000)
+
+    q = (
+        file_log_stream(spark, log_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 12
+        # topic grows while the SAME query is live
+        prod.add_partitions(1)
+        for i in range(12, 24):
+            prod.send(f"k{i}", f"v{i}", ts_us=i * 1_000_000, partition=i % 3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 24  # no loss, no duplicates
+    assert got.select("key").distinct().count() == 24
+    p2 = got.filter(F.col("partition") == 2)
+    assert p2.count() > 0  # discovered without restart
+    assert p2.agg(F.min("offset")).collect()[0][0] == 0  # read from 0
+
+
 def test_file_log_max_offsets_per_trigger(spark, tmp_path):
     """maxOffsetsPerTrigger caps every micro-batch's record count,
     apportioned across partitions by lag — the Kafka source's rate
