@@ -202,17 +202,34 @@ def _log_partition_files(path: str) -> dict[int, str]:
     if os.path.isdir(path):
         for name in os.listdir(path):
             if name.startswith("p") and name.endswith(".jsonl"):
-                out[int(name[1:-6])] = os.path.join(path, name)
+                pid = int(name[1:-6])
+                if pid in out:
+                    # "p0.jsonl" and "p00000.jsonl" both parse to 0 —
+                    # last-listdir-wins would silently drop one log.
+                    raise ValueError(
+                        f"duplicate log partition {pid}: "
+                        f"{out[pid]!r} and {name!r}"
+                    )
+                out[pid] = os.path.join(path, name)
     return out
 
 
 def _log_sizes(path: str) -> dict[str, int]:
     """Current end offset (record count) per partition — the 'latest'
-    position a broker would report."""
+    position a broker would report. Counts newline TERMINATORS, not
+    lines: a concurrently-appending producer can leave a torn tail
+    (bytes written, no ``\\n`` yet), and exposing it as an offset
+    would hand ``json.loads`` a partial record in some task — Kafka's
+    high-watermark rule is that a consumer never sees a record until
+    it is fully committed, so the torn tail stays invisible until its
+    newline lands."""
     sizes = {}
     for p, f in _log_partition_files(path).items():
+        n = 0
         with open(f, "rb") as fh:
-            sizes[str(p)] = sum(1 for _ in fh)
+            while chunk := fh.read(1 << 20):
+                n += chunk.count(b"\n")
+        sizes[str(p)] = n
     return sizes
 
 

@@ -422,6 +422,43 @@ def test_file_log_discovers_partition_mid_stream(spark, tmp_path):
     assert p2.agg(F.min("offset")).collect()[0][0] == 0  # read from 0
 
 
+def test_file_log_torn_tail_is_invisible_until_committed(spark, tmp_path):
+    """Kafka's high-watermark rule for the file stand-in: a torn tail
+    (bytes appended, no newline yet — a producer mid-write) must not
+    be exposed as an offset, or some task feeds json.loads a partial
+    record. The torn record becomes visible exactly when its newline
+    lands."""
+    import json as _json
+
+    from big_data_exercise_spark.sources.pydatasource import (
+        FileLogProducer,
+        file_log_batch,
+    )
+
+    log_dir = str(tmp_path / "log")
+    prod = FileLogProducer(log_dir, partitions=1)
+    for i in range(5):
+        prod.send(f"k{i}", f"v{i}", ts_us=i * 1_000_000)
+
+    # a producer dies (or is scheduled out) mid-record
+    torn = _json.dumps({"k": "k5", "v": "v5", "ts": 5_000_000})
+    part_file = prod._file(0)
+    with open(part_file, "a", encoding="utf-8") as fh:
+        fh.write(torn[: len(torn) // 2])
+        fh.flush()
+
+    got = file_log_batch(spark, log_dir)
+    assert got.count() == 5  # torn tail invisible, no crash
+    assert {r["key"] for r in got.collect()} == {f"k{i}" for i in range(5)}
+
+    # the write completes: the record is committed and appears
+    with open(part_file, "a", encoding="utf-8") as fh:
+        fh.write(torn[len(torn) // 2 :] + "\n")
+    got = file_log_batch(spark, log_dir)
+    assert got.count() == 6
+    assert got.filter(F.col("key") == "k5").count() == 1
+
+
 def test_file_log_max_offsets_per_trigger(spark, tmp_path):
     """maxOffsetsPerTrigger caps every micro-batch's record count,
     apportioned across partitions by lag — the Kafka source's rate
