@@ -829,7 +829,8 @@ def _specs() -> list[QuerySpec]:
         SELECT user_id, event_id,
                {round_det_sql(
                    "CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER ("
-                   "PARTITION BY user_id ORDER BY epoch(ts) "
+                   "PARTITION BY user_id "
+                   "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
                    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)")}
                  AS trailing_hour_value
         FROM events
