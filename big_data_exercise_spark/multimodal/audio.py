@@ -128,12 +128,16 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     ch, rate, bits = fmt
+    block = ch * (bits // 8)
+    if len(pcm) % block:
+        raise ValueError(
+            f"data chunk size {len(pcm)} is not a multiple of the "
+            f"{block}-byte frame (channels={ch}, bits={bits})"
+        )
     if bits == 16:
-        arr = np.frombuffer(pcm[: len(pcm) // (2 * ch) * 2 * ch], "<i2")
+        arr = np.frombuffer(pcm, "<i2")
     else:
-        arr = np.frombuffer(pcm[: len(pcm) // ch * ch], np.uint8).astype(
-            np.int16
-        ) - 128
+        arr = np.frombuffer(pcm, np.uint8).astype(np.int16) - 128
     return rate, arr.reshape(-1, ch).astype(np.int16)
 
 

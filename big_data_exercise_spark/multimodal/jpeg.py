@@ -258,27 +258,43 @@ def _entropy_segments(data: bytes, pos: int):
     numpy pass over the bytes instead of a per-byte Python branch).
     Returns ``(segments, end_pos)`` — each segment an unstuffed uint8
     array, ``end_pos`` the offset of the 0xFF opening the first
-    non-RST marker (``len(data)`` if the stream just ends)."""
+    non-RST marker (``len(data)`` if the stream just ends).  Runs of
+    0xFF fill bytes before a marker (T.81 B.1.1.2: 0xFF 0xFF is
+    padding, the marker byte is the first non-0xFF) are legal in
+    conformant streams — they classify as fill, not as a terminator,
+    and are trimmed from the segment data (an encoder always stuffs a
+    DATA 0xFF as 0xFF00, so an unpaired 0xFF here can only be
+    padding)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     n = len(arr)
     ffs = np.nonzero(arr[pos : n - 1] == 0xFF)[0] + pos
     nxt = arr[ffs + 1] if len(ffs) else np.empty(0, np.uint8)
     is_stuff = nxt == 0x00
     is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    term = np.nonzero(~(is_stuff | is_rst))[0]
+    is_fill = nxt == 0xFF
+    term = np.nonzero(~(is_stuff | is_rst | is_fill))[0]
     if len(term):
         t = int(term[0])
         end_pos = int(ffs[t])
-        ffs, is_stuff, is_rst = ffs[:t], is_stuff[:t], is_rst[:t]
+        ffs, is_stuff, is_rst, is_fill = (
+            ffs[:t], is_stuff[:t], is_rst[:t], is_fill[:t]
+        )
     else:
         end_pos = n
     stuff_pos = ffs[is_stuff]
+    fill_set = set(ffs[is_fill].tolist())
     segments = []
     start = pos
     for cut in ffs[is_rst].tolist() + [end_pos]:
-        seg = arr[start:cut]
+        data_end = cut
+        while data_end - 1 in fill_set:  # trim the fill run pre-marker
+            data_end -= 1
+        seg = arr[start:data_end]
         # drop the 0x00 of each stuffed 0xFF00 pair inside this range
-        sp = stuff_pos[(stuff_pos >= start) & (stuff_pos < cut)] - start + 1
+        sp = (
+            stuff_pos[(stuff_pos >= start) & (stuff_pos < data_end)]
+            - start + 1
+        )
         if len(sp):
             seg = np.delete(seg, sp)
         segments.append(seg)

@@ -244,7 +244,13 @@ def write_zordered(
     each dimension's mass-span utilization and picks the cutpoint code
     for skewed data, linear otherwise — decided and (when cutpoints
     win) supplied by ONE fused approxQuantile pass, not a probe pass
-    plus a cutpoint pass."""
+    plus a cutpoint pass.  In auto mode ``bits > 8`` stays legal
+    (linear may win and use them all), so when the cutpoint code wins
+    the layout is CLAMPED to 8 bits/dimension instead of raising —
+    the auto caller asked for a policy decision, not a specific code,
+    and a data-dependent error would make ``auto`` unusable; callers
+    needing >8-bit cutpoint rejection should pass
+    ``code='equi_depth'`` explicitly."""
     u_lo, u_hi, v_lo, v_hi = bounds
     cuts = None
     if code == "auto":

@@ -385,16 +385,20 @@ class FileLogStreamReader(DataSourceStreamReader):
         lim = self.max_per_trigger
         if start is None or lim is None:
             return sizes
-        lag = {p: sizes[p] - start.get(p, 0) for p in sizes}
+        # lag floors at 0 and every end floors at its start: a shrunken
+        # partition file (manual truncation of the JSONL log) must never
+        # plan end < start — that corrupts the remainder loop and would
+        # move the engine's committed offsets backwards
+        lag = {p: max(0, sizes[p] - start.get(p, 0)) for p in sizes}
         total = sum(lag.values())
         if total <= lim:
-            return sizes
+            return {p: max(sizes[p], start.get(p, 0)) for p in sizes}
         end = {p: start.get(p, 0) + lag[p] * lim // total for p in sizes}
         rem = lim - sum(end[p] - start.get(p, 0) for p in sizes)
         for p in sorted(sizes):  # deterministic remainder placement
             if rem <= 0:
                 break
-            take = min(rem, sizes[p] - end[p])
+            take = min(rem, max(0, sizes[p] - end[p]))
             end[p] += take
             rem -= take
         return end

@@ -354,3 +354,35 @@ def test_422_subsampling_and_16bit_dqt():
     )
     widened = b[:i] + seg16 + b[i + 2 + seglen :]
     assert np.array_equal(decode_jpeg(widened), decode_jpeg(b))
+
+
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes,
+    including inside the entropy-coded stream. A conformant foreign
+    encoder may pad before RSTn or EOI; the fill run must classify as
+    padding (not a scan terminator) and be excluded from the entropy
+    data."""
+    g = _gradient(40, 48)
+    base = decode_jpeg(encode_jpeg(g, quality=95))
+
+    # fill run before EOI (unframed stream)
+    enc = encode_jpeg(g, quality=95)
+    assert enc.endswith(b"\xff\xd9")
+    padded = enc[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(padded), base)
+
+    # fill bytes before the first RSTn AND before EOI of a framed
+    # stream — re-sync, DC reset, and segment slicing all see fill
+    framed = encode_jpeg(g, quality=95, restart_interval=2)
+    sos = framed.index(b"\xff\xda")
+    rst = framed.index(b"\xff\xd0", sos)
+    padded_f = (
+        framed[:rst] + b"\xff" + framed[rst:-2] + b"\xff\xff\xff\xd9"
+    )
+    assert np.array_equal(decode_jpeg(padded_f), base)
+
+    # progressive streams use the same segment splitter per scan
+    prog = encode_jpeg(g, quality=95, progressive=True)
+    assert prog.endswith(b"\xff\xd9")
+    padded_p = prog[:-2] + b"\xff\xff" + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(padded_p), decode_jpeg(prog))

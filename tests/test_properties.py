@@ -767,6 +767,17 @@ def test_wav_codec_roundtrip_and_chunk_walking():
     # 8-bit range is validated, never silently wrapped
     with pytest.raises(ValueError, match="-128"):
         encode_wav(np.array([1000, -1000], dtype=np.int16), bits=8)
+    # a data chunk that is not a whole number of frames is malformed
+    # structure (a truncated clip), rejected — never silently trimmed
+    fmtc = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    payload = b"\x01\x00\x02\x00\x03\x00"  # 1.5 frames of a 4-byte block
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmtc
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
 def test_segment_energy_survives_corrupt_clips_and_sums_channels(spark):

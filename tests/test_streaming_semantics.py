@@ -578,3 +578,48 @@ def test_rocksdb_state_store_backend(spark, tmp_path):
         for r in streams.tumbling_counts(ev, watermark=None).collect()
     }
     assert rows == expect and len(rows) > 0
+
+
+def test_file_log_shrunken_partition_never_plans_backwards(tmp_path):
+    """Manual truncation/cleanup of a partition's JSONL log makes its
+    size fall BELOW the reader's baseline (negative lag). The planner
+    must floor that partition at its start — an end < start corrupts
+    the remainder loop (negative takes) and would move the engine's
+    committed offsets backwards. Unit-level: drives latestOffset the
+    way the engine does, no query needed."""
+    from big_data_exercise_spark.sources.pydatasource import (
+        FileLogProducer,
+        FileLogStreamReader,
+    )
+
+    log_dir = str(tmp_path / "log")
+    prod = FileLogProducer(log_dir, partitions=3)
+    for i in range(30):
+        prod.send(f"k{i}", f"v{i}")
+
+    rdr = FileLogStreamReader(log_dir, "earliest", max_per_trigger=5)
+    rdr.initialOffset()
+    # simulate prior progress: baseline sits mid-log on every partition
+    rdr._planned_start = {p: 6 for p in rdr._planned_start}
+
+    # truncate partition 0's file below the baseline
+    p0 = tmp_path / "log" / "p00000.jsonl"
+    lines = p0.read_bytes().splitlines(keepends=True)
+    p0.write_bytes(b"".join(lines[:2]))  # 2 records < baseline 6
+
+    end = rdr.latestOffset()
+    start = rdr._baseline()
+    assert all(end[p] >= start.get(p, 0) for p in end), (start, end)
+    # the clamp still rations the *positive* lag only
+    planned = sum(end[p] - start.get(p, 0) for p in end)
+    assert 0 < planned <= 5, (start, end)
+
+    # and with the lag small enough to skip the clamp branch the
+    # shrunken partition STILL reports its start, not its raw size
+    rdr2 = FileLogStreamReader(log_dir, "earliest", max_per_trigger=500)
+    rdr2.initialOffset()
+    rdr2._planned_start = {p: 6 for p in rdr2._planned_start}
+    end2 = rdr2.latestOffset()
+    assert end2["0"] == 6 and all(
+        end2[p] >= 6 for p in end2
+    ), end2

@@ -210,3 +210,24 @@ def test_equi_depth_rejects_oversized_bits(spark, tmp_path):
         zorder.write_zordered(
             events, str(tmp_path / "x"), bounds, bits=16, code="equi_depth"
         )
+
+
+def test_auto_code_clamps_bits_on_skew_without_error(spark, tmp_path):
+    """Auto mode with bits > 8 stays legal: linear may win and use
+    them all, and when the cutpoint code wins the layout clamps to 8
+    bits/dimension (documented) instead of raising a data-dependent
+    error. The written layout must still be readable and complete."""
+    n = 20_000
+    outlier = F.col("id") % 100 == 0
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 317).cast("long").alias("user_id"),
+        F.when(outlier, (F.col("id") % 997).cast("double") * 1000.0)
+        .otherwise((F.col("id") % 997).cast("double"))
+        .alias("value"),
+    )
+    bounds = zorder.column_bounds(events)
+    out = zorder.write_zordered(
+        events, str(tmp_path / "a10"), bounds, bits=10, files=16
+    )
+    assert spark.read.parquet(out).count() == n
