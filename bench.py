@@ -67,6 +67,7 @@ HEADLINE = [
     # round-3 additions: new first-class surfaces
     "bucketed_order_revenue",
     "pq_topk",
+    "pq_topk_prod",   # round-6: production PQ64 (recall@10 = 0.994)
     "bpe_merge_rules",
     "stream_stream_left_outer",
     "heavy_hitter_users",
@@ -142,7 +143,28 @@ def main() -> None:
             print(f"# disk probe failed: {exc}", file=sys.stderr)
             return None
 
+    # Quiet-host gate: cross-round ratchets are only readable when the
+    # run starts at load < 1 AND disk >= 500 MB/s (this host's storage
+    # is burst-credit: 572 MB/s with credits, ~97 drained). Rather than
+    # record a loud artifact and adjudicate it from side channels, WAIT
+    # for a quiet window — bounded so a permanently-busy host still
+    # produces a bench (the embedded probes then say it's loud).
+    # SPARK_GRAFT_QUIET_WAIT_SECS=0 disables the wait.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "900"))
+    deadline = time.monotonic() + wait_budget
     disk_mbps = disk_probe()
+    while (
+        load_start[0] >= 1.0 or disk_mbps is None or disk_mbps < 500
+    ) and time.monotonic() < deadline:
+        print(
+            f"# waiting for quiet host: load {load_start[0]}, "
+            f"disk {disk_mbps} MB/s (gate: load<1 and disk>=500, "
+            f"{max(0, deadline - time.monotonic()):.0f}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+        load_start = [round(x, 2) for x in os.getloadavg()]
+        disk_mbps = disk_probe()
     if disk_mbps is not None and disk_mbps < 300:
         print(
             f"# WARNING: disk write {disk_mbps} MB/s at start — "
@@ -173,10 +195,15 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — a bad sf_dir must not kill the bench
         print(f"# warm-up failed: {exc}", file=sys.stderr)
 
+    from big_data_exercise_spark.streaming import pipelines as _streams
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    stream_batch_ms: dict[str, dict[str, float]] = {}
+    stream_batch_raw: list[float] = []
     for name in HEADLINE:
         spec = specs[name]
+        _streams.LAST_BATCH_MS.clear()
         t0 = time.perf_counter()
         try:
             df = spec.build(spark, sf_dir)
@@ -185,6 +212,20 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            # micro-batch latency of the stream this query just ran —
+            # the metric BASELINE.md actually publishes (10-15 s
+            # vehicle batches, 2-3 s fire). Data-carrying batches only.
+            if _streams.LAST_BATCH_MS:
+                ms = sorted(_streams.LAST_BATCH_MS)
+                stream_batch_raw.extend(ms)
+                stream_batch_ms[name] = {
+                    "p50": round(ms[len(ms) // 2], 1),
+                    "p95": round(ms[min(len(ms) - 1, int(len(ms) * 0.95))], 1),
+                    "max": round(ms[-1], 1),
+                    "n_batches": len(ms),
+                }
+                print(f"# {name} batch ms: {stream_batch_ms[name]}",
+                      file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — keep the bench alive
             timings[name] = round(time.perf_counter() - t0, 3)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -308,6 +349,17 @@ def main() -> None:
         "disk_write_mbps_start": disk_mbps,
         "disk_write_mbps_end": disk_end,
     }
+    if stream_batch_ms:
+        out["stream_batch_ms"] = stream_batch_ms
+        # flat keys for the round ledger: percentiles over ALL
+        # data-carrying micro-batches across the streaming headline
+        # queries (BASELINE.md's comparable rows: 10-15 s vehicle
+        # batches, 2-3 s fire batches)
+        pooled = sorted(stream_batch_raw)
+        out["stream_batch_ms_p50"] = round(pooled[len(pooled) // 2], 1)
+        out["stream_batch_ms_p95"] = round(
+            pooled[min(len(pooled) - 1, int(len(pooled) * 0.95))], 1
+        )
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

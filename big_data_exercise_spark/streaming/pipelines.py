@@ -31,6 +31,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from big_data_exercise_spark.functions.numeric import exact_sum
 from big_data_exercise_spark.tables import normalize_table, raw_schema
 
+# Per-batch trigger walls (ms) of the most recent completed
+# run_to_memory stream, data-carrying batches only. The reference's
+# headline numbers are LATENCIES (10-15 s vehicle batches, 2-3 s fire
+# — VEHICLE_COUNTING_GUIDE.md / fire README); bench.py reads this
+# after each stream_* headline query to publish p50/p95 next to the
+# throughput numbers.
+LAST_BATCH_MS: list[float] = []
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet — the test
@@ -415,6 +423,11 @@ def run_to_memory(
         )
     try:
         q.processAllAvailable()
+        LAST_BATCH_MS[:] = [
+            float(p.batchDuration)
+            for p in (q.recentProgress or [])
+            if p.numInputRows > 0
+        ]
     finally:
         q.stop()
         q.awaitTermination()

@@ -437,6 +437,48 @@ def test_ivf_recall_against_brute_force(spark):
     assert full == exact
 
 
+def test_pq_prod_recall_and_exact_rerank(spark):
+    """pq_topk_prod (PQ64: m=8 × 256 centroids) is the production ANN
+    default — it must be USEFUL, not just runnable. Two properties:
+    (a) recall@5 vs exact integer-L2 ground truth ≥ 0.9 averaged over
+    the queries (the sf0.1 measured figure is 0.994 —
+    tools/ann_recall.py); (b) every emitted ``dist`` IS the true
+    integer squared-L2 (the re-rank is exact; only shortlist
+    membership is approximate), so a returned neighbor is never
+    mis-scored."""
+    import numpy as np
+
+    from big_data_exercise_spark.similarity.kmeans import QSCALE
+    from big_data_exercise_spark.similarity.pq import pq_topk_prod
+    from big_data_exercise_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor((X + 1.0) * QSCALE).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    k, nq = 5, 8
+    got = pq_topk_prod(emb, n_queries=nq, k=k).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+        # (b) exact re-rank: dist is the true integer squared-L2
+        true_d = int(((Q[pos[r["vec_id"]]] - Q[pos[r["query_id"]]]) ** 2).sum())
+        assert r["dist"] == true_d, (r, true_d)
+
+    recs = []
+    for q, hits in by_q.items():
+        d = ((Q - Q[pos[q]]) ** 2).sum(axis=1)
+        d[pos[q]] = np.iinfo(np.int64).max
+        order = np.lexsort((ids, d))
+        truth = set(ids[order[:k]].tolist())
+        recs.append(len({h["vec_id"] for h in hits} & truth) / k)
+    assert len(by_q) == nq
+    assert np.mean(recs) >= 0.9, recs
+
+
 def test_approx_percentile_within_tolerance(spark):
     """percentile_approx is the 100 TB path the exact-percentile query
     documents; pin its contract — with accuracy A the rank error is

@@ -76,6 +76,19 @@ def main():
         recs = [len(by_q[q] & truth_l2(q)) / K for q in sorted(by_q)]
         print(f"pq m=4 kcent={kcent} rerank={rerank} recall@{K}: {np.mean(recs):.3f} (min {min(recs):.1f})", flush=True)
 
+    # --- PQ production config (pq_topk_prod: PQ64) --------------------
+    got = pq.pq_topk_prod(emb, n_queries=NQ, k=K).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recs = [len(by_q[q] & truth_l2(q)) / K for q in sorted(by_q)]
+    print(
+        f"pq_topk_prod m={pq.M_SUBS_PROD} kcent={pq.K_CENTS_PROD} "
+        f"rerank={pq.RERANK_PROD} iters={pq.ITERS_PROD} "
+        f"recall@{K}: {np.mean(recs):.3f} (min {min(recs):.1f})",
+        flush=True,
+    )
+
     # --- LSH pair recall (registry report) ---------------------------
     import __spark_entry__ as entry
 
