@@ -406,3 +406,68 @@ def overlap_edges(
         .select(F.col("rep_id").alias("id1"), F.col("doc_id").alias("id2"))
     )
     return rep_shared.select("id1", "id2").unionByName(stars)
+
+
+# --- closure-feed auto-routing ------------------------------------------
+
+# Fraction of docs that are exact (normalized-text) duplicates at
+# which the closure consumers switch from the quadratic pair report
+# to the Σk star-edge feed. Measured on THIS corpus (no exact dups):
+# the report path is ~1.4× faster at sf0.1 because the collapse adds
+# a pass that collapses nothing; measured at 100× dup-heavy
+# replication: the edge path runs at ~1.0–1.35× base wall where the
+# report feed implies tens of billions of closure-input rows
+# (PLANS.md, round-5 winnow-edge measurements). 10% duplicates is
+# comfortably past the crossover: each k-member cluster already costs
+# the report k(k−1)/2 rows vs the stars' k−1.
+DUP_ROUTE_FRACTION = 0.10
+
+# Most recent routing decision — written by closure_pairs_auto,
+# read by tests and scale harnesses (the returned DataFrame cannot
+# carry plan provenance once either branch resolves to plain ops).
+LAST_ROUTE: dict = {}
+
+
+def exact_dup_fraction(documents: DataFrame) -> float:
+    """Fraction of docs whose normalized text (the kernel's own
+    printable-ASCII + lowercase normalization — identical to
+    :func:`_collapsed_fingerprints`) duplicates another doc's: one
+    count+count_distinct aggregate, a single cheap corpus pass next
+    to the 8-gram rolling-hash fingerprint kernel both downstream
+    paths run."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""))
+    row = documents.agg(
+        F.count("doc_id").alias("n"),
+        F.count_distinct(F.md5(norm)).alias("s"),
+    ).collect()[0]
+    return 0.0 if not row["n"] else 1.0 - row["s"] / row["n"]
+
+
+def closure_pairs_auto(
+    documents: DataFrame,
+    min_shared: int = 20,
+    k: int = K,
+    w: int = WIN,
+    max_bucket: int | None = None,
+    route_at: float = DUP_ROUTE_FRACTION,
+) -> DataFrame:
+    """The (id1, id2) feed a CLOSURE consumer (connected components →
+    cluster assignment / kept-corpus stats) should use: probes the
+    exact-dup collapse ratio and routes to :func:`overlap_edges` when
+    collapse bites (``dup fraction ≥ route_at``), else to the plain
+    :func:`overlap_pairs` report — the measured-faster path on
+    corpora without exact duplicates. Both feeds reach identical
+    connected components by construction (star-edge equivalence,
+    fuzz-tested), so consumers see the same result either way; only
+    the plan changes. The probe is one aggregate returning one row —
+    the same bounded-literal-fetch pattern as the z-order cutpoint
+    collect."""
+    frac = exact_dup_fraction(documents)
+    route = "edges" if frac >= route_at else "report"
+    LAST_ROUTE.clear()
+    LAST_ROUTE.update({"dup_fraction": round(frac, 4), "route": route})
+    if route == "edges":
+        return overlap_edges(documents, min_shared, k, w, max_bucket)
+    return overlap_pairs(documents, min_shared, k, w, max_bucket).select(
+        "id1", "id2"
+    )

@@ -2019,11 +2019,13 @@ def _specs() -> list[QuerySpec]:
         # list (MinHash, winnowing, embedding-LSH, ...).
         lambda sp, d: cluster.dedup_cluster_assignment(
             _t(sp, d, "documents"),
-            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
-            # (winnow.overlap_edges is the dup-heavy-corpus variant:
-            # identical components on Σk rows instead of Σk² — the
-            # synthetic corpus has no exact-text dups, so the report
-            # path is the faster default here; see PLANS.md)
+            winnow.closure_pairs_auto(_t(sp, d, "documents")),
+            # auto-routed closure feed (round-6): probes the exact-dup
+            # collapse ratio, takes the Σk star-edge feed when
+            # collapse bites (dup-heavy corpus) and the pair report
+            # otherwise (measured 1.4× faster on THIS no-exact-dup
+            # corpus); components — and so this query's output and
+            # oracle hash — are identical either way
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},
@@ -2048,11 +2050,13 @@ def _specs() -> list[QuerySpec]:
         "dedup_kept_corpus",
         lambda sp, d: cluster.kept_corpus_stats(
             _t(sp, d, "documents"),
-            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
-            # (winnow.overlap_edges is the dup-heavy-corpus variant:
-            # identical components on Σk rows instead of Σk² — the
-            # synthetic corpus has no exact-text dups, so the report
-            # path is the faster default here; see PLANS.md)
+            winnow.closure_pairs_auto(_t(sp, d, "documents")),
+            # auto-routed closure feed (round-6): probes the exact-dup
+            # collapse ratio, takes the Σk star-edge feed when
+            # collapse bites (dup-heavy corpus) and the pair report
+            # otherwise (measured 1.4× faster on THIS no-exact-dup
+            # corpus); components — and so this query's output and
+            # oracle hash — are identical either way
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},
@@ -2083,11 +2087,13 @@ def _specs() -> list[QuerySpec]:
         "curated_corpus",
         lambda sp, d: text.curated_corpus(
             _t(sp, d, "documents"),
-            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
-            # (winnow.overlap_edges is the dup-heavy-corpus variant:
-            # identical components on Σk rows instead of Σk² — the
-            # synthetic corpus has no exact-text dups, so the report
-            # path is the faster default here; see PLANS.md)
+            winnow.closure_pairs_auto(_t(sp, d, "documents")),
+            # auto-routed closure feed (round-6): probes the exact-dup
+            # collapse ratio, takes the Σk star-edge feed when
+            # collapse bites (dup-heavy corpus) and the pair report
+            # otherwise (measured 1.4× faster on THIS no-exact-dup
+            # corpus); components — and so this query's output and
+            # oracle hash — are identical either way
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},
@@ -4839,11 +4845,13 @@ def _specs() -> list[QuerySpec]:
         "governed_corpus",
         lambda sp, d: text.governed_corpus(
             _t(sp, d, "documents"),
-            winnow.overlap_pairs(_t(sp, d, "documents")).select("id1", "id2"),
-            # (winnow.overlap_edges is the dup-heavy-corpus variant:
-            # identical components on Σk rows instead of Σk² — the
-            # synthetic corpus has no exact-text dups, so the report
-            # path is the faster default here; see PLANS.md)
+            winnow.closure_pairs_auto(_t(sp, d, "documents")),
+            # auto-routed closure feed (round-6): probes the exact-dup
+            # collapse ratio, takes the Σk star-edge feed when
+            # collapse bites (dup-heavy corpus) and the pair report
+            # otherwise (measured 1.4× faster on THIS no-exact-dup
+            # corpus); components — and so this query's output and
+            # oracle hash — are identical either way
         ),
         f"""
         WITH RECURSIVE {_WINNOW_CTES},

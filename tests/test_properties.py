@@ -286,6 +286,38 @@ def test_winnow_edges_same_components(spark):
     assert edges.count() < pairs.count()
 
 
+def test_closure_feed_auto_routes_on_collapse(spark):
+    """`closure_pairs_auto` (round-6): the four closure queries'
+    feed probes the exact-dup collapse ratio. On the raw corpus (no
+    exact dups) it must keep the measured-faster pair report; on a
+    planted 20%-dup corpus it must switch to the Σk star-edge feed —
+    and the consumer's verdicts must be identical to the report
+    path's either way (connectivity invariance is what makes the
+    routing safe)."""
+    from big_data_exercise_spark.dedup import cluster, winnow
+
+    docs = load_table(spark, SF_DIR, "documents")
+    winnow.closure_pairs_auto(docs)
+    assert winnow.LAST_ROUTE["route"] == "report", winnow.LAST_ROUTE
+    assert winnow.LAST_ROUTE["dup_fraction"] < 0.01
+
+    # 500 base docs + 5×25 clones = 625 docs, 500 distinct → 20% dups
+    dup = _planted_dup_corpus(spark, copies=5, take=25)
+    auto = winnow.closure_pairs_auto(dup)
+    assert winnow.LAST_ROUTE["route"] == "edges", winnow.LAST_ROUTE
+    assert abs(winnow.LAST_ROUTE["dup_fraction"] - 0.2) < 0.01
+    via_auto = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster.dedup_cluster_assignment(dup, auto).collect()
+    }
+    report = winnow.overlap_pairs(dup).select("id1", "id2")
+    via_report = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster.dedup_cluster_assignment(dup, report).collect()
+    }
+    assert via_auto == via_report
+
+
 def test_hll_reach_contracts_hold_in_dense_mode(spark):
     """The sf0.001/sf0.01 oracle lanes only exercise HLL in sparse
     mode, where union == direct sketching bit-for-bit; at sf0.1 the
