@@ -32,6 +32,18 @@ WIN = 4  # winnowing window (hashes)
 _POW = [31 ** (K - 1 - j) for j in range(K)]
 
 
+def _norm_text(col=None):
+    """The kernel's text normalization — lowercase printable ASCII —
+    as a single shared expression. The exact-dup collapse
+    (:func:`_collapsed_fingerprints`), the relational fingerprint twin
+    and the routing probe (:func:`exact_dup_fraction`) must all agree
+    on this byte-for-byte: the probe's collapse estimate routes the
+    closure feed onto the collapse the edge path actually performs."""
+    return F.lower(
+        F.regexp_replace(col if col is not None else F.col("text"), r"[^\x20-\x7e]", "")
+    )
+
+
 def _kgram_hashes(cs, k: int = K):
     """array<long> of polynomial k-gram hashes over a char-code array
     column. Indexing a pre-split array is O(1) per access; the naive
@@ -61,7 +73,7 @@ def fingerprint_sets_relational(
     which makes it the CPU bottleneck of the dedup tier. Kept as the
     documentation/equivalence twin of ``fingerprint_sets``; a property
     test asserts both produce identical sets."""
-    t = F.lower(F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""))
+    t = _norm_text()
     codes = F.transform(
         F.split(F.col("t"), ""), lambda c: F.ascii(c).cast("long")
     )
@@ -179,8 +191,7 @@ def _collapsed_fingerprints(documents: DataFrame, k: int = K, w: int = WIN):
     from big_data_exercise_spark.tables import ensure_parallelism
 
     documents = ensure_parallelism(documents)
-    norm = F.lower(F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""))
-    keyed = documents.select("doc_id", "text", F.md5(norm).alias("nfp"))
+    keyed = documents.select("doc_id", "text", F.md5(_norm_text()).alias("nfp"))
     members = keyed.select("doc_id", "nfp").localCheckpoint(eager=False)
     # ONE aggregation picks each cluster's representative doc AND its
     # text (min_by ties the text to the min doc_id) — no join back
@@ -428,19 +439,45 @@ DUP_ROUTE_FRACTION = 0.10
 LAST_ROUTE: dict = {}
 
 
-def exact_dup_fraction(documents: DataFrame) -> float:
+# exact_dup_fraction memo: four closure registry queries probe the
+# same corpus; without this each one re-runs the identical full-scan
+# aggregate at plan-build time (round-6 review finding). Keyed on
+# (input files, analyzed plan) so a filtered/derived corpus over the
+# same files never shares an entry; in-memory inputs (no files) skip
+# the cache entirely.
+_DUP_FRACTION_CACHE: dict[tuple, float] = {}
+
+
+def _dup_fraction_key(documents: DataFrame):
+    try:
+        files = tuple(sorted(documents.inputFiles()))
+        if not files:
+            return None
+        plan = documents._jdf.queryExecution().analyzed().toString()
+        return (files, plan)
+    except Exception:
+        return None
+
+
+def exact_dup_fraction(documents: DataFrame, use_cache: bool = True) -> float:
     """Fraction of docs whose normalized text (the kernel's own
     printable-ASCII + lowercase normalization — identical to
     :func:`_collapsed_fingerprints`) duplicates another doc's: one
     count+count_distinct aggregate, a single cheap corpus pass next
     to the 8-gram rolling-hash fingerprint kernel both downstream
-    paths run."""
-    norm = F.lower(F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""))
+    paths run. Memoized per (input files, analyzed plan) so the four
+    closure consumers probe a given corpus once per process."""
+    key = _dup_fraction_key(documents) if use_cache else None
+    if key is not None and key in _DUP_FRACTION_CACHE:
+        return _DUP_FRACTION_CACHE[key]
     row = documents.agg(
         F.count("doc_id").alias("n"),
-        F.count_distinct(F.md5(norm)).alias("s"),
+        F.count_distinct(F.md5(_norm_text())).alias("s"),
     ).collect()[0]
-    return 0.0 if not row["n"] else 1.0 - row["s"] / row["n"]
+    frac = 0.0 if not row["n"] else 1.0 - row["s"] / row["n"]
+    if key is not None:
+        _DUP_FRACTION_CACHE[key] = frac
+    return frac
 
 
 def closure_pairs_auto(

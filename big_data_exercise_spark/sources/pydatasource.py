@@ -383,12 +383,17 @@ class FileLogStreamReader(DataSourceStreamReader):
         sizes = _log_sizes(self.path)
         start = self._baseline()
         lim = self.max_per_trigger
-        if start is None or lim is None:
+        if start is None:
             return sizes
         # lag floors at 0 and every end floors at its start: a shrunken
         # partition file (manual truncation of the JSONL log) must never
         # plan end < start — that corrupts the remainder loop and would
-        # move the engine's committed offsets backwards
+        # move the engine's committed offsets backwards. The floor
+        # applies on the unlimited path too: with no rate limit the raw
+        # sizes of a truncated file would otherwise regress the offset
+        # log directly.
+        if lim is None:
+            return {p: max(sizes[p], start.get(p, 0)) for p in sizes}
         lag = {p: max(0, sizes[p] - start.get(p, 0)) for p in sizes}
         total = sum(lag.values())
         if total <= lim:

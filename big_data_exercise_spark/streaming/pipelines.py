@@ -413,6 +413,13 @@ def run_to_memory(
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdes_ckpt_")
     spark = result.sparkSession
+    # recentProgress keeps only the LAST numRecentProgressUpdates
+    # entries (default 100): a >100-batch run would otherwise publish
+    # latency percentiles biased toward the late, warmed-up batches
+    # (round-6 review finding). Raise it for the duration of the run.
+    prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    saved_prog = spark.conf.get(prog_key, None)
+    spark.conf.set(prog_key, "100000")
     with _state_partitions(spark, state_partitions):
         q = (
             result.writeStream.format("memory")
@@ -431,6 +438,10 @@ def run_to_memory(
     finally:
         q.stop()
         q.awaitTermination()
+        if saved_prog is None:
+            spark.conf.unset(prog_key)
+        else:
+            spark.conf.set(prog_key, saved_prog)
     # Materialize: the memory table dies with the query registry churn.
     return spark.table(name).localCheckpoint(eager=True)
 

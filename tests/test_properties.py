@@ -301,8 +301,12 @@ def test_closure_feed_auto_routes_on_collapse(spark):
     assert winnow.LAST_ROUTE["route"] == "report", winnow.LAST_ROUTE
     assert winnow.LAST_ROUTE["dup_fraction"] < 0.01
 
-    # 500 base docs + 5×25 clones = 625 docs, 500 distinct → 20% dups
-    dup = _planted_dup_corpus(spark, copies=5, take=25)
+    # clones = n/4 of the base corpus (5 copies × n/20 docs) → planted
+    # dup fraction (n/4)/(n + n/4) = 20% at ANY suite SF_DIR — the
+    # sf0.1 lane has 5000 docs, a hardcoded clone count would land
+    # under the 10% routing threshold there (round-6 review finding)
+    n = docs.count()
+    dup = _planted_dup_corpus(spark, copies=5, take=max(1, n // 20))
     auto = winnow.closure_pairs_auto(dup)
     assert winnow.LAST_ROUTE["route"] == "edges", winnow.LAST_ROUTE
     assert abs(winnow.LAST_ROUTE["dup_fraction"] - 0.2) < 0.01

@@ -623,3 +623,14 @@ def test_file_log_shrunken_partition_never_plans_backwards(tmp_path):
     assert end2["0"] == 6 and all(
         end2[p] >= 6 for p in end2
     ), end2
+
+    # UNRATED reader (max_per_trigger=None): the floor must hold here
+    # too — raw sizes from a truncated file would regress the offset
+    # log directly (round-6 review finding)
+    rdr3 = FileLogStreamReader(log_dir, "earliest", max_per_trigger=None)
+    rdr3.initialOffset()
+    rdr3._planned_start = {p: 6 for p in rdr3._planned_start}
+    end3 = rdr3.latestOffset()
+    assert end3["0"] == 6 and all(
+        end3[p] >= 6 for p in end3
+    ), end3
