@@ -50,6 +50,13 @@ def heavy_hitters(
     threshold) is identical at both scales.
     """
     src = events.select(F.col(key).alias("k"))
+    # NULL keys never enter the sketch (pandas value_counts drops
+    # them; an equi semi-join can't match them) — but they don't need
+    # to: their exact global count is one aggregate, computed below
+    # alongside n_total and unioned back in when it clears the
+    # threshold. Exactness therefore covers the FULL key domain,
+    # NULL included (round-6 review finding).
+    src_nn = src.filter(F.col("k").isNotNull())
 
     def mg_partition(batches):
         import pandas as pd
@@ -76,18 +83,29 @@ def heavy_hitters(
             yield pd.DataFrame({"k": counters.index})
 
     candidates = (
-        src.mapInPandas(mg_partition, schema=src.schema).distinct()
+        src_nn.mapInPandas(mg_partition, schema=src.schema).distinct()
     )
-    total = events.agg(F.count("*").alias("n_total"))
-    return (
-        src.join(F.broadcast(candidates), "k", "left_semi")
+    totals = src.agg(
+        F.count("*").alias("n_total"),
+        F.count("k").alias("n_nonnull"),
+    )
+    hitters = (
+        src_nn.join(F.broadcast(candidates), "k", "left_semi")
         .groupBy("k")
         .agg(F.count("*").alias("n_events"))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(totals))
         .filter(F.col("n_events") * k > F.col("n_total"))
         .select(F.col("k").alias(key), "n_events")
-        .orderBy(key)
     )
+    key_type = src.schema["k"].dataType.simpleString()
+    null_row = (
+        totals.filter((F.col("n_total") - F.col("n_nonnull")) * k > F.col("n_total"))
+        .select(
+            F.lit(None).cast(key_type).alias(key),
+            (F.col("n_total") - F.col("n_nonnull")).alias("n_events"),
+        )
+    )
+    return hitters.unionByName(null_row).orderBy(key)
 
 
 def heavy_hitters_sql(key: str = "user_id", k: int = K_COUNTERS) -> str:

@@ -236,8 +236,13 @@ def supplier_triangles(
     # Pure-plan scalars (no driver collect): three 1-row aggregates
     # cross-joined, the same shape as lsh_recall_report.
     e_cnt = edges.agg(F.count("*").alias("n_edges"))
+    # d·(d−1) is always even, so DIV 2 is exact — and the sum stays in
+    # int64 end to end. The float formulation (d*(d-1)/2 summed as
+    # double) drifts past 2^53 and casts differently per engine
+    # (Spark truncates, DuckDB rounds) — real on power-law graphs at
+    # the 100 TB regime (round-6 review finding).
     w_cnt = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("n_wedges")
     )
     t_cnt = closed.agg(F.count("*").alias("n_triangles"))
     return (
@@ -310,13 +315,19 @@ def association_rules(
         .agg(F.count("*").alias("n12"))
         .filter(F.col("n12") >= min_pairs)
     )
+    # No broadcast hint on per_s: it carries one row per distinct
+    # supplier, which at the 100 TB regime is far past broadcast size
+    # — a forced hint would override autoBroadcastJoinThreshold into a
+    # driver OOM. Unhinted, Catalyst broadcasts it while it's small
+    # and AQE falls back to a shuffle join when it isn't; `pairs` is
+    # the post-filter small side either way (round-6 review finding).
     joined = (
         pairs.join(
-            F.broadcast(per_s.select(F.col("s").alias("s1"), F.col("cnt").alias("c1"))),
+            per_s.select(F.col("s").alias("s1"), F.col("cnt").alias("c1")),
             "s1",
         )
         .join(
-            F.broadcast(per_s.select(F.col("s").alias("s2"), F.col("cnt").alias("c2"))),
+            per_s.select(F.col("s").alias("s2"), F.col("cnt").alias("c2")),
             "s2",
         )
         .crossJoin(F.broadcast(n_c))

@@ -63,19 +63,6 @@ def zorder_curve(events: DataFrame, top: int = 50) -> DataFrame:
     return keyed.orderBy(F.desc("z"), "event_id").limit(top)
 
 
-def zorder_write(events: DataFrame, path: str, n_files: int = 16) -> None:
-    """The actual layout action: range-partition by z-value and write —
-    each output file covers a compact (user_id, vbucket) rectangle."""
-    vbucket = F.floor(F.col("value")).cast("long")
-    (
-        events.withColumn("z", zvalue(F.col("user_id").cast("long"), vbucket))
-        .repartitionByRange(n_files, "z")
-        .sortWithinPartitions("z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-
-
 def fragment_write(events: DataFrame, path: str, n_files: int = 200) -> None:
     """Simulate the small-files problem: round-robin the table into
     ``n_files`` shards (what a high-frequency streaming sink or

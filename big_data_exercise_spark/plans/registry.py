@@ -2934,7 +2934,7 @@ def _specs() -> list[QuerySpec]:
                             UNION ALL SELECT v, u FROM oriented) t
                ON b = t.x AND c = t.y),
         ec AS (SELECT COUNT(*) AS n_edges FROM edges),
-        wc AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        wc AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
                FROM deg)
         SELECT n_edges, n_wedges, n_triangles,
                CASE WHEN n_wedges > 0

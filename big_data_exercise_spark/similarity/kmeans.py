@@ -29,7 +29,7 @@ probe, so round count — and the oracle — is deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 QSCALE = 1000000.0  # fixed-point: q = floor((v + 1) * QSCALE), non-negative
 

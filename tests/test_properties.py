@@ -1254,6 +1254,37 @@ def test_heavy_hitters_exact_under_eviction(spark):
     assert len(got) == 3
 
 
+def test_heavy_hitters_exact_with_null_keys(spark):
+    """NULL keys never enter the MG sketch (pandas value_counts drops
+    them; an equi semi-join can't match them) — round-6 review found
+    the plan silently omitting a frequent NULL group the naive
+    groupBy reports. NULLs are now counted exactly OUTSIDE the sketch
+    and unioned back in past the threshold; pin both directions:
+    frequent NULL appears, infrequent NULL doesn't."""
+    from big_data_exercise_spark.operators import frequency
+
+    rows = spark.range(5000).select((F.col("id") + 100).alias("k"))
+    hot = spark.range(900).select((F.col("id") % 3).alias("k"))
+    nulls = spark.range(400).select(F.lit(None).cast("long").alias("k"))
+    data = rows.unionAll(hot).unionAll(nulls).repartition(8)
+
+    k = 64  # n = 6300, n/k ≈ 98 → 3 hot keys (300) + NULL (400)
+    got = frequency.heavy_hitters(data, key="k", k=k).collect()
+    expect = (
+        data.groupBy("k").agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(data.agg(F.count("*").alias("n"))))
+        .filter(F.col("n_events") * k > F.col("n"))
+        .select("k", "n_events").orderBy("k").collect()
+    )
+    assert sorted(map(tuple, got), key=str) == sorted(map(tuple, expect), key=str)
+    assert {r["k"] for r in got} == {None, 0, 1, 2}
+
+    # below threshold: the NULL row must NOT appear (n=5930, n/k≈93)
+    few_nulls = rows.unionAll(hot).unionAll(nulls.limit(30)).repartition(8)
+    got2 = frequency.heavy_hitters(few_nulls, key="k", k=k).collect()
+    assert {r["k"] for r in got2} == {0, 1, 2}
+
+
 def test_compaction_reduces_file_count_without_changing_data(spark):
     """The compaction pass must (a) actually shrink the file count to
     the target, (b) do it shuffle-free (coalesce), (c) preserve every

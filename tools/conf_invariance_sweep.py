@@ -16,6 +16,13 @@ query). Companion axes already swept clean (recorded in PLANS.md):
   (tools/parallelism_sweep.py — three-way, kept separate)
 * spark.sql.adaptive.enabled=false   — 222 ok / 0 crash / 0 diff
   (this tool: results must never depend on AQE replanning)
+* spark.sql.execution.arrow.maxRecordsPerBatch=13 — 223 / 0 / 0
+  (this tool, round 6: every pandas-UDF/mapInPandas kernel must be
+  batch-boundary independent — tiny batches shake out per-batch state)
+* spark.sql.files.maxPartitionBytes=65536 + openCostInBytes=0
+  — 223 / 0 / 0 (this tool, round 6: input-split boundaries are what
+  actually vary on a 1000-executor cluster; results must not depend
+  on scan partitioning)
 """
 import hashlib
 import os
