@@ -64,17 +64,26 @@ def contamination_report(
         .select("gh").distinct()
     )
     probe = hashed.filter(F.col("doc_id") % bench_modulus != 0)
-    per_doc = probe.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-    )
-    hits = (
-        probe.join(F.broadcast(bench), "gh", "left_semi")
+    # ONE pass over the probe side: a broadcast LEFT join with a hit
+    # marker counts total grams and contaminated grams in the same
+    # aggregate. The previous two-aggregate formulation scanned and
+    # re-tokenized the full corpus twice AND inner-joined the counts,
+    # which dropped zero-hit docs before the min_hits filter could see
+    # them — min_hits=0 ("report every probe doc") silently behaved as
+    # min_hits=1 (round-6 review finding). Probe grams are distinct
+    # per doc and bench grams are distinct, so the join never fans out.
+    scored = (
+        probe.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "gh", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
     )
     return (
-        per_doc.join(hits, "doc_id")
-        .filter(F.col("n_contaminated") >= min_hits)
+        scored.filter(F.col("n_contaminated") >= min_hits)
         .select(
             "doc_id",
             "n_grams",

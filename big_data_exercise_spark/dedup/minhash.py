@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_exercise_spark.functions.numeric import round_det
 from big_data_exercise_spark.functions.text import tokens
 
 P = 8191
@@ -248,7 +249,7 @@ def _verified_rep_pairs(
         cand.join(a, "id1")
         .join(b, "id2")
         .filter(ratio_ok)
-        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .select("id1", "id2", round_det(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return members, reps, verified

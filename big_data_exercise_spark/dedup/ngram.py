@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_exercise_spark.functions.numeric import round_det
 from big_data_exercise_spark.functions.text import tokens
 
 
@@ -44,6 +45,6 @@ def pairwise_jaccard(
     uni = F.size(F.array_union("sh1", "sh2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.round(inter / uni, 4).alias("jaccard"))
+        .select("id1", "id2", round_det(inter / uni, 4).alias("jaccard"))
         .filter(F.col("jaccard") > F.lit(min_jaccard))
     )

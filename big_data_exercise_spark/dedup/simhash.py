@@ -39,14 +39,22 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
         for i in range(BITS)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_sums)
+    return sums.select("doc_id", _pack_bits().alias("simhash"))
+
+
+def _pack_bits():
+    """Sign-bit packing s0..s63 → one long: the ONE copy of the tie
+    rule (s_i > 0 → bit set) and the shiftleft construction, shared by
+    the production and oracle-checked signature variants so they can
+    never disagree on bit patterns. shiftleft (not Python <<, which is
+    undefined on Column); the JVM-side shift wraps bit 63 into the
+    sign bit, which is fine for a bit pattern."""
     sim = F.lit(0).cast("long")
     for i in range(BITS):
-        # shiftleft (not Python <<, undefined on Column); JVM-side shift
-        # wraps bit 63 into the sign bit, which is fine for a bit pattern.
         sim = sim + F.when(
             F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id", sim.alias("simhash"))
+    return sim
 
 
 def hamming(a, b):
@@ -88,12 +96,7 @@ def signatures_checked(documents: DataFrame) -> DataFrame:
         for i in range(BITS)
     ]
     sums = tt.groupBy("doc_id").agg(*bit_sums)
-    sim = F.lit(0).cast("long")
-    for i in range(BITS):
-        sim = sim + F.when(
-            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id", sim.alias("simhash"))
+    return sums.select("doc_id", _pack_bits().alias("simhash"))
 
 
 def oracle_sql_checked(toks_sql: str, max_distance: int = 3) -> str:
@@ -158,6 +161,16 @@ def near_duplicates(
     cross-hash pairs with the representative distance. On duplicative
     corpora the bucket join shrinks quadratically with cluster size.
     """
+    if max_distance > BANDS - 1:
+        # The pigeonhole guarantee stops at BANDS−1 flipped bits: a
+        # pair at distance BANDS can straddle every band and never
+        # share a bucket. Accepting a larger radius would silently
+        # return partial recall (round-6 review finding).
+        raise ValueError(
+            f"banded SimHash guarantees recall only for max_distance <= "
+            f"{BANDS - 1} (got {max_distance}); raise BANDS or use an "
+            f"all-pairs verify for larger radii"
+        )
     # Materialization boundary (lazy checkpoint; GC-released):
     # consumed by the groupBy AND the expansion joins.
     sig_fn = signatures_checked if checked else simhash_signatures

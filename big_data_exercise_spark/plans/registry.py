@@ -140,11 +140,11 @@ _MINHASH_CTES = f"""toks AS (
           GROUP BY c.id1, c.id2),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id)"""
 _MINHASH_PAIRS = """SELECT id1, id2,
-               ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) AS jaccard
+               (CAST(CASE WHEN (n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 >= 0 THEN FLOOR((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 + 0.5) ELSE CEIL((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 - 0.5) END AS DOUBLE) / 10000.0) AS jaccard
         FROM isz
         JOIN sizes s1 ON s1.doc_id = id1
         JOIN sizes s2 ON s2.doc_id = id2
-        WHERE ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) >= 0.8"""
+        WHERE (CAST(CASE WHEN (n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 >= 0 THEN FLOOR((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 + 0.5) ELSE CEIL((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 - 0.5) END AS DOUBLE) / 10000.0) >= 0.8"""
 
 
 # ---------------------------------------------------------------- specs
@@ -2222,11 +2222,11 @@ def _specs() -> list[QuerySpec]:
           SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n
           FROM tt a JOIN tt b ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-        SELECT id1, id2, ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) AS jaccard
+        SELECT id1, id2, (CAST(CASE WHEN (n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 >= 0 THEN FLOOR((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 + 0.5) ELSE CEIL((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 - 0.5) END AS DOUBLE) / 10000.0) AS jaccard
         FROM inter
         JOIN sizes s1 ON s1.doc_id = id1
         JOIN sizes s2 ON s2.doc_id = id2
-        WHERE ROUND(n * 1.0 / (s1.sz + s2.sz - n), 4) > 0.0
+        WHERE (CAST(CASE WHEN (n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 >= 0 THEN FLOOR((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 + 0.5) ELSE CEIL((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 - 0.5) END AS DOUBLE) / 10000.0) > 0.0
         """,
         ("dedup", "ngram"),
         "exact n-gram shingle Jaccard (bounded verification kernel)",
@@ -2317,7 +2317,7 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: knn.cosine_topk(_t(sp, d, "embeddings")),
         f"""
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, label, ROUND({cos_e_q}, 4) AS cos_sim
+        SELECT vec_id, label, {round_det_sql(cos_e_q, 4)} AS cos_sim
         FROM embeddings, q WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
@@ -2330,10 +2330,10 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: knn.blocked_near_duplicates(_t(sp, d, "embeddings")),
         f"""
         SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
-               ROUND({cos_ab}, 4) AS cos_sim
+               {round_det_sql(cos_ab, 4)} AS cos_sim
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND({cos_ab}, 4) >= 0.35
+        WHERE {round_det_sql(cos_ab, 4)} >= 0.35
         """,
         ("similarity", "dedup"),
         "label-blocked embedding-cosine near-dup pairs",
@@ -2362,7 +2362,7 @@ def _specs() -> list[QuerySpec]:
             SELECT c.centroid_id, {cos_c_q} AS cos_q FROM cent c, q) t
           ORDER BY cos_q DESC, centroid_id LIMIT 2)
         SELECT vec_id, label, centroid_id,
-               ROUND({cos_e_q}, 4) AS cos_sim
+               {round_det_sql(cos_e_q, 4)} AS cos_sim
         FROM assigned JOIN probe USING (centroid_id), q
         WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10
@@ -2398,7 +2398,7 @@ def _specs() -> list[QuerySpec]:
             SELECT c.centroid_id, {_cos_sql("c.c", "qe")} AS cos_q FROM cent c, q) t
           ORDER BY cos_q DESC, centroid_id LIMIT 2)
         SELECT vec_id, label, centroid_id,
-               ROUND({_cos_sql("embedding", "qe")}, 4) AS cos_sim
+               {round_det_sql(_cos_sql("embedding", "qe"), 4)} AS cos_sim
         FROM assigned JOIN probe USING (centroid_id), q
         WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10
@@ -3075,7 +3075,7 @@ def _specs() -> list[QuerySpec]:
           WHERE vec_id < 8),
         sc AS (
           SELECT q.query_id, e.vec_id, e.label,
-                 ROUND({_cos_sql("e.embedding", "q.qe")}, 4) AS cos_sim
+                 {round_det_sql(_cos_sql("e.embedding", "q.qe"), 4)} AS cos_sim
           FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         SELECT query_id, vec_id, label, cos_sim, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (

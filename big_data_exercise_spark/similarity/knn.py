@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from big_data_exercise_spark.functions.arrays import EMBEDDING_DIM, cosine as _cosine_any
+from big_data_exercise_spark.functions.numeric import round_det
 
 
 def cosine(a: str, b: str):
@@ -50,7 +51,7 @@ def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFr
         .select(
             "vec_id",
             "label",
-            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
+            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
@@ -92,7 +93,7 @@ def blocked_near_duplicates(embeddings: DataFrame, threshold: float = 0.35) -> D
     scored = arrow_pair_cosine(paired, "e1", "e2", ["label", "id1", "id2"])
     return (
         scored.select(
-            "label", "id1", "id2", F.round("cos_raw", 4).alias("cos_sim")
+            "label", "id1", "id2", round_det(F.col("cos_raw"), 4).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -178,7 +179,7 @@ def ivf_topk_indexed(
             "vec_id",
             "label",
             F.col("centroid_id").cast("long").alias("centroid_id"),
-            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
+            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -216,7 +217,7 @@ def ivf_topk(
             "vec_id",
             "label",
             "centroid_id",
-            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
+            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -260,7 +261,7 @@ def cosine_topk_batch(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine("embedding", "q"), 4).alias("cos_sim"),
+            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
         )
     )
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_exercise_spark.functions.numeric import round_det, round_det_sql
+
 BITS = 16
 BANDS = 4
 ROWS = BITS // BANDS
@@ -39,7 +41,9 @@ def hyperplane(j: int, dim: int = DIM) -> list[float]:
     ]
 
 
-def band_keys(embeddings: DataFrame, bits: int = BITS, bands: int = BANDS) -> DataFrame:
+def band_keys(
+    embeddings: DataFrame, bits: int = BITS, bands: int = BANDS, dim: int = DIM
+) -> DataFrame:
     """(vec_id, band, key): one bucket row per band, key = the band's
     sign-bit pattern as an int.
 
@@ -57,16 +61,33 @@ def band_keys(embeddings: DataFrame, bits: int = BITS, bands: int = BANDS) -> Da
     import numpy as np
 
     rows = bits // bands
-    hp = [hyperplane(j) for j in range(bits)]
+    hp = [hyperplane(j, dim) for j in range(bits)]
 
     def project(batches):
         import pandas as pd
 
         for pdf in batches:
-            n = len(pdf)
+            # Dirty-corpus degradation, same contract as the verify
+            # stage's arrow_pair_cosine: a NULL or wrong-width
+            # embedding can't be bucketed, so THAT row is dropped from
+            # the candidate generator instead of np.vstack throwing
+            # away the whole Arrow batch (and the job with it).
+            # Validity is judged against the fixed corpus dimension,
+            # never inferred from batch content (round-6 review
+            # finding).
+            emb = pdf["embedding"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in emb),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not ok.all():
+                emb, ids = emb[ok], ids[ok]
+            n = len(ids)
             if not n:
                 continue
-            v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = np.vstack(emb).astype(np.float64)
             bit = np.empty((n, bits), dtype=np.int64)
             for j in range(bits):
                 acc = np.zeros(n, dtype=np.float64)
@@ -74,7 +95,7 @@ def band_keys(embeddings: DataFrame, bits: int = BITS, bands: int = BANDS) -> Da
                     acc += v[:, i] * hp[j][i]
                 bit[:, j] = acc >= 0
             out = {
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                "vec_id": np.repeat(ids, bands),
                 "band": np.tile(np.arange(bands, dtype=np.int32), n),
                 "key": np.zeros(n * bands, dtype=np.int64),
             }
@@ -127,7 +148,7 @@ def near_duplicates(
 
     scored = arrow_pair_cosine(paired, "e1", "e2", ["id1", "id2"])
     return (
-        scored.select("id1", "id2", F.round("cos_raw", 4).alias("cos_sim"))
+        scored.select("id1", "id2", round_det(F.col("cos_raw"), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -166,9 +187,9 @@ def oracle_sql(threshold: float = 0.35, bits: int = BITS, bands: int = BANDS) ->
       SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
                                AND a.vec_id < b.vec_id)
-    SELECT id1, id2, ROUND({cos}, 4) AS cos_sim
+    SELECT id1, id2, {round_det_sql(cos, 4)} AS cos_sim
     FROM cand
     JOIN embeddings e1 ON e1.vec_id = id1
     JOIN embeddings e2 ON e2.vec_id = id2
-    WHERE ROUND({cos}, 4) >= {threshold}
+    WHERE {round_det_sql(cos, 4)} >= {threshold}
     """

@@ -98,10 +98,17 @@ def _assign(lf: DataFrame, cents: DataFrame) -> DataFrame:
     return best.select("vid", "sub", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
 
 
-def pq_codebooks(lf: DataFrame, k: int = K_CENTS, iters: int = ITERS) -> DataFrame:
+def pq_codebooks(
+    lf: DataFrame, k: int = K_CENTS, iters: int = ITERS, assign_fn=None
+) -> DataFrame:
     """(sub, cid, dim, qc) codebooks for every sub-space, trained by
     ``iters`` integer Lloyd rounds. Seeds: the k smallest vids seed
-    every sub-space (cid = seed rank — deterministic, no RNG)."""
+    every sub-space (cid = seed rank — deterministic, no RNG).
+    ``assign_fn(cents) -> (vid, sub, cid, ...)`` overrides the
+    relational assignment step — the production path passes the
+    bit-identical Arrow kernel (:func:`_codes_arrow`) so training
+    avoids the kcent× join fan-out; the centroid-update aggregate is
+    shared either way."""
     from big_data_exercise_spark.operators.windows import broadcast_prefix_offsets
 
     seeds = (
@@ -117,7 +124,7 @@ def pq_codebooks(lf: DataFrame, k: int = K_CENTS, iters: int = ITERS) -> DataFra
         .localCheckpoint()
     )
     for _ in range(iters):
-        assigned = _assign(lf, cents)
+        assigned = assign_fn(cents) if assign_fn is not None else _assign(lf, cents)
         cents = (
             lf.join(assigned.select("vid", "sub", "cid"), ["vid", "sub"])
             .groupBy("sub", "cid", "dim")
@@ -125,6 +132,86 @@ def pq_codebooks(lf: DataFrame, k: int = K_CENTS, iters: int = ITERS) -> DataFra
             .localCheckpoint()
         )
     return cents
+
+
+def _codes_arrow(embeddings: DataFrame, cents: DataFrame, m: int, n_dims: int) -> DataFrame:
+    """(vid, sub, cid) PQ codes via a broadcast-codebook Arrow kernel —
+    the production encode. The relational ``_assign`` fans every
+    (vid, dim) row out kcent× through its broadcast join (at kcent=256
+    and 200k×64-dim vectors that is 3.3 B join rows + a 410 M-group
+    aggregate — measured 236 s where this kernel runs the same
+    multiply-adds in ~seconds); the fan-out exists only to keep the
+    toy config oracle-unrollable, which the rows-only production mode
+    does not need.
+
+    Bit-identical to ``_assign`` (property-tested): the same
+    fixed-point quantization (floor((v+1)·QSCALE), every op exact
+    IEEE), integer-exact distances (|x|² − 2x·c + |c|² in float64 —
+    every intermediate is an integer < 2⁵³, so the BLAS matmul is
+    exact), and ties broken to the lowest cid (argmin first-hit over
+    cid-ascending codebooks == struct-min(dist, cid)). NULL or
+    wrong-width embeddings drop per-row, matching the relational
+    path, where posexplode of a NULL array yields nothing."""
+    import numpy as np
+
+    from big_data_exercise_spark.similarity.kmeans import QSCALE
+
+    dsub = n_dims // m
+    # Bounded collect: ≤ m·kcent·dsub rows (16384 at the PQ64 shape) —
+    # the same broadcast-the-small-side pattern as the ADC LUT.
+    crows = cents.select("sub", "cid", "dim", "qc").collect()
+    by_sub: dict = {}
+    for r in crows:
+        by_sub.setdefault(r["sub"], {}).setdefault(r["cid"], {})[r["dim"]] = r["qc"]
+    books = {}
+    for sub, cids in by_sub.items():
+        order = sorted(cids)  # cid-ascending → argmin ties = lowest cid
+        mat = np.zeros((len(order), dsub), dtype=np.float64)
+        for row_i, cid in enumerate(order):
+            for dim, qc in cids[cid].items():
+                mat[row_i, dim - sub * dsub] = qc
+        books[int(sub)] = (np.asarray(order, dtype=np.int32), mat)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            emb = pdf["embedding"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            ok = np.fromiter(
+                (v is not None and len(v) == n_dims for v in emb),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not ok.all():
+                emb, vids = emb[ok], vids[ok]
+            n = len(vids)
+            if not n:
+                continue
+            v = np.vstack(emb).astype(np.float64)
+            q = np.floor((v + 1.0) * QSCALE)  # == quantized_long, exact
+            out = {"vid": [], "sub": [], "cid": []}
+            for sub in range(m):
+                if sub not in books:
+                    continue
+                cid_arr, mat = books[sub]
+                x = q[:, sub * dsub : (sub + 1) * dsub]
+                dist = (
+                    (x * x).sum(axis=1)[:, None]
+                    + (mat * mat).sum(axis=1)[None, :]
+                    - 2.0 * (x @ mat.T)
+                )
+                idx = np.argmin(dist, axis=1)
+                out["vid"].append(vids)
+                out["sub"].append(np.full(n, sub, dtype=np.int32))
+                out["cid"].append(cid_arr[idx])
+            yield pd.DataFrame(
+                {k: np.concatenate(a) for k, a in out.items()}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vid long, sub int, cid int"
+    )
 
 
 def pq_topk(
@@ -137,6 +224,8 @@ def pq_topk(
     n_dims: int = N_DIMS,
     rerank: int = RERANK,
     train_mod: int = 1,
+    train_cap: int | None = None,
+    arrow_encode: bool = False,
 ) -> DataFrame:
     """Top-``k`` per query (the ``n_queries`` smallest vec_ids) via
     PQ-ADC shortlist + exact re-rank. Output: (query_id, vec_id,
@@ -145,11 +234,46 @@ def pq_topk(
     ``train_mod > 1`` trains the codebooks on the deterministic
     ``vid % train_mod == 0`` slice only (the bounded-training-sample
     knob for corpora where even one full Lloyd pass is too dear);
-    encode, ADC, and re-rank always cover the whole corpus."""
+    encode, ADC, and re-rank always cover the whole corpus.
+    ``train_cap`` derives that knob from the corpus itself: one count
+    picks the smallest train_mod keeping the Lloyd sample ≤ cap —
+    the classical PQ recipe (codebooks train on a bounded sample, the
+    full corpus is only ever encoded/scanned). Measured at 100×
+    replication (200k vectors): full-corpus training is 19× the 1×
+    wall while the capped path stays flat — training is the ONLY
+    superlinear stage, so the cap is what makes the operator scale
+    (PLANS.md round-6)."""
     lf = _long_with_sub(embeddings, m, n_dims).localCheckpoint()
+    if train_cap is not None and train_mod == 1:
+        n = embeddings.count()
+        train_mod = -(-n // train_cap)  # ceil: sample ≈ n/train_mod ≤ cap
     train = lf.filter(F.col("vid") % train_mod == 0) if train_mod > 1 else lf
-    cents = pq_codebooks(train, kcent, iters)
-    codes = _assign(lf, cents).select("vid", "sub", "cid")
+    if arrow_encode:
+        # Same kernel for the training assignment (proven bit-identical
+        # to _assign): the Lloyd round otherwise pays the same kcent×
+        # join fan-out as the encode, on the training slice.
+        train_emb = (
+            embeddings.filter(F.col("vec_id") % train_mod == 0)
+            if train_mod > 1
+            else embeddings
+        )
+        cents = pq_codebooks(
+            train,
+            kcent,
+            iters,
+            assign_fn=lambda c: _codes_arrow(train_emb, c, m, n_dims),
+        )
+    else:
+        cents = pq_codebooks(train, kcent, iters)
+    # Encode: the one stage that touches every corpus vector at full
+    # codebook width. arrow_encode swaps the kcent×-fan-out relational
+    # join for the broadcast-codebook numpy kernel (bit-identical,
+    # property-tested) — the production path; the relational form
+    # stays for the toy config, where it unrolls into the oracle.
+    if arrow_encode:
+        codes = _codes_arrow(embeddings, cents, m, n_dims)
+    else:
+        codes = _assign(lf, cents).select("vid", "sub", "cid")
 
     qlf = lf.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("qid"), "sub", "dim", F.col("q").alias("qq")
@@ -217,11 +341,18 @@ def pq_topk(
     )
 
 
+TRAIN_CAP_PROD = 50_000  # Lloyd sample bound: ~24 training vectors
+# per (sub-space, centroid) cell at the PQ64 shape — past the point
+# where more sample stops moving the codebooks, and the knob that
+# keeps training (the only superlinear stage) flat as the corpus grows
+
+
 def pq_topk_prod(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
     train_mod: int = 1,
+    train_cap: int | None = TRAIN_CAP_PROD,
 ) -> DataFrame:
     """``pq_topk`` at the production PQ64 config — 8 sub-spaces ×
     256 centroids (one byte per sub-space, the standard Jégou code
@@ -231,7 +362,14 @@ def pq_topk_prod(
     against exact integer-L2 ground truth — tools/ann_recall.py —
     where the oracle config's toy codebook measures 0.20. Rows-only
     in the registry (the 256-centroid Lloyd unroll is beyond a
-    practical oracle CTE), mirroring minhash_near_duplicates_prod."""
+    practical oracle CTE), mirroring minhash_near_duplicates_prod.
+
+    Training is capped at ``train_cap`` vectors (one cheap count
+    derives the sampling stride): below the cap — every corpus this
+    repo tests on — behavior is byte-identical to uncapped, and past
+    it the Lloyd sample stays bounded while encode/ADC/re-rank still
+    stream the full corpus. Measured at 100× replication: uncapped
+    training costs 19× the 1× wall; capped runs flat (PLANS.md)."""
     return pq_topk(
         embeddings,
         n_queries=n_queries,
@@ -241,6 +379,8 @@ def pq_topk_prod(
         iters=ITERS_PROD,
         rerank=RERANK_PROD,
         train_mod=train_mod,
+        train_cap=train_cap,
+        arrow_encode=True,
     )
 
 

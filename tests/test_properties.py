@@ -32,9 +32,16 @@ def test_simhash_identical_texts_distance_zero(spark):
     )
     pairs = {
         (r.id1, r.id2): r.distance
-        for r in simhash.near_duplicates(docs, max_distance=64).collect()
+        for r in simhash.near_duplicates(docs, max_distance=3).collect()
     }
     assert pairs[(1, 2)] == 0
+
+    # radii past the pigeonhole guarantee (BANDS−1) are rejected, not
+    # silently served with partial recall (round-6 review finding)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distance"):
+        simhash.near_duplicates(docs, max_distance=64)
 
 
 def test_simhash_small_perturbation_small_distance(spark):
@@ -513,6 +520,51 @@ def test_pq_prod_recall_and_exact_rerank(spark):
         recs.append(len({h["vec_id"] for h in hits} & truth) / k)
     assert len(by_q) == nq
     assert np.mean(recs) >= 0.9, recs
+
+
+def test_pq_arrow_encode_bit_identical_and_cap_wiring(spark):
+    """The production PQ path encodes (and train-assigns) with the
+    broadcast-codebook Arrow kernel instead of the kcent×-fan-out
+    relational join (measured 236 s → seconds for the 200k-vector
+    encode at kcent=256). Its contract is BIT-IDENTITY with
+    ``_assign``: same fixed-point quantization, integer-exact
+    distances, ties to the lowest cid. Also pins the train_cap →
+    train_mod derivation and the dirty-row degrade."""
+    import numpy as np
+
+    from big_data_exercise_spark.similarity import pq
+    from big_data_exercise_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lf = pq._long_with_sub(emb, pq.M_SUBS_PROD, pq.N_DIMS).localCheckpoint()
+    cents = pq.pq_codebooks(lf, pq.K_CENTS_PROD, pq.ITERS_PROD)
+    rel = {
+        (r["vid"], r["sub"]): r["cid"]
+        for r in pq._assign(lf, cents).select("vid", "sub", "cid").collect()
+    }
+    arw = {
+        (r["vid"], r["sub"]): r["cid"]
+        for r in pq._codes_arrow(emb, cents, pq.M_SUBS_PROD, pq.N_DIMS).collect()
+    }
+    assert rel == arw and len(rel) > 0
+
+    # dirty rows (NULL / ragged embedding) drop per-row — the same
+    # fate posexplode gives them on the relational side
+    dirty = emb.limit(10).unionByName(
+        spark.createDataFrame(
+            [(90001, None, 0), (90002, [0.5, 0.5], 0)], emb.schema
+        )
+    )
+    got = pq._codes_arrow(dirty, cents, pq.M_SUBS_PROD, pq.N_DIMS).collect()
+    assert {r["vid"] for r in got}.isdisjoint({90001, 90002}) and got
+
+    # train_cap derives the stride: capping at ceil(n/4) vectors must
+    # equal the explicit train_mod=4 call, end-to-end
+    n = emb.count()
+    cap = -(-n // 4)
+    a = pq.pq_topk_prod(emb, n_queries=4, k=3, train_cap=cap).collect()
+    b = pq.pq_topk_prod(emb, n_queries=4, k=3, train_mod=4, train_cap=None).collect()
+    assert sorted(map(tuple, a), key=str) == sorted(map(tuple, b), key=str)
 
 
 def test_approx_percentile_within_tolerance(spark):
@@ -1252,6 +1304,59 @@ def test_heavy_hitters_exact_under_eviction(spark):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in expect]
     assert len(got) == 3
+
+
+def test_lsh_band_keys_degrades_on_dirty_embeddings(spark):
+    """A NULL or wrong-width embedding must drop THAT row from the
+    bucket generator, not kill the whole Arrow batch (and the job)
+    via np.vstack — the same dirty-corpus contract as the verify
+    stage's arrow_pair_cosine. Round-6 review: band_keys previously
+    crashed on the first NULL embedding."""
+    from big_data_exercise_spark.similarity import lsh
+    from big_data_exercise_spark.tables import load_table
+
+    base = load_table(spark, SF_DIR, "embeddings").limit(20)
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [
+                (90001, None, 0),
+                (90002, [0.5, 0.5], 0),  # ragged: 2 dims, corpus is 64
+            ],
+            base.schema,
+        )
+    )
+    keys = lsh.band_keys(dirty).collect()
+    ids = {r["vec_id"] for r in keys}
+    assert 90001 not in ids and 90002 not in ids
+    assert len(keys) == 20 * lsh.BANDS  # every clean row still bucketed
+
+    # the full pipeline survives a dirty corpus end-to-end
+    pairs = lsh.near_duplicates(dirty).collect()
+    assert all(r["id1"] < 90001 and r["id2"] < 90001 for r in pairs)
+
+
+def test_contamination_min_hits_zero_reports_clean_docs(spark):
+    """min_hits=0 means 'report every probe doc, clean ones at rate
+    0.0' — round-6 review found the inner join between the per-doc
+    gram counts and the hit counts dropped zero-hit docs before the
+    filter ran, so min_hits=0 silently behaved as min_hits=1."""
+    from big_data_exercise_spark.dedup.contamination import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # bench (id%97==0)
+            (1, "the quick brown fox jumps over the lazy dog"),  # fully contaminated
+            (2, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {r["doc_id"]: r for r in contamination_report(docs, min_hits=0).collect()}
+    assert set(full) == {1, 2}
+    assert full[2]["n_contaminated"] == 0 and full[2]["contamination_rate"] == 0.0
+    assert full[1]["n_contaminated"] == full[1]["n_grams"]
+
+    hit_only = {r["doc_id"] for r in contamination_report(docs, min_hits=1).collect()}
+    assert hit_only == {1}
 
 
 def test_heavy_hitters_exact_with_null_keys(spark):
