@@ -33,10 +33,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from big_data_exercise_spark.functions.numeric import round_det
 
+# The deterministic benchmark slice (doc_id % BENCH_MODULUS == 0).
+# ONE constant: governed_corpus's "is_benchmark" gate and this
+# module's probe split must derive from the same modulus or the two
+# gates silently desynchronize (round-6 review finding).
+BENCH_MODULUS = 97
+
 
 def _gram_hashes(n: int) -> Column:
     """DISTINCT md5 hashes of word n-grams of ``text``."""
-    w = F.split(F.col("text"), " ")
+    w = F.split(F.col("text"), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
@@ -47,7 +53,7 @@ def _gram_hashes(n: int) -> Column:
 def contamination_report(
     documents: DataFrame,
     n: int = 4,
-    bench_modulus: int = 97,
+    bench_modulus: int = BENCH_MODULUS,
     min_hits: int = 1,
 ) -> DataFrame:
     """Per-document contamination: how many of a doc's distinct
@@ -56,7 +62,7 @@ def contamination_report(
     Returns docs with ≥ ``min_hits`` contaminated grams, with the
     contaminated fraction rounded deterministically (4 dp).
     """
-    hashed = documents.filter(F.size(F.split(F.col("text"), " ")) >= n).select(
+    hashed = documents.filter(F.size(F.split(F.col("text"), r"\s+")) >= n).select(
         "doc_id", F.explode(_gram_hashes(n)).alias("gh")
     )
     bench = (
@@ -96,7 +102,7 @@ def contamination_report(
 
 
 def contamination_summary(
-    documents: DataFrame, n: int = 4, bench_modulus: int = 97,
+    documents: DataFrame, n: int = 4, bench_modulus: int = BENCH_MODULUS,
     quarantine_rate: float = 0.5,
 ) -> DataFrame:
     """Corpus-level decontamination report: docs scanned, docs

@@ -156,7 +156,7 @@ def bpe_sql(k: int = K_MERGES) -> str:
     merge rounds, same windows, same tie-break."""
     parts = ["""wc AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
         FROM documents) t GROUP BY w),
     s0 AS (
       SELECT w, u.pos AS pos, u.sym AS sym FROM (

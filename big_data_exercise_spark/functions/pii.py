@@ -55,29 +55,31 @@ def with_fixture_pii(documents: DataFrame) -> DataFrame:
 def redact_pii(documents: DataFrame) -> DataFrame:
     """Count and scrub emails/SSNs/phones/IPs per document.
 
-    Counts are taken on the dirty text; the scrub chain then
-    replaces each category with a typed tag. Output carries the
-    per-category hit counts, the redacted length, and md5 of the
-    redacted text — if any engine disagrees on a single replaced
-    byte, the hash catches it.
+    Each category is counted on the text AS THE SCRUB CHAIN SEES IT —
+    emails on the dirty text, SSNs after email redaction, phones
+    after SSN redaction, IPs after phone redaction — so the counts
+    are exactly what the chain replaced. Counting every category
+    independently on the dirty text overstates: PII nested inside an
+    earlier-redacted span (an IP-like dotted tail inside an email) is
+    counted but never replaced as its own category (round-6 review
+    finding). Output carries the per-category hit counts, the
+    redacted length, and md5 of the redacted text — if any engine
+    disagrees on a single replaced byte, the hash catches it.
     """
     d = with_fixture_pii(documents)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("dirty"), EMAIL_RE, "<EMAIL>"),
-                SSN_RE, "<SSN>"),
-            PHONE_RE, "<PHONE>"),
-        IP_RE, "<IP>")
+    s1 = F.regexp_replace(F.col("dirty"), EMAIL_RE, "<EMAIL>")
+    s2 = F.regexp_replace(s1, SSN_RE, "<SSN>")
+    s3 = F.regexp_replace(s2, PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(s3, IP_RE, "<IP>")
     return d.select(
         "doc_id",
         F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE)).cast("long")
             .alias("n_emails"),
-        F.regexp_count(F.col("dirty"), F.lit(SSN_RE)).cast("long")
+        F.regexp_count(s1, F.lit(SSN_RE)).cast("long")
             .alias("n_ssns"),
-        F.regexp_count(F.col("dirty"), F.lit(PHONE_RE)).cast("long")
+        F.regexp_count(s2, F.lit(PHONE_RE)).cast("long")
             .alias("n_phones"),
-        F.regexp_count(F.col("dirty"), F.lit(IP_RE)).cast("long")
+        F.regexp_count(s3, F.lit(IP_RE)).cast("long")
             .alias("n_ips"),
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),

@@ -129,7 +129,7 @@ def aspect_sentiments(documents: DataFrame) -> DataFrame:
     spark = documents.sparkSession
     toks = documents.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w"),
     )
     aspects = spark.createDataFrame(
         [(a, k) for a, ks in ASPECTS.items() for k in ks],
@@ -203,7 +203,7 @@ def aspect_sentiments_sql() -> str:
           SELECT doc_id, u.pos AS pos, u.w AS w FROM (
             SELECT doc_id, unnest([{{'pos': i - 1, 'w': parts[i]}}
                                    for i in range(1, len(parts) + 1)]) AS u
-            FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts
+            FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS parts
                   FROM documents) t) q),
         aspects(aspect, kw) AS (VALUES {kw_rows}),
         hits AS (

@@ -19,11 +19,15 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 # Small deterministic stopword set used for quality scoring.
 STOPWORDS = ("the", "a", "and", "of")
 
-WORD_SPLIT = " "
+WORD_SPLIT = r"\s+"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization, empty tokens dropped."""
+    """Whitespace tokenization (any \\s+ run, matching Python's
+    str.split() in the langid kernel and fingerprint()'s \\s+
+    normalization — round-6 review: the old single-space split glued
+    tab/newline-separated words into one token), empty tokens
+    dropped."""
     return F.filter(F.split(col, WORD_SPLIT), lambda t: t != F.lit(""))
 
 
@@ -73,7 +77,15 @@ def token_counts(documents: DataFrame) -> DataFrame:
 def quality_stats(documents: DataFrame) -> DataFrame:
     """Per-document quality scoring: token counts, lexical diversity,
     stopword ratio, mean token length. One codegen stage, no shuffle.
-    """
+
+    A 0-token document scores 0.0 on every ratio rather than NULL:
+    with ANSI off, 0/0 is NULL and a NULL ratio slips through any
+    boolean quality gate un-judged — neither kept nor dropped
+    (round-6 review finding). Zero diversity/length is the verdict a
+    filter SHOULD hand an empty doc. Rounding is round_det, the
+    repo's engine-stable rule."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
@@ -81,14 +93,20 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     total_tok_chars = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
+
+    def ratio(num, name):
+        return F.when(n_tok > 0, round_det(num / n_tok, 4)).otherwise(
+            F.lit(0.0)
+        ).alias(name)
+
     return documents.select(
         "doc_id",
         "lang",
         n_tok.alias("n_tokens"),
         n_uniq.alias("n_distinct_tokens"),
-        F.round(n_uniq / n_tok, 4).alias("lexical_diversity"),
-        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
-        F.round(total_tok_chars / n_tok, 4).alias("mean_token_len"),
+        ratio(n_uniq, "lexical_diversity"),
+        ratio(n_stop, "stopword_ratio"),
+        ratio(total_tok_chars, "mean_token_len"),
     )
 
 
@@ -235,10 +253,18 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
 
     ex = documents.select("doc_id", F.explode(toks).alias("tok"))
     per_tok = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    # top_char_frac is Gopher's "fraction of characters in the MOST
+    # FREQUENT token" — the char mass of the argmax-by-count token
+    # (ties → lexicographically largest token; struct-max, mirrored
+    # by the oracle's struct_pack max). A plain max(c·len) instead
+    # picks whichever token maximizes the product, letting one long
+    # rare token trip a repetition gate (round-6 review finding; the
+    # oracle carried the same wrong expression, so hash checks could
+    # not see it).
     tok_side = per_tok.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.max("c").cast("long").alias("top_tok_count"),
-        F.max(F.col("c") * F.length("tok")).cast("long").alias("top_tok_chars"),
+        F.max(F.struct(F.col("c"), F.col("tok"))).alias("top"),
         F.sum(F.col("c") * F.length("tok")).cast("long").alias("total_tok_chars"),
     )
     return tok_side.join(gram_side, "doc_id").select(
@@ -246,8 +272,10 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         "n_tokens",
         round_det(F.col("top_tok_count") / F.col("n_tokens"), 4)
         .alias("top_token_frac"),
-        round_det(F.col("top_tok_chars") / F.col("total_tok_chars"), 4)
-        .alias("top_char_frac"),
+        round_det(
+            (F.col("top.c") * F.length(F.col("top.tok"))) / F.col("total_tok_chars"),
+            4,
+        ).alias("top_char_frac"),
         "dup_bigram_frac",
         "dup_trigram_frac",
     )
@@ -363,7 +391,10 @@ def governed_corpus(
     trainer". Every input is itself an oracle-checked operator, so
     the composition stays engine-replayable end to end."""
     from big_data_exercise_spark.dedup.cluster import dedup_cluster_assignment
-    from big_data_exercise_spark.dedup.contamination import contamination_report
+    from big_data_exercise_spark.dedup.contamination import (
+        BENCH_MODULUS,
+        contamination_report,
+    )
 
     verdicts = dedup_cluster_assignment(documents, pairs).select("doc_id", "keep")
     rep = repetition_stats(documents).select(
@@ -375,7 +406,9 @@ def governed_corpus(
         .select("doc_id", F.lit(True).alias("quarantined"))
     )
     base = documents.select(
-        "doc_id", "lang", (F.col("doc_id") % 97 == 0).alias("is_benchmark")
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % BENCH_MODULUS == 0).alias("is_benchmark"),
     )
     j = (
         base.join(verdicts, "doc_id")

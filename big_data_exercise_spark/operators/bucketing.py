@@ -41,7 +41,12 @@ from big_data_exercise_spark.functions.numeric import exact_sum
 BUCKETS = 8
 
 
-_WRITTEN: set[tuple[str, str, int]] = set()
+# Memo entries carry the owning SparkContext's applicationId: a table
+# written under an earlier, stopped session lives in THAT session's
+# derby metastore/warehouse — short-circuiting on the bare table name
+# would return a name the new catalog can't resolve (round-6 review
+# finding).
+_WRITTEN: set[tuple[str, str, str, int]] = set()
 _CLEANUP_REGISTERED: set[str] = set()
 
 
@@ -95,7 +100,8 @@ def write_bucketed(
     # source parquet under sf_dir is immutable, so a table already
     # written this process is reused as-is — repeated bucketed queries
     # pay the layout cost once, like a real lakehouse table.
-    if (fq, key, buckets) in _WRITTEN:
+    app_id = spark.sparkContext.applicationId
+    if (app_id, fq, key, buckets) in _WRITTEN:
         return fq
     (
         df.write.mode("overwrite")
@@ -107,8 +113,8 @@ def write_bucketed(
     # overwrite replaced the physical layout — any memo entry for the
     # same table under a DIFFERENT key/bucket-count is now stale and
     # must not short-circuit a future re-write back to that spec
-    _WRITTEN.difference_update({e for e in _WRITTEN if e[0] == fq})
-    _WRITTEN.add((fq, key, buckets))
+    _WRITTEN.difference_update({e for e in _WRITTEN if e[1] == fq})
+    _WRITTEN.add((app_id, fq, key, buckets))
     return fq
 
 
@@ -173,8 +179,17 @@ def bucketed_point_lookup(
     sort makes parquet row-group min/max pruning surgical — I/O is
     ~1/buckets of the table instead of a full scan, independent of
     cluster size. Key chosen as the table's max order key so every SF
-    has a non-empty answer."""
-    _, l_fq = _bucketed_pair(spark, sf_dir, orders, lineitem)
+    has a non-empty answer. Only the lineitem table is written: the
+    old `_bucketed_pair` call also bucketed the orders projection this
+    query never reads (round-6 review finding)."""
+    l_fq = write_bucketed(
+        spark,
+        lineitem.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        ),
+        sf_dir, "lineitem_by_key", "l_orderkey",
+    )
     lkey = lineitem.agg(F.max("l_orderkey")).collect()[0][0]
     hit = spark.table(l_fq).filter(F.col("l_orderkey") == F.lit(lkey))
     return (

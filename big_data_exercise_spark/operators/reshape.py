@@ -27,7 +27,7 @@ def explode_words(documents: DataFrame, k: int = 20) -> DataFrame:
     at 100 TB the shuffle volume is |vocabulary| per input partition.
     """
     words = documents.select(
-        F.explode(F.split(F.col("text"), " ")).alias("word")
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     return (
         words.groupBy("word")

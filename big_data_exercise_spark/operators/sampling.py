@@ -53,12 +53,18 @@ def emptiness_probes(events: DataFrame) -> DataFrame:
 
 
 # Knuth-style LCG constants: cheap, engine-portable integer hash for
-# reproducible per-row uniforms. doc_id * A + C stays inside int64 up
-# to ~8e14 ids; a 100 TB corpus with opaque string ids would use
-# xxhash64(id) & mask instead (same plan, Spark-internal hash).
+# reproducible per-row uniforms. doc_id is reduced mod 2^31 BEFORE
+# the multiply: int64max / A is only ~8.4e9, well inside the id range
+# of a 100 TB corpus, and past it Spark (ANSI off) silently wraps
+# while the DuckDB oracle raises on BIGINT overflow — the reduction
+# keeps the product <= (2^31-1)*A ~ 2.4e18 so both engines compute
+# the identical value at ANY id (round-6 review finding; same
+# discipline as the minhash tok_id mod-P reduction). A corpus with
+# opaque string ids would use xxhash64(id) & mask instead.
 _MIX_A = 1103515245
 _MIX_C = 12345
 _MIX_MOD = 10_000
+_MIX_ID_MOD = 2_147_483_648  # 2^31
 
 
 def source_mixture_sample(
@@ -81,7 +87,10 @@ def source_mixture_sample(
     the achieved mixture is the visible result.
     """
     u = (
-        F.pmod(F.col("doc_id") * _MIX_A + _MIX_C, F.lit(_MIX_MOD))
+        F.pmod(
+            (F.col("doc_id") % _MIX_ID_MOD) * _MIX_A + _MIX_C,
+            F.lit(_MIX_MOD),
+        )
         / F.lit(float(_MIX_MOD))
     )
     weight = (

@@ -100,7 +100,7 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 # MinHash+LSH pair pipeline as DuckDB CTEs (vocab-rank token ids so
@@ -1446,7 +1446,7 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: reshape.explode_words(_t(sp, d, "documents")),
         """
         SELECT word, COUNT(*) AS n FROM (
-          SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+          SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
         ("reshape", "explode"),
@@ -1688,11 +1688,19 @@ def _specs() -> list[QuerySpec]:
         SELECT doc_id, lang,
                CAST(len(toks) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
-               ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS lexical_diversity,
-               ROUND(len(list_filter(toks, t -> t IN ('the','a','and','of'))) * 1.0
-                     / len(toks), 4) AS stopword_ratio,
-               ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0
-                     / len(toks), 4) AS mean_token_len
+               CASE WHEN len(toks) > 0 THEN
+                 {round_det_sql("len(list_distinct(toks)) * 1.0 / len(toks)", 4)}
+               ELSE 0.0 END AS lexical_diversity,
+               CASE WHEN len(toks) > 0 THEN
+                 {round_det_sql(
+                     "len(list_filter(toks, t -> t IN ('the','a','and','of')))"
+                     " * 1.0 / len(toks)", 4)}
+               ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                 {round_det_sql(
+                     "list_sum(list_transform(toks, t -> length(t)))"
+                     " * 1.0 / len(toks)", 4)}
+               ELSE 0.0 END AS mean_token_len
         FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents) t
         """,
         ("text",),
@@ -1807,7 +1815,7 @@ def _specs() -> list[QuerySpec]:
         """
         WITH t AS (
           SELECT doc_id, lang, text,
-                 list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
           FROM documents),
         h AS (
           SELECT doc_id, lang, text,
@@ -4350,27 +4358,30 @@ def _specs() -> list[QuerySpec]:
         " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
         " || '.' || CAST(doc_id % 100 AS VARCHAR)"
     )
-    _PII_RED = (
-        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        f"dirty, '{pii.EMAIL_RE}', '<EMAIL>', 'g'), "
-        f"'{pii.SSN_RE}', '<SSN>', 'g'), "
-        f"'{pii.PHONE_RE}', '<PHONE>', 'g'), "
-        f"'{pii.IP_RE}', '<IP>', 'g')"
-    )
+    # Counts are taken per STAGE of the scrub chain (emails on dirty,
+    # SSNs after email redaction, …) so they equal what the chain
+    # replaced — mirrors pii.redact_pii exactly.
     _PII_CTES = f"""
         dirty AS (SELECT doc_id, {_PII_DIRTY} AS dirty FROM documents),
+        st1 AS (SELECT doc_id, dirty,
+                       regexp_replace(dirty, '{pii.EMAIL_RE}', '<EMAIL>', 'g') AS s1
+                FROM dirty),
+        st2 AS (SELECT *, regexp_replace(s1, '{pii.SSN_RE}', '<SSN>', 'g') AS s2
+                FROM st1),
+        st3 AS (SELECT *, regexp_replace(s2, '{pii.PHONE_RE}', '<PHONE>', 'g') AS s3
+                FROM st2),
         red AS (
           SELECT doc_id,
                  CAST(len(regexp_extract_all(dirty, '{pii.EMAIL_RE}'))
                       AS BIGINT) AS n_emails,
-                 CAST(len(regexp_extract_all(dirty, '{pii.SSN_RE}'))
+                 CAST(len(regexp_extract_all(s1, '{pii.SSN_RE}'))
                       AS BIGINT) AS n_ssns,
-                 CAST(len(regexp_extract_all(dirty, '{pii.PHONE_RE}'))
+                 CAST(len(regexp_extract_all(s2, '{pii.PHONE_RE}'))
                       AS BIGINT) AS n_phones,
-                 CAST(len(regexp_extract_all(dirty, '{pii.IP_RE}'))
+                 CAST(len(regexp_extract_all(s3, '{pii.IP_RE}'))
                       AS BIGINT) AS n_ips,
-                 {_PII_RED} AS redacted
-          FROM dirty)"""
+                 regexp_replace(s3, '{pii.IP_RE}', '<IP>', 'g') AS redacted
+          FROM st3)"""
     s.append(QuerySpec(
         "pii_redaction",
         lambda sp, d: pii.redact_pii(_t(sp, d, "documents")),
@@ -4406,7 +4417,7 @@ def _specs() -> list[QuerySpec]:
         "redacted fingerprints (the governance sign-off number)",
     ))
     _GRAM_CTES = """
-        words AS (SELECT doc_id, string_split(text, ' ') AS w
+        words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
                   FROM documents),
         grams AS (
           SELECT DISTINCT doc_id, gh FROM (
@@ -4472,13 +4483,13 @@ def _specs() -> list[QuerySpec]:
                     THEN 0.9 ELSE 0.25 END AS DOUBLE) AS target_frac,
                CAST(COUNT(*) AS BIGINT) AS n_total,
                CAST(SUM(CASE WHEN
-                      ((doc_id * 1103515245 + 12345) % 10000) / 10000.0
+                      (((doc_id % 2147483648) * 1103515245 + 12345) % 10000) / 10000.0
                       < CASE WHEN source IN
                           ('src0','src1','src2','src3','src4')
                         THEN 0.9 ELSE 0.25 END
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(SUM(CASE WHEN
-                      ((doc_id * 1103515245 + 12345) % 10000) / 10000.0
+                      (((doc_id % 2147483648) * 1103515245 + 12345) % 10000) / 10000.0
                       < CASE WHEN source IN
                           ('src0','src1','src2','src3','src4')
                         THEN 0.9 ELSE 0.25 END
@@ -4504,7 +4515,7 @@ def _specs() -> list[QuerySpec]:
           SELECT doc_id,
                  CAST(SUM(c) AS BIGINT) AS n_tokens,
                  CAST(MAX(c) AS BIGINT) AS top_c,
-                 CAST(MAX(c * length(tok)) AS BIGINT) AS top_chars,
+                 MAX(struct_pack(c := c, tok := tok)) AS top,
                  CAST(SUM(c * length(tok)) AS BIGINT) AS tot_chars
           FROM per_tok GROUP BY doc_id),
         grams AS (
@@ -4525,7 +4536,7 @@ def _specs() -> list[QuerySpec]:
           FROM grams)
         SELECT t.doc_id, n_tokens,
                {round_det_sql("top_c / n_tokens", 4)} AS top_token_frac,
-               {round_det_sql("top_chars / tot_chars", 4)} AS top_char_frac,
+               {round_det_sql("(top.c * length(top.tok)) / tot_chars", 4)} AS top_char_frac,
                dup_bigram_frac, dup_trigram_frac
         FROM tok_side t JOIN gside g ON t.doc_id = g.doc_id
         """,

@@ -36,9 +36,17 @@ def write_jdbc(
     batchsize: int = 1000,
     num_partitions: int | None = None,
 ) -> None:
-    """Append-mode JDBC write (the reference's sink semantics)."""
+    """Append-mode JDBC write (the reference's sink semantics).
+
+    ``num_partitions`` caps concurrent DB connections with a
+    ``repartition`` — a shuffle BARRIER — never ``coalesce``:
+    coalesce(8) has no barrier, so the entire upstream pipeline
+    (aggregations included) would execute at 8-task parallelism on a
+    1000-core cluster just to spare the database (round-6 review
+    finding). The one extra shuffle moves only the final result rows.
+    """
     if num_partitions is not None:
-        df = df.coalesce(num_partitions)
+        df = df.repartition(num_partitions)
     (
         df.write.format("jdbc")
         .option("url", url)

@@ -1306,6 +1306,66 @@ def test_heavy_hitters_exact_under_eviction(spark):
     assert len(got) == 3
 
 
+def test_csv_roundtrip_preserves_embedded_newlines(spark):
+    """The CSV writer quotes embedded newlines; the roundtrip reader
+    must read them back (multiLine + FAILFAST). Round-6 review: the
+    default line-split PERMISSIVE reader silently split such records
+    and nulled the halves."""
+    import tempfile
+
+    from big_data_exercise_spark.sources import csvio
+
+    df = spark.createDataFrame(
+        [(1, "line1\nline2"), (2, "plain"), (3, "tab\tand \"quote\"")],
+        "id long, s string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        back = csvio.roundtrip(df, d + "/rt")
+        assert {tuple(r) for r in back.collect()} == {
+            (1, "line1\nline2"), (2, "plain"), (3, 'tab\tand "quote"'),
+        }
+
+
+def test_pii_counts_follow_the_redaction_chain(spark):
+    """Category counts are taken on the text as the scrub chain sees
+    it: an IP-like dotted tail INSIDE an email is consumed by the
+    email redaction and must not also count as an IP (round-6 review:
+    independent counts on the dirty text overstated governance
+    totals)."""
+    from big_data_exercise_spark.functions.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [(7, "reach bob@10.2.3.4.example.com fast", "en")],
+        "doc_id long, text string, lang string",
+    )
+    row = redact_pii(docs).collect()[0]
+    # the text email's domain embeds an IP-shaped run; email redaction
+    # consumes it, so the ONLY ip counted is the fixture's appended
+    # one. text email + fixture email = 2.
+    assert row["n_emails"] == 2
+    assert row["n_ips"] == 1
+    assert row["n_ssns"] == 1 and row["n_phones"] == 1
+
+
+def test_quality_stats_zero_token_doc_scores_zero(spark):
+    """An empty / all-whitespace doc must score 0.0 on every ratio,
+    not NULL — a NULL ratio passes through boolean quality gates
+    un-judged (round-6 review finding)."""
+    from big_data_exercise_spark.functions.text import quality_stats
+
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "   ", "en"), (3, "real words here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in quality_stats(docs).collect()}
+    for d in (1, 2):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["lexical_diversity"] == 0.0
+        assert rows[d]["stopword_ratio"] == 0.0
+        assert rows[d]["mean_token_len"] == 0.0
+    assert rows[3]["n_tokens"] == 3 and rows[3]["lexical_diversity"] == 1.0
+
+
 def test_lsh_band_keys_degrades_on_dirty_embeddings(spark):
     """A NULL or wrong-width embedding must drop THAT row from the
     bucket generator, not kill the whole Arrow batch (and the job)
