@@ -203,7 +203,7 @@ def aspect_sentiments_sql() -> str:
           SELECT doc_id, u.pos AS pos, u.w AS w FROM (
             SELECT doc_id, unnest([{{'pos': i - 1, 'w': parts[i]}}
                                    for i in range(1, len(parts) + 1)]) AS u
-            FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS parts
+            FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS parts
                   FROM documents) t) q),
         aspects(aspect, kw) AS (VALUES {kw_rows}),
         hits AS (

@@ -232,9 +232,13 @@ def local_supplier_volume(
     region_name: str = "ASIA",
 ) -> DataFrame:
     """TPC-H Q5 shape: 5-way join where customer and supplier must sit
-    in the SAME nation, restricted to one region. Supplier/nation/
-    region broadcast; the fact chain shuffles once per equi-key. The
-    same-nation predicate rides the supplier join (no extra pass)."""
+    in the SAME nation, restricted to one region. nation/region are
+    size-invariant dims → explicit broadcast; supplier GROWS with SF,
+    so it carries no hint — Catalyst broadcasts it while small and AQE
+    falls back to a shuffle join at the 100 TB regime (a forced
+    broadcast there would OOM an executor). The fact chain shuffles
+    once per equi-key; the same-nation predicate rides the supplier
+    join (no extra pass)."""
     nations = (
         nation.join(
             F.broadcast(region.filter(F.col("r_name") == region_name)),
@@ -252,7 +256,7 @@ def local_supplier_volume(
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -581,7 +585,10 @@ def min_cost_part_supplier(
     three shuffles on l_partkey that AQE collapses onto one exchange
     reuse. Unit price is a raw IEEE double division (identical bits in
     any engine), so the min-equality join is exact with no rounding.
-    supplier⋈nation⋈region is broadcast (dims are size-invariant)."""
+    nation⋈region broadcast (size-invariant dims); the regional
+    supplier slice grows with SF, so it carries no broadcast hint —
+    Catalyst broadcasts it while small, AQE degrades to a shuffle join
+    at scale."""
     regional_supp = (
         supplier.join(
             F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
@@ -599,7 +606,7 @@ def min_cost_part_supplier(
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         )
         .join(
-            F.broadcast(regional_supp.select("s_suppkey")),
+            regional_supp.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
@@ -619,7 +626,7 @@ def min_cost_part_supplier(
             part.filter(F.col("p_size") >= min_size).select("p_partkey", "p_name"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(regional_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(regional_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
         .limit(k)
@@ -640,7 +647,8 @@ def nation_trade_volume(
     (supplier side, customer side) with the OR'd pair filter applied
     AFTER both joins — Catalyst pushes each nation's IN-list down to
     its own join input, so the fact tables shuffle only for the
-    lineitem⋈orders⋈customer equi-joins."""
+    lineitem⋈orders⋈customer equi-joins. supplier scales with SF and
+    carries no broadcast hint (Catalyst/AQE choose)."""
     n1 = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
@@ -659,7 +667,7 @@ def nation_trade_volume(
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
@@ -720,7 +728,7 @@ def nation_market_share(
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     num = F.sum(
         F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0))
@@ -758,7 +766,7 @@ def product_type_profit(
         )
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"),
@@ -785,8 +793,9 @@ def important_parts(
         F.broadcast(nation.filter(F.col("n_name") == nation_name)),
         supplier.s_nationkey == nation.n_nationkey,
     ).select("s_suppkey")
+    # nat_supp is a supplier slice (scales with SF): no broadcast hint.
     scoped = lineitem.join(
-        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        nat_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     per_part = scoped.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("value_d")
@@ -828,7 +837,9 @@ def top_supplier(
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        # the filtered rev side is ~1 row; supplier scales with SF — no
+        # hint, Catalyst/AQE broadcast the genuinely small side
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -915,7 +926,7 @@ def waiting_suppliers(
     return (
         late.join(multi_supp, F.col("l_orderkey") == F.col("mo_key"), "left_semi")
         .join(sole_late, F.col("l_orderkey") == F.col("so_key"), "left_semi")
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
