@@ -32,6 +32,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Max node-label rows the contraction rewrite will force-broadcast.
+# ~16 B/row → ≲100 MB in an executor's broadcast space; past this the
+# rewrite degrades to a shuffle join (correct at any scale, just not
+# the local fast path).
+_BROADCAST_LABEL_ROWS = 5_000_000
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 20
@@ -82,11 +88,26 @@ def connected_components(
         .localCheckpoint()  # cut lineage: the pull-back below must not
         # re-trigger pair generation
     )
+    # lab is one row per NODE — corpus-scale, not size-invariant. A
+    # checkpointed frame carries no stats (sizeInBytes defaults to
+    # max), so Catalyst never broadcasts it on its own and the rewrite
+    # runs as a stats-blind sort-merge join (the AQE byte-coalesce
+    # trap PLANS.md documents); the explicit hint is the measured
+    # local win. But force-broadcasting 10⁹ node labels is an executor
+    # OOM at the 100 TB regime, so the hint is GATED on the
+    # materialized row count (lab is already checkpointed — the count
+    # is one cheap scan of cached blocks). The same gate covers the
+    # final pull-back join: comp has at most as many rows as lab.
+    _maybe = (
+        F.broadcast
+        if lab.count() <= _BROADCAST_LABEL_ROWS
+        else (lambda df: df)
+    )
     lsrc = lab.select(F.col("node").alias("src"), F.col("rep").alias("rsrc"))
     ldst = lab.select(F.col("node").alias("dst"), F.col("rep").alias("rdst"))
     ce_dir = (
-        e.join(F.broadcast(lsrc), "src")
-        .join(F.broadcast(ldst), "dst")
+        e.join(_maybe(lsrc), "src")
+        .join(_maybe(ldst), "dst")
         .filter(F.col("rsrc") != F.col("rdst"))
         .select(F.col("rsrc").alias("src"), F.col("rdst").alias("dst"))
         .distinct()
@@ -130,7 +151,7 @@ def connected_components(
         if state.filter("chg").limit(1).count() == 0:
             break
     comp = state.select(F.col("node").alias("rep"), F.col("label").alias("cluster_id"))
-    return lab.join(F.broadcast(comp), "rep").select("node", "cluster_id")
+    return lab.join(_maybe(comp), "rep").select("node", "cluster_id")
 
 
 def dedup_cluster_assignment(documents: DataFrame, pairs: DataFrame) -> DataFrame:

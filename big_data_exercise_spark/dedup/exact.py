@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_exercise_spark.functions.numeric import round_det
 from big_data_exercise_spark.functions.text import fingerprint
 
 
@@ -44,5 +45,5 @@ def dedup_stats_by_lang(documents: DataFrame) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.countDistinct("fp").alias("n_unique"),
         )
-        .withColumn("dup_rate", F.round(1 - F.col("n_unique") / F.col("n_docs"), 4))
+        .withColumn("dup_rate", round_det(1 - F.col("n_unique") / F.col("n_docs"), 4))
     )

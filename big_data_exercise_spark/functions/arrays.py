@@ -81,13 +81,15 @@ def slice_sum(a: Column, start: int, length: int) -> Column:
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-vector array analytics: argmax position, head-slice sum,
     L2 norm — all codegen'd Column algebra."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
     e = F.col("embedding")
     return embeddings.select(
         "vec_id",
         "label",
         argmax_position(e).cast("int").alias("argmax_pos"),
-        F.round(slice_sum(e, 1, 8), 4).alias("head8_sum"),
-        F.round(norm(e), 4).alias("l2_norm"),
+        round_det(slice_sum(e, 1, 8), 4).alias("head8_sum"),
+        round_det(norm(e), 4).alias("l2_norm"),
     )
 
 

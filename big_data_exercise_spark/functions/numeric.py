@@ -48,15 +48,33 @@ DEC = "decimal(30,8)"
 def round_det(col: Column, scale: int = 2) -> Column:
     """Engine-stable ROUND on a double: half away from zero, computed
     with explicit floor/ceil so any engine running the same IEEE ops
-    gets the same bits."""
+    gets the same bits.
+
+    Non-finite transparency: Spark's FLOOR returns LONG, and the
+    implicit double→long conversion silently maps NaN to 0 and
+    saturates ±inf to ±Long.MAX (throwing under ANSI), while the
+    DuckDB twin's FLOOR stays double and keeps NaN/inf — so without
+    the guard a NaN input rounds to 0.0 on one engine and NaN on the
+    other. The guard routes NaN and ±inf through untouched on both
+    sides (round(NaN) = NaN, round(±inf) = ±inf is also the
+    IEEE-sensible answer). The double cast inside the guard is a
+    no-op for the double expressions this helper takes and keeps
+    decimal inputs legal."""
     m = F.lit(float(10**scale))
     scaled = col * m
-    return (
+    rounded = (
         F.when(scaled >= 0, F.floor(scaled + F.lit(0.5)))
         .otherwise(F.ceil(scaled - F.lit(0.5)))
         .cast("double")
         / m
     )
+    c = col.cast("double")
+    non_finite = (
+        F.isnan(c)
+        | (c == F.lit(float("inf")))
+        | (c == F.lit(float("-inf")))
+    )
+    return F.when(non_finite, c).otherwise(rounded)
 
 
 def round_det_sql(expr: str, scale: int = 2) -> str:

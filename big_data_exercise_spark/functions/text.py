@@ -113,11 +113,13 @@ def quality_stats(documents: DataFrame) -> DataFrame:
 def corpus_language_stats(documents: DataFrame) -> DataFrame:
     """Per-language corpus stats (docs, chars, tokens) — the A4-style
     rollup over the text table."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
     return documents.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(token_count(F.col("text"))).alias("total_tokens"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        round_det(F.avg("n_chars"), 2).alias("avg_chars"),
     )
 
 

@@ -24,7 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from big_data_exercise_spark.functions.numeric import exact_avg, exact_sum
+from big_data_exercise_spark.functions.numeric import (
+    exact_avg,
+    exact_sum,
+    round_det,
+)
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
@@ -79,8 +83,8 @@ def conditional_agg(events: DataFrame, threshold: float = 100.0) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.when(F.col("value") > threshold, 1).otherwise(0)).alias("n_high"),
             exact_avg(F.col("value")).alias("avg_value"),
-            F.round(F.max("value"), 2).alias("max_value"),
-            F.round(F.min("value"), 2).alias("min_value"),
+            round_det(F.max("value"), 2).alias("max_value"),
+            round_det(F.min("value"), 2).alias("min_value"),
         )
     )
 

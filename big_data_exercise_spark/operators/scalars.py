@@ -27,11 +27,13 @@ def json_props_stats(events: DataFrame) -> DataFrame:
     reference's from_json pattern, P2) and aggregate the extracted
     field. Explicit schema = no sampling pass, vectorized JSON parse.
     """
+    from big_data_exercise_spark.functions.numeric import round_det
+
     parsed = events.select(
         "event_type", F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k")
     )
     return parsed.groupBy("event_type").agg(
-        F.round(F.avg("k"), 2).alias("avg_k"),
+        round_det(F.avg("k"), 2).alias("avg_k"),
         F.max("k").alias("max_k"),
         F.count(F.col("k")).alias("n_k"),
     )
@@ -52,10 +54,12 @@ def regex_keyword_hits(documents: DataFrame) -> DataFrame:
 def scalar_projection(documents: DataFrame) -> DataFrame:
     """Per-row scalar expression suite: length / round / upper /
     substring / CASE WHEN (P8, P9) in one codegen stage."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
     return documents.select(
         "doc_id",
         F.length(F.col("text")).alias("len_chars"),
-        F.round(F.col("n_chars") / 100.0, 2).alias("hecto_chars"),
+        round_det(F.col("n_chars") / 100.0, 2).alias("hecto_chars"),
         F.upper(F.col("lang")).alias("lang_uc"),
         F.substring(F.col("text"), 1, 10).alias("prefix10"),
         F.when(F.col("n_chars") > 300, F.lit("long")).otherwise(F.lit("short")).alias("size_class"),
@@ -79,8 +83,11 @@ def systematic_sample(events: DataFrame, modulus: int = 37) -> DataFrame:
     ORDER BY RANDOM() LIMIT n (O2), this is reproducible across
     engines, scales without a global sort, and pushes down to the
     scan."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
     return events.filter(F.col("event_id") % modulus == 0).select(
-        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+        "event_id", "user_id", "event_type",
+        round_det(F.col("value"), 2).alias("value"),
     )
 
 

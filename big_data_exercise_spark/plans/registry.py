@@ -191,8 +191,8 @@ def _specs() -> list[QuerySpec]:
         SELECT event_type, COUNT(*) AS n_events,
                CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
                {avg_sql("value", "avg_value")},
-               ROUND(MAX(value), 2) AS max_value,
-               ROUND(MIN(value), 2) AS min_value
+               {round_det_sql("MAX(value)")} AS max_value,
+               {round_det_sql("MIN(value)")} AS min_value
         FROM events GROUP BY event_type
         """,
         ("agg",),
@@ -1383,12 +1383,15 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "running_total_per_user",
         lambda sp, d: windows.running_total_per_user(_t(sp, d, "events")),
-        """
+        f"""
         SELECT user_id, event_id,
-               ROUND(SUM(value) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
-        FROM events
+               {round_det_sql("run_raw")} AS running_value
+        FROM (
+          SELECT user_id, event_id,
+                 SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_raw
+          FROM events) t
         """,
         ("window",),
         "running SUM per key",
@@ -1408,9 +1411,9 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "top_k_per_group",
         lambda sp, d: windows.top_k_per_group(_t(sp, d, "events")),
-        """
+        f"""
         SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, user_id,
-               ROUND(value, 2) AS value FROM (
+               {round_det_sql("value")} AS value FROM (
           SELECT event_type, event_id, user_id, value,
                  row_number() OVER (
                    PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
@@ -1500,8 +1503,8 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "json_props_stats",
         lambda sp, d: scalars.json_props_stats(_t(sp, d, "events")),
-        """
-        SELECT event_type, ROUND(AVG(k), 2) AS avg_k, MAX(k) AS max_k,
+        f"""
+        SELECT event_type, {round_det_sql("AVG(k)")} AS avg_k, MAX(k) AS max_k,
                COUNT(k) AS n_k
         FROM (SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -1527,9 +1530,9 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "scalar_projection",
         lambda sp, d: scalars.scalar_projection(_t(sp, d, "documents")),
-        """
+        f"""
         SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS len_chars,
-               ROUND(n_chars / 100.0, 2) AS hecto_chars,
+               {round_det_sql("n_chars / 100.0")} AS hecto_chars,
                UPPER(lang) AS lang_uc,
                SUBSTRING(text, 1, 10) AS prefix10,
                CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
@@ -1641,8 +1644,9 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "systematic_sample",
         lambda sp, d: scalars.systematic_sample(_t(sp, d, "events")),
-        """
-        SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+        f"""
+        SELECT event_id, user_id, event_type,
+               {round_det_sql("value")} AS value
         FROM events WHERE event_id % 37 = 0
         """,
         ("sample",),
@@ -1751,7 +1755,7 @@ def _specs() -> list[QuerySpec]:
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
-               ROUND(AVG(n_chars), 2) AS avg_chars
+               {round_det_sql("AVG(n_chars)")} AS avg_chars
         FROM documents GROUP BY lang
         """,
         ("text", "agg"),
@@ -1854,7 +1858,7 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: dedup_exact_mod.dedup_stats_by_lang(_t(sp, d, "documents")),
         f"""
         SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT {_FP}) AS n_unique,
-               ROUND(1 - COUNT(DISTINCT {_FP}) * 1.0 / COUNT(*), 4) AS dup_rate
+               {round_det_sql("1 - COUNT(DISTINCT " + _FP + ") * 1.0 / COUNT(*)", 4)} AS dup_rate
         FROM documents GROUP BY lang
         """,
         ("dedup", "agg"),
@@ -3136,14 +3140,15 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "embedding_stats",
         lambda sp, d: arrays.embedding_stats(_t(sp, d, "embeddings")),
-        """
+        f"""
         SELECT vec_id, label,
                CAST(list_position(embedding, list_aggregate(embedding, 'max'))
                     AS INTEGER) AS argmax_pos,
-               ROUND(list_sum(list_transform(embedding[1:8],
-                     x -> CAST(x AS DOUBLE))), 4) AS head8_sum,
-               ROUND(sqrt(list_sum(list_transform(embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+               {round_det_sql("list_sum(list_transform(embedding[1:8],"
+                              " x -> CAST(x AS DOUBLE)))", 4)} AS head8_sum,
+               {round_det_sql("sqrt(list_sum(list_transform(embedding,"
+                              " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
+                              4)} AS l2_norm
         FROM embeddings
         """,
         ("similarity", "array"),

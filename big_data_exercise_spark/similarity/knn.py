@@ -250,10 +250,22 @@ def cosine_topk_batch(
 
     Output: (query_id, vec_id, label, cos_sim, rank), self-matches
     excluded, ties broken on vec_id.
+
+    NaN/NULL order parity (dirty corpora): a NaN cosine (NaN vector
+    elements) ranks ABOVE every finite value in the merge window's
+    ``desc(cos_sim)`` (Spark float total order) while a NULL cosine
+    (zero-norm division) ranks last — but pandas conflates both into
+    NaN, so a bare kernel sort would truncate the NaN rows the window
+    ranks first.  The ``__nan`` flag is computed Spark-side, leads the
+    kernel's sort key (making the local order exactly the window's),
+    and restores the NaN after the kernel — Arrow's pandas conversion
+    reads NaN as null (nan_as_null), so a surviving NaN row would
+    otherwise re-enter Spark as NULL and rank last in the merge.
     """
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
+    cos = round_det(cosine("embedding", "q"), 4)
     scored = (
         embeddings.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -261,7 +273,8 @@ def cosine_topk_batch(
             "query_id",
             "vec_id",
             "label",
-            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
+            cos.alias("cos_sim"),
+            F.coalesce(F.isnan(cos), F.lit(False)).alias("__nan"),
         )
     )
 
@@ -272,15 +285,25 @@ def cosine_topk_batch(
         for pdf in batches:
             cur = pdf if carry is None else pd.concat([carry, pdf])
             cur = cur.sort_values(
-                ["query_id", "cos_sim", "vec_id"],
-                ascending=[True, False, True],
+                ["query_id", "__nan", "cos_sim", "vec_id"],
+                ascending=[True, False, False, True],
                 kind="mergesort",
+                na_position="last",
             )
             carry = cur.groupby("query_id", sort=False).head(k)
         if carry is not None:
-            yield carry[["query_id", "vec_id", "label", "cos_sim"]]
+            yield carry[["query_id", "vec_id", "label", "cos_sim", "__nan"]]
 
-    local = scored.mapInPandas(_local_topk, schema=scored.schema)
+    local = (
+        scored.mapInPandas(_local_topk, schema=scored.schema)
+        .withColumn(
+            "cos_sim",
+            F.when(F.col("__nan"), F.lit(float("nan")).cast("double")).otherwise(
+                F.col("cos_sim")
+            ),
+        )
+        .drop("__nan")
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -155,3 +155,34 @@ def test_input_cast_divergence_is_pinned(spark):
     )
     d2 = duckdb.sql(f"SELECT CAST({y!r} AS DECIMAL(30,8))").fetchone()[0]
     assert s2 == d2
+
+
+def test_round_det_nan_and_special_values_match_duckdb(spark):
+    """Non-finite transparency (round-6 finding): Spark's
+    FLOOR(double)→LONG coercion silently rounded NaN to 0.0 and
+    saturated ±inf to ±9.2e16 (both throw under ANSI) while DuckDB's
+    FLOOR keeps NaN/inf — round_det now routes non-finite values
+    through untouched on both engines."""
+    import math
+
+    values = [float("nan"), float("inf"), float("-inf"), 1.5, -2.5, None]
+    sdf = spark.createDataFrame([(v,) for v in values], "v double")
+    spark_out = [
+        r.r for r in sdf.select(round_det(F.col("v"), 2).alias("r")).collect()
+    ]
+    assert math.isnan(spark_out[0])
+    assert spark_out[1] == float("inf") and spark_out[2] == float("-inf")
+    assert spark_out[3] == 1.5 and spark_out[4] == -2.5
+    assert spark_out[5] is None
+
+    con = duckdb.connect()
+    con.register(
+        "t_nan", pd.DataFrame({"v": pd.Series([float("nan")], dtype="float64")})
+    )
+    duck_nan = con.sql(
+        f"SELECT {round_det_sql('v', 2)} AS r FROM t_nan"
+    ).fetchall()[0][0]
+    # pandas→duckdb keeps NaN as NaN (not NULL) for float64 columns
+    assert duck_nan is None or math.isnan(duck_nan)
+    if duck_nan is not None:
+        assert math.isnan(spark_out[0]) and math.isnan(duck_nan)

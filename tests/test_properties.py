@@ -1675,3 +1675,102 @@ def test_grouped_running_sum_matches_window_with_negatives(spark):
         )
 
     run()
+
+
+def test_top_k_per_group_nan_null_order_parity(spark):
+    """The Arrow local-truncation kernel must rank NaN/NULL exactly as
+    the window form it replaces: NaN above every finite value (Spark's
+    float total order under desc), NULL last.  pandas conflates NULL
+    and NaN, so without the Spark-side __nan flag the kernel truncates
+    a NaN row the merge window would rank first (round-6 finding).
+    coalesce(1) forces every row through one kernel instance so the
+    local truncation actually bites."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    from big_data_exercise_spark.operators.windows import top_k_per_group
+
+    rows = [(i, "a", i, float(i)) for i in range(6)]
+    rows += [(10, "a", 10, float("nan")), (11, "a", 11, None)]
+    rows += [(20, "b", 20, 1.0), (21, "b", 21, None)]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, value double"
+    ).coalesce(1)
+
+    got = {
+        (r["event_type"], r["rk"], r["event_id"])
+        for r in top_k_per_group(events, k=3).collect()
+    }
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    want = {
+        (r["event_type"], r["rk"], r["event_id"])
+        for r in events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == want
+    # the NaN row outranks every finite value; the NULL row survives
+    # only where the group has spare top-k room (NULLS LAST)
+    assert ("a", 1, 10) in got and ("a", 2, 5) in got
+    assert ("b", 2, 21) in got and ("a", 3, 11) not in got
+    nan_vals = [
+        r["value"]
+        for r in top_k_per_group(events, k=3).collect()
+        if r["event_id"] == 10
+    ]
+    assert len(nan_vals) == 1 and math.isnan(nan_vals[0])
+
+
+def test_knn_batch_nan_null_order_parity(spark):
+    """cosine_topk_batch's local-truncation kernel under a dirty
+    corpus: a NaN cosine (NaN vector element) must rank first in the
+    merge window's float total order, a NULL cosine (zero-norm
+    division) last — identical to the plain-window twin over the same
+    scored relation."""
+    from pyspark.sql import Window as W
+
+    from big_data_exercise_spark.functions.arrays import EMBEDDING_DIM
+    from big_data_exercise_spark.functions.numeric import round_det
+    from big_data_exercise_spark.similarity.knn import cosine, cosine_topk_batch
+
+    def vec(head):
+        v = [0.0] * EMBEDDING_DIM
+        for i, x in enumerate(head):
+            v[i] = x
+        return v
+
+    rows = [(0, "q", vec([1.0]))]
+    rows += [(i, "c", vec([1.0, i / 10.0])) for i in range(1, 7)]
+    rows.append((9, "c", vec([float("nan"), 1.0])))
+    rows.append((10, "c", [0.0] * EMBEDDING_DIM))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).coalesce(1)
+
+    got = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in cosine_topk_batch(emb, n_queries=1, k=3).collect()
+    }
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    want = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == want
+    assert (0, 1, 9) in got  # NaN cosine outranks every finite one
+    assert all(v != 10 for (_, _, v) in got)  # NULL cosine ranks last
