@@ -154,7 +154,7 @@ def learn_merges(documents: DataFrame, k: int = K_MERGES) -> DataFrame:
 def bpe_sql(k: int = K_MERGES) -> str:
     """DuckDB oracle replaying learn_merges bit-for-bit: unrolled
     merge rounds, same windows, same tie-break."""
-    parts = ["""wc AS (
+    parts = [r"""wc AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
         FROM documents) t GROUP BY w),

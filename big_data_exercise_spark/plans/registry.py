@@ -1447,7 +1447,7 @@ def _specs() -> list[QuerySpec]:
     s.append(QuerySpec(
         "explode_words",
         lambda sp, d: reshape.explode_words(_t(sp, d, "documents")),
-        """
+        r"""
         SELECT word, COUNT(*) AS n FROM (
           SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20
@@ -1816,7 +1816,7 @@ def _specs() -> list[QuerySpec]:
         # codepoint test, profile-order tie-break) — fully replayable
         # in SQL. CASE order == Python dict iteration order: a later
         # language wins only on STRICTLY more hits.
-        """
+        r"""
         WITH t AS (
           SELECT doc_id, lang, text,
                  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
@@ -4421,7 +4421,7 @@ def _specs() -> list[QuerySpec]:
         "corpus-level scrub report: category totals + distinct "
         "redacted fingerprints (the governance sign-off number)",
     ))
-    _GRAM_CTES = """
+    _GRAM_CTES = r"""
         words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
                   FROM documents),
         grams AS (
