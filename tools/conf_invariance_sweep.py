@@ -23,6 +23,19 @@ query). Companion axes already swept clean (recorded in PLANS.md):
   — 223 / 0 / 0 (this tool, round 6: input-split boundaries are what
   actually vary on a 1000-executor cluster; results must not depend
   on scan partitioning)
+* spark.sql.codegen.wholeStage=false + codegen.factoryMode=NO_CODEGEN
+  — 223 / 0 / 0 (this tool, round 6: interpreted expression
+  evaluation must agree bit-for-bit with whole-stage codegen — the
+  fallback path a 100 TB cluster actually takes whenever a generated
+  method exceeds the JIT/64KB limits on wide plans)
+* spark.sql.parquet.enableVectorizedReader=false — 223 / 0 / 0
+  (this tool, round 6: the row-by-row parquet reader — what nested
+  schemas and some encodings fall back to — must read the same values
+  as the vectorized ColumnBatch path)
+* spark.sql.autoBroadcastJoinThreshold=-1 — 223 / 0 / 0 (this tool,
+  round 6: every Catalyst broadcast decision degraded to a shuffle
+  join; results must not depend on join strategy — the axis that
+  actually flips when table stats change at 100 TB)
 """
 import hashlib
 import os
