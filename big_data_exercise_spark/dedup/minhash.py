@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from big_data_exercise_spark.functions.numeric import round_det
+from big_data_exercise_spark.functions.numeric import round_det_nn
 from big_data_exercise_spark.functions.text import tokens
 
 P = 8191
@@ -243,13 +243,31 @@ def _verified_rep_pairs(
     ratio_ok = (F.col("sz1") >= F.col("sz2") * threshold) & (
         F.col("sz2") >= F.col("sz1") * threshold
     )
-    inter = F.size(F.array_intersect("toks1", "toks2"))
-    jac = inter / (F.col("sz1") + F.col("sz2") - inter)
+    # Two structural cost rules here (measured +45% on the sf0.1
+    # closure when violated):
+    # * the O(sz) intersect is materialized in its own projection —
+    #   CollapseProject never inlines a non-cheap alias referenced
+    #   more than once, so it computes once per pair plan-side;
+    # * the rounding is round_det_nn (jaccard is a non-negative
+    #   finite ratio: denominator ≥ max(sz1, sz2) ≥ 1), which
+    #   references its argument ONCE — the threshold filter below is
+    #   pushed into the verify JOIN CONDITION with aliases
+    #   substituted per reference, so a multi-reference rounding
+    #   (round_det's non-finite guard) would re-run array_intersect
+    #   up to 14× per joined row there.
+    jac = F.col("__inter") / (F.col("sz1") + F.col("sz2") - F.col("__inter"))
     verified = (
         cand.join(a, "id1")
         .join(b, "id2")
         .filter(ratio_ok)
-        .select("id1", "id2", round_det(jac, 4).alias("jaccard"))
+        .select(
+            "id1",
+            "id2",
+            "sz1",
+            "sz2",
+            F.size(F.array_intersect("toks1", "toks2")).alias("__inter"),
+        )
+        .select("id1", "id2", round_det_nn(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return members, reps, verified

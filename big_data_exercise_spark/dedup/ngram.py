@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from big_data_exercise_spark.functions.numeric import round_det
+from big_data_exercise_spark.functions.numeric import round_det_nn
 from big_data_exercise_spark.functions.text import tokens
 
 
@@ -41,10 +41,27 @@ def pairwise_jaccard(
     )
     a = docs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     b = docs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    uni = F.size(F.array_union("sh1", "sh2"))
+    # intersect/union materialized once (a non-cheap alias used more
+    # than once never gets inlined back by CollapseProject), and the
+    # rounding is the single-reference round_det_nn so the min_jaccard
+    # filter pushed into the join condition substitutes the expensive
+    # argument exactly once. The __uni > 0 guard excludes the only
+    # out-of-domain input (0/0 for two shingle-less docs) — such a
+    # pair can never pass jaccard > min_jaccard ≥ 0 anyway, so the
+    # emitted rows are unchanged.
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", round_det(inter / uni, 4).alias("jaccard"))
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("__inter"),
+            F.size(F.array_union("sh1", "sh2")).alias("__uni"),
+        )
+        .filter(F.col("__uni") > 0)
+        .select(
+            "id1",
+            "id2",
+            round_det_nn(F.col("__inter") / F.col("__uni"), 4).alias("jaccard"),
+        )
         .filter(F.col("jaccard") > F.lit(min_jaccard))
     )

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from big_data_exercise_spark.dedup.minhash import doc_token_sets
-from big_data_exercise_spark.functions.numeric import round_det
+from big_data_exercise_spark.functions.numeric import round_det_nn
 
 
 def _exploded_tokens(documents: DataFrame) -> DataFrame:
@@ -153,14 +153,26 @@ def _verified(
     ratio_ok = (F.col("sz1") >= F.col("sz2") * threshold) & (
         F.col("sz2") >= F.col("sz1") * threshold
     )
-    inter = F.size(F.array_intersect("toks1", "toks2"))
-    jac = inter / (F.col("sz1") + F.col("sz2") - inter)
+    # Materialize the O(sz) intersect in its own projection: the raw
+    # threshold filter plus round_det's ~6 argument references would
+    # otherwise re-run array_intersect per reference (a non-cheap
+    # alias referenced more than once is never inlined by
+    # CollapseProject). Semantics unchanged: filter on the RAW
+    # jaccard, round only for output — same as before.
+    jac = F.col("__inter") / (F.col("sz1") + F.col("sz2") - F.col("__inter"))
     return (
         cand.join(a, left)
         .join(b, right)
         .filter(ratio_ok)
+        .select(
+            left,
+            right,
+            "sz1",
+            "sz2",
+            F.size(F.array_intersect("toks1", "toks2")).alias("__inter"),
+        )
         .filter(jac >= threshold)
-        .select(left, right, round_det(jac, 4).alias("jaccard"))
+        .select(left, right, round_det_nn(jac, 4).alias("jaccard"))
     )
 
 

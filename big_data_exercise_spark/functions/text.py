@@ -86,27 +86,42 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     repo's engine-stable rule."""
     from big_data_exercise_spark.functions.numeric import round_det
 
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    total_tok_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    # Materialize the token array, then the integer counts, in their
+    # OWN projections: round_det references its argument ~6× (scaled
+    # twice + the non-finite guard), and with the ratios inlined that
+    # re-ran the split+filter tokenization per reference per ratio
+    # (measured 2.5× wall at sf0.1). CollapseProject never inlines a
+    # non-cheap alias referenced more than once, so `toks` is computed
+    # once per row and every downstream reference is an attribute.
+    toks_tbl = documents.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("__toks")
     )
+    toks = F.col("__toks")
+    counts = toks_tbl.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__n_stop"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias(
+            "__tot_chars"
+        ),
+    )
+    n_tok = F.col("n_tokens")
 
     def ratio(num, name):
         return F.when(n_tok > 0, round_det(num / n_tok, 4)).otherwise(
             F.lit(0.0)
         ).alias(name)
 
-    return documents.select(
+    return counts.select(
         "doc_id",
         "lang",
-        n_tok.alias("n_tokens"),
-        n_uniq.alias("n_distinct_tokens"),
-        ratio(n_uniq, "lexical_diversity"),
-        ratio(n_stop, "stopword_ratio"),
-        ratio(total_tok_chars, "mean_token_len"),
+        "n_tokens",
+        "n_distinct_tokens",
+        ratio(F.col("n_distinct_tokens"), "lexical_diversity"),
+        ratio(F.col("__n_stop"), "stopword_ratio"),
+        ratio(F.col("__tot_chars"), "mean_token_len"),
     )
 
 

@@ -45,13 +45,20 @@ def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFr
     """Exact cosine top-k vs the embedding of ``query_id`` (excluded
     from results). Deterministic tie-break on vec_id."""
     q = _query_vector(embeddings, query_id)
+    # Two projections on purpose: round_det references its argument
+    # ~6× (scaled twice + the non-finite guard), and inlined that
+    # replicates the 3×64-term cosine chain past the 64 KB codegen
+    # method limit (measured 2× wall at sf0.1). A non-cheap alias
+    # referenced more than once is never collapsed, so the chain runs
+    # once per row and the rounding sees an attribute.
     scored = (
         embeddings.filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine("embedding", "q").alias("__cos_raw"))
         .select(
             "vec_id",
             "label",
-            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
+            round_det(F.col("__cos_raw"), 4).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
@@ -179,7 +186,13 @@ def ivf_topk_indexed(
             "vec_id",
             "label",
             F.col("centroid_id").cast("long").alias("centroid_id"),
-            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
+            cosine("embedding", "q").alias("__cos_raw"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            round_det(F.col("__cos_raw"), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -214,10 +227,14 @@ def ivf_topk(
         .filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q))
         .select(
+            "vec_id", "label", "centroid_id",
+            cosine("embedding", "q").alias("__cos_raw"),
+        )
+        .select(
             "vec_id",
             "label",
             "centroid_id",
-            round_det(cosine("embedding", "q"), 4).alias("cos_sim"),
+            round_det(F.col("__cos_raw"), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -265,16 +282,25 @@ def cosine_topk_batch(
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    cos = round_det(cosine("embedding", "q"), 4)
+    # The raw cosine is materialized in its own projection: round_det
+    # references its argument ~6× and the __nan flag once more, and
+    # inlined that replicated the 3×64-term chain ~12× per (row,
+    # query) pair — past the 64 KB codegen method limit into
+    # interpreted fallback (measured 3.5× wall at sf0.1). round_det
+    # passes NaN through untouched, so isnan(raw) ≡ isnan(rounded).
     scored = (
         embeddings.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
+            "query_id", "vec_id", "label",
+            cosine("embedding", "q").alias("__cos_raw"),
+        )
+        .select(
             "query_id",
             "vec_id",
             "label",
-            cos.alias("cos_sim"),
-            F.coalesce(F.isnan(cos), F.lit(False)).alias("__nan"),
+            round_det(F.col("__cos_raw"), 4).alias("cos_sim"),
+            F.coalesce(F.isnan("__cos_raw"), F.lit(False)).alias("__nan"),
         )
     )
 
