@@ -84,12 +84,21 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
     from big_data_exercise_spark.functions.numeric import round_det
 
     e = F.col("embedding")
+    # raw folds materialized first: round_det references its argument
+    # ~6×, and a non-cheap alias referenced more than once is never
+    # inlined back by CollapseProject — the 64-term folds run once.
     return embeddings.select(
         "vec_id",
         "label",
         argmax_position(e).cast("int").alias("argmax_pos"),
-        round_det(slice_sum(e, 1, 8), 4).alias("head8_sum"),
-        round_det(norm(e), 4).alias("l2_norm"),
+        slice_sum(e, 1, 8).alias("__head8"),
+        norm(e).alias("__norm"),
+    ).select(
+        "vec_id",
+        "label",
+        "argmax_pos",
+        round_det(F.col("__head8"), 4).alias("head8_sum"),
+        round_det(F.col("__norm"), 4).alias("l2_norm"),
     )
 
 
@@ -123,8 +132,21 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     from big_data_exercise_spark.functions.numeric import round_det
 
     e = F.col("embedding")
+    # `scale` (which drags the amax fold with it) is materialized in
+    # its own projection before the per-element lambdas: inlined, the
+    # 64-element array_max subtree re-evaluates inside EVERY element's
+    # lambda for every one of round_det's ~6 references — O(d²·refs)
+    # per row instead of O(d).
     amax = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    staged = embeddings.select(
+        "vec_id",
+        "label",
+        e.alias("embedding"),
+        F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0)).alias(
+            "__scale"
+        ),
+    )
+    scale = F.col("__scale")
     codes = F.transform(
         e,
         lambda x: F.least(
@@ -139,12 +161,18 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         * (x.cast("double") - q * scale),
     )
     mse = F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(e)
-    return embeddings.select(
+    return staged.select(
         "vec_id",
         "label",
         round_det(scale, 6).alias("q_scale"),
         F.md5(F.array_join(codes.cast("array<string>"), ",")).alias("codes_fp"),
-        round_det(mse, 8).alias("recon_mse"),
+        mse.alias("__mse"),
+    ).select(
+        "vec_id",
+        "label",
+        "q_scale",
+        "codes_fp",
+        round_det(F.col("__mse"), 8).alias("recon_mse"),
     )
 
 

@@ -255,17 +255,29 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         lambda a, bc: F.concat_ws(" ", a, bc),
     )
 
-    def dup_frac(grams: Column) -> Column:
-        n_g = F.size(grams)
+    # gram counts materialized before the ratios: round_det references
+    # its argument ~6×, and inlined that re-built the zip-shifted gram
+    # arrays (and their array_distinct) per reference — a non-cheap
+    # alias referenced more than once is never inlined back by
+    # CollapseProject, so each array builds once per row.
+    def dup_frac(n_g: Column, n_uniq: Column) -> Column:
         return F.when(
             n_g > 0,
-            round_det((n_g - F.size(F.array_distinct(grams))) / n_g, 4),
+            round_det((n_g - n_uniq) / n_g, 4),
         ).otherwise(F.lit(0.0))
 
     gram_side = documents.select(
+        "doc_id", bigrams.alias("__bg"), trigrams.alias("__tg")
+    ).select(
         "doc_id",
-        dup_frac(bigrams).alias("dup_bigram_frac"),
-        dup_frac(trigrams).alias("dup_trigram_frac"),
+        F.size("__bg").alias("__n_bg"),
+        F.size(F.array_distinct("__bg")).alias("__n_bg_u"),
+        F.size("__tg").alias("__n_tg"),
+        F.size(F.array_distinct("__tg")).alias("__n_tg_u"),
+    ).select(
+        "doc_id",
+        dup_frac(F.col("__n_bg"), F.col("__n_bg_u")).alias("dup_bigram_frac"),
+        dup_frac(F.col("__n_tg"), F.col("__n_tg_u")).alias("dup_trigram_frac"),
     )
 
     ex = documents.select("doc_id", F.explode(toks).alias("tok"))
