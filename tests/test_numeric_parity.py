@@ -186,3 +186,35 @@ def test_round_det_nan_and_special_values_match_duckdb(spark):
     assert duck_nan is None or math.isnan(duck_nan)
     if duck_nan is not None:
         assert math.isnan(spark_out[0]) and math.isnan(duck_nan)
+
+
+def test_round_det_nn_equals_round_det_on_domain(spark):
+    """round_det_nn is round_det's x >= 0 branch with ONE argument
+    reference (the form safe to ride a pushed join-condition
+    predicate). On its stated domain — non-negative finite doubles,
+    the bounded ratios it is used for — the two must be bit-identical,
+    and both must match the DuckDB twin (whose CASE takes the same
+    branch for x >= 0)."""
+    from big_data_exercise_spark.functions.numeric import round_det_nn
+
+    values = [v for v in ADVERSARIAL if v >= 0] + [
+        abs(v) for v in _pseudo_random(300)
+    ] + [0.0, 1.0, 0.5, 0.79995, 0.799949999, 0.80005, 1.0 / 3.0]
+    sdf = spark.createDataFrame([(v,) for v in values], "v double")
+    for scale in (0, 2, 4, 6):
+        out = sdf.select(
+            round_det(F.col("v"), scale).alias("a"),
+            round_det_nn(F.col("v"), scale).alias("b"),
+        ).toPandas()
+        pd.testing.assert_series_equal(
+            out["a"], out["b"], check_names=False, check_exact=True
+        )
+        duck = duckdb.sql(
+            "SELECT "
+            + round_det_sql("v", scale)
+            + " AS r FROM (SELECT unnest(?::DOUBLE[]) AS v)",
+            params=[values],
+        ).df()
+        pd.testing.assert_series_equal(
+            out["b"], duck["r"], check_names=False, check_exact=True
+        )
