@@ -459,3 +459,49 @@ def test_absa_pairing_is_equi_join(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 2
+
+
+def test_expensive_rounding_arguments_evaluate_once(spark):
+    """The round-6 cost cliff stays closed: a threshold filter over a
+    deterministically-rounded value gets pushed into a JOIN CONDITION
+    with aliases substituted per reference, so the rounding must
+    reference its expensive argument exactly once (round_det_nn) and
+    the argument itself must be materialized in its own projection.
+    Violated, the minhash/ssjoin verify evaluated array_intersect up
+    to 14x per joined row and batched knn replicated the 3x64-term
+    cosine chain past the 64 KB codegen method limit (measured 3.5x
+    wall). Asserted on the OPTIMIZED plans: the expensive expression
+    appears at most twice — once in its defining projection, at most
+    once in the pushed predicate."""
+    from big_data_exercise_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    from big_data_exercise_spark.dedup import minhash, ssjoin
+    from big_data_exercise_spark.similarity import knn
+
+    for df, cap in (
+        (minhash.near_duplicates(docs, use_vocab_ranks=True), 2),
+        (minhash.near_duplicate_edges(docs, use_vocab_ranks=True), 2),
+        (ssjoin.exact_jaccard_pairs(docs), 2),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the plan TEXT repeats shared subtrees per consumer branch;
+        # count within each line (one operator per line) instead
+        worst = max(
+            (l.count("array_intersect") for l in plan.splitlines()),
+            default=0,
+        )
+        assert worst <= cap, f"array_intersect x{worst} in one operator"
+
+    batch = knn.cosine_topk_batch(emb)
+    plan = batch._jdf.queryExecution().optimizedPlan().toString()
+    # ONE cosine chain = 6 element_at per dim (dot: e·q = 2/dim; each
+    # norm is a self-dot = 2/dim) = 384 at dim 64. The defining
+    # projection must hold exactly one chain; the pre-fix plan
+    # replicated it ~12x (round_det's ~6 refs + the __nan flag).
+    worst = max(
+        (l.count("element_at") for l in plan.splitlines()), default=0
+    )
+    assert worst <= 6 * 64, f"cosine chain replicated: {worst} element_at refs"
