@@ -30,13 +30,21 @@ quasi-cliques), so diameters are tiny — 3-5 rounds in practice.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 # Max node-label rows the contraction rewrite will force-broadcast.
-# ~16 B/row → ≲100 MB in an executor's broadcast space; past this the
-# rewrite degrades to a shuffle join (correct at any scale, just not
-# the local fast path).
-_BROADCAST_LABEL_ROWS = 5_000_000
+# The raw payload is ~16 B/row, but a broadcast materializes as a JVM
+# LongHashedRelation (typically 2-4× the raw bytes) plus a driver-side
+# collect, so the 5 M default assumes this repo's 16 g driver/executor
+# sizing — roughly 100 MB raw → a few hundred MB resident. Deployments
+# with smaller executors should lower it via the env knob; past the
+# threshold the rewrite degrades to a shuffle join (correct at any
+# scale, just not the local fast path).
+_BROADCAST_LABEL_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_LABEL_ROWS", "5000000")
+)
 
 
 def connected_components(
@@ -96,8 +104,8 @@ def connected_components(
     # local win. But force-broadcasting 10⁹ node labels is an executor
     # OOM at the 100 TB regime, so the hint is GATED on the
     # materialized row count (lab is already checkpointed — the count
-    # is one cheap scan of cached blocks). The same gate covers the
-    # final pull-back join: comp has at most as many rows as lab.
+    # is one cheap scan of cached blocks). The final pull-back join
+    # runs its own gate on comp's (much smaller) count below.
     _maybe = (
         F.broadcast
         if lab.count() <= _BROADCAST_LABEL_ROWS
@@ -151,7 +159,19 @@ def connected_components(
         if state.filter("chg").limit(1).count() == 0:
             break
     comp = state.select(F.col("node").alias("rep"), F.col("label").alias("cluster_id"))
-    return lab.join(_maybe(comp), "rep").select("node", "cluster_id")
+    # The pull-back join gates on COMP's own count, not lab's: comp is
+    # one row per post-contraction representative — typically orders of
+    # magnitude smaller than lab — so a corpus whose raw label table is
+    # past the broadcast threshold usually still earns the broadcast
+    # fast path here. state is localCheckpointed, so the count is one
+    # cheap scan of cached blocks; skipped when lab already passed
+    # (comp has at most as many rows as lab).
+    _maybe_comp = (
+        F.broadcast
+        if _maybe is F.broadcast or comp.count() <= _BROADCAST_LABEL_ROWS
+        else (lambda df: df)
+    )
+    return lab.join(_maybe_comp(comp), "rep").select("node", "cluster_id")
 
 
 def dedup_cluster_assignment(documents: DataFrame, pairs: DataFrame) -> DataFrame:

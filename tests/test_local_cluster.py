@@ -26,6 +26,7 @@ sandbox stand-in, not of the JDBC operator).
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -65,8 +66,20 @@ def test_contract_green_under_local_cluster():
         f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
     )
     assert "BAD: none" in proc.stdout, proc.stdout[-2000:]
-    # every lane query must have been hash-checked, not just error-free
+    # every lane query must have been hash-checked, not just error-free;
+    # parse the tool's per-query JSON payload rather than matching a
+    # repr substring (format/key-order independent)
+    statuses: dict[str, dict] = {}
+    for line in proc.stdout.splitlines():
+        name, sep, payload = line.partition(": {")
+        if sep:
+            try:
+                statuses[name] = json.loads("{" + payload)
+            except json.JSONDecodeError:
+                continue
     for name in LANE:
-        assert f"{name}: {{'rows_match': True" in proc.stdout, (
-            f"{name} missing or failed:\n{proc.stdout[-2000:]}"
-        )
+        st = statuses.get(name)
+        assert st is not None, f"{name} missing:\n{proc.stdout[-2000:]}"
+        assert st.get("rows_match") and st.get("schema_match") and st.get(
+            "hash_match"
+        ), f"{name} failed: {st}\n{proc.stdout[-2000:]}"

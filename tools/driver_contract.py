@@ -24,6 +24,7 @@ Rows-only queries (no oracle entry) print their row count and are
 never counted as BAD.
 """
 import hashlib
+import json
 import os
 import sys
 
@@ -72,7 +73,11 @@ def main():
                 "schema_match": list(s.columns) == list(d.columns),
                 "hash_match": value_hash(s) == value_hash(d),
             }
-            print(f"{name}: {status}", flush=True)
+            # machine-readable per-query line: consumers (the
+            # local-cluster CI lane) parse the JSON payload instead of
+            # matching a repr substring, so the format can't silently
+            # couple to dict ordering
+            print(f"{name}: {json.dumps(status)}", flush=True)
             if not all(status.values()):
                 bad.append(name)
         except Exception as ex:  # noqa: BLE001 — report and keep sweeping
