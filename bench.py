@@ -2,16 +2,35 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line (final stdout line, guaranteed well
+under the driver's 2000-char tail capture — round 6's artifact lost
+its headline totals when the full per-query dict outgrew it):
+
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., totals,
+   host probes, pooled stream-latency percentiles, "detail_file": ...}
 
 value = total wall-clock seconds across headline queries (lower is
-better). Each query is fully executed through a noop sink (every
-column materialized — count() would let Catalyst prune computed
-columns) so the measured time covers scan → shuffle → result, not plan
+better); "shared50_total" = the same sum restricted to the 50 queries
+benched since round 4 (the cross-round ratchet). Per-query timings,
+per-query micro-batch latency blocks and error strings go to stderr
+AND to the sidecar named by "detail_file" (bench_detail_last.json in
+the repo root).
+
+Each query is fully executed through a noop sink (every column
+materialized — count() would let Catalyst prune computed columns) so
+the measured time covers scan → shuffle → result, not plan
 construction. A failing query contributes its elapsed-at-failure time
-and is reported under "errors" — one bad query can't zero the round's
-perf signal.
+and is reported under "errors" in the sidecar (count on the final
+line) — one bad query can't zero the round's perf signal.
+
+After the headline loop a LATENCY PASS re-runs the four
+latency-instrumented streaming queries over a ts-ordered multi-file
+feed (SPARK_GRAFT_STREAM_FEED_FILES, default 24 files → ≥20
+data-carrying micro-batches each) so stream_batch_ms p50/p95 are
+order statistics rather than a single sample (round-6 verdict item
+2). The latency pass walls are recorded in the sidecar but excluded
+from "value" — throughput and latency stay separately comparable
+across rounds.
 """
 
 from __future__ import annotations
@@ -95,6 +114,40 @@ HEADLINE = [
     "fire_mask_stats",
     # round-5: the fire pipeline STREAMING like the reference runs it
     # (real PNG decode inside the micro-batch, append mode)
+    "stream_fire_mask_stats",
+]
+
+# The 50 queries benched every round since round 4 (the set
+# BENCH_r04.json records) — "shared50_total" on the final line is the
+# cross-round ratchet the verdicts track (r04: 133.1 s).
+SHARED50 = [
+    "abc_revenue_classes", "absa_aspect_sentiments", "bpe_merge_rules",
+    "bucketed_order_revenue", "csv_roundtrip", "curated_corpus",
+    "dedup_cluster_assignment", "dedup_exact",
+    "embedding_lsh_near_duplicates", "embedding_near_duplicates",
+    "explode_words", "fire_mask_stats", "forecast_revenue",
+    "heavy_hitter_users", "incremental_join_refresh", "jpeg_pixel_stats",
+    "json_props_stats", "kmeans_clusters", "knn_batch_topk",
+    "knn_cosine_topk", "large_volume_customers", "latest_event_per_user",
+    "local_supplier_volume", "minhash_near_duplicates",
+    "minhash_near_duplicates_prod", "ntile_histogram",
+    "order_revenue_by_priority", "pagerank_trade", "pit_feature_backfill",
+    "pq_topk", "pricing_summary", "prior_events_within",
+    "regional_customers", "rfm_segments", "seasonal_decompose_daily",
+    "session_peak_concurrency", "session_windows", "shipping_priority",
+    "simhash_near_duplicates", "stream_jdbc_sink", "stream_stream_join",
+    "stream_stream_left_outer", "stream_tumbling_counts",
+    "text_quality_stats", "time_bucket", "top_k_per_group", "top_revenue",
+    "value_ranks", "vehicle_detections", "zorder_box_stats",
+]
+
+# Streaming queries whose micro-batch latency BASELINE.md makes
+# comparable (10-15 s vehicle batches, 2-3 s fire) — re-run in the
+# latency pass over the multi-file feed.
+LATENCY_QUERIES = [
+    "stream_tumbling_counts",
+    "stream_stream_join",
+    "stream_stream_left_outer",
     "stream_fire_mask_stats",
 ]
 
@@ -222,11 +275,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    stream_batch_ms: dict[str, dict[str, float]] = {}
-    stream_batch_raw: list[float] = []
     for name in HEADLINE:
         spec = specs[name]
-        _streams.LAST_BATCH_MS.clear()
         t0 = time.perf_counter()
         try:
             df = spec.build(spark, sf_dir)
@@ -235,20 +285,6 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-            # micro-batch latency of the stream this query just ran —
-            # the metric BASELINE.md actually publishes (10-15 s
-            # vehicle batches, 2-3 s fire). Data-carrying batches only.
-            if _streams.LAST_BATCH_MS:
-                ms = sorted(_streams.LAST_BATCH_MS)
-                stream_batch_raw.extend(ms)
-                stream_batch_ms[name] = {
-                    "p50": round(_pctl(ms, 0.50), 1),
-                    "p95": round(_pctl(ms, 0.95), 1),
-                    "max": round(ms[-1], 1),
-                    "n_batches": len(ms),
-                }
-                print(f"# {name} batch ms: {stream_batch_ms[name]}",
-                      file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — keep the bench alive
             timings[name] = round(time.perf_counter() - t0, 3)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -270,6 +306,49 @@ def main() -> None:
 
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+
+    # ---- latency pass ------------------------------------------------
+    # Re-run the latency-instrumented streaming queries over the
+    # ts-ordered multi-file feed: each feed file is one data-carrying
+    # micro-batch, so p50/p95 are real order statistics (BENCH_r06 had
+    # n_batches=1 everywhere — p50=p95=max of one sample). Semantics
+    # are feed-width-invariant (tests/test_streaming_multibatch.py);
+    # the walls here are recorded in the sidecar but kept out of the
+    # headline total so throughput stays comparable across rounds.
+    feed_files = int(os.environ.get("SPARK_GRAFT_LATENCY_FEED_FILES", "24"))
+    stream_batch_ms: dict[str, dict[str, float]] = {}
+    stream_batch_raw: list[float] = []
+    latency_walls: dict[str, float] = {}
+    os.environ["SPARK_GRAFT_STREAM_FEED_FILES"] = str(feed_files)
+    try:
+        for name in LATENCY_QUERIES:
+            _streams.LAST_BATCH_MS.clear()
+            t0 = time.perf_counter()
+            try:
+                specs[name].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                latency_walls[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — keep the bench alive
+                errors[f"latency:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# latency {name} FAILED: {errors[f'latency:{name}']}",
+                      file=sys.stderr)
+                continue
+            finally:
+                spark.catalog.clearCache()
+            if _streams.LAST_BATCH_MS:
+                ms = sorted(_streams.LAST_BATCH_MS)
+                stream_batch_raw.extend(ms)
+                stream_batch_ms[name] = {
+                    "p50": round(_pctl(ms, 0.50), 1),
+                    "p95": round(_pctl(ms, 0.95), 1),
+                    "max": round(ms[-1], 1),
+                    "n_batches": len(ms),
+                }
+                print(f"# {name} batch ms ({feed_files}-file feed): "
+                      f"{stream_batch_ms[name]}", file=sys.stderr)
+    finally:
+        os.environ.pop("SPARK_GRAFT_STREAM_FEED_FILES", None)
 
     # Frame-pipeline throughput over the FULL events table — directly
     # comparable to BASELINE.md's frames/min numbers (vehicle: ~600
@@ -350,17 +429,44 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    shared50_total = round(
+        sum(timings[n] for n in SHARED50 if n in timings), 3
+    )
     sf_txt = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_txt)
     except ValueError:
         sf = None
+    # Full detail → sidecar file (repo root, overwritten per run) +
+    # stderr above; the FINAL stdout line stays compact so the
+    # driver's 2000-char tail capture always parses it.
+    detail = {
+        "queries": timings,
+        "latency_pass_walls": latency_walls,
+        "latency_feed_files": feed_files,
+        "stream_batch_ms": stream_batch_ms,
+        "errors": errors,
+    }
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail_last.json"
+    )
+    try:
+        with open(detail_file, "w", encoding="utf-8") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+        detail_file = None
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        # the cross-round ratchet set (the 50 queries benched since
+        # round 4; r04 total 133.1 s)
+        "shared50_total": shared50_total,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
         "frames_per_min": frames_per_min,
         **jpeg_fps,
         # host pressure context for cross-round ratchet comparisons:
@@ -371,19 +477,25 @@ def main() -> None:
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "disk_write_mbps_start": disk_mbps,
         "disk_write_mbps_end": disk_end,
+        "detail_file": detail_file,
     }
-    if stream_batch_ms:
-        out["stream_batch_ms"] = stream_batch_ms
-        # flat keys for the round ledger: percentiles over ALL
-        # data-carrying micro-batches across the streaming headline
-        # queries (BASELINE.md's comparable rows: 10-15 s vehicle
-        # batches, 2-3 s fire batches)
+    if stream_batch_raw:
+        # pooled percentiles over ALL data-carrying micro-batches of
+        # the latency pass (BASELINE.md's comparable rows: 10-15 s
+        # vehicle batches, 2-3 s fire batches); per-query blocks are
+        # in the sidecar
         pooled = sorted(stream_batch_raw)
         out["stream_batch_ms_p50"] = round(_pctl(pooled, 0.50), 1)
         out["stream_batch_ms_p95"] = round(_pctl(pooled, 0.95), 1)
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        out["stream_batch_n"] = len(pooled)
+        out["stream_batch_n_min"] = min(
+            v["n_batches"] for v in stream_batch_ms.values()
+        )
+    line = json.dumps(out)
+    if len(line) >= 1500:  # never break the one-line contract; warn loudly
+        print(f"# WARNING: final bench line {len(line)} chars — the "
+              "driver's tail capture may truncate it", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

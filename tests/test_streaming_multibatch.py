@@ -1,0 +1,85 @@
+"""Multi-micro-batch feed equivalence (SPARK_GRAFT_STREAM_FEED_FILES).
+
+The latency bench replays the streaming headline queries over a
+ts-ordered N-file feed (N micro-batches) instead of the default
+single-file read (1 batch). These lanes pin the claim that the feed
+width is an *observability* knob, not a semantics knob: the final
+emitted set must be identical at N=1 and N=12, including the two
+surfaces where multi-batch execution could genuinely diverge —
+
+* the watermarked stream-stream LEFT OUTER join, whose unmatched-row
+  eviction happens progressively as the watermark advances between
+  batches (ordered arrival guarantees no match is lost to early
+  eviction: a purchase in batch k+1 has ts >= every batch-k event, so
+  the min-of-sides watermark trails its join window);
+* complete-mode windowed aggregation, whose state accumulates across
+  batches.
+
+Also asserts the feed actually produced one data-carrying batch per
+file — the property the latency percentiles depend on.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from big_data_exercise_spark.streaming import pipelines as streams
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+N_FEED = 12
+
+
+def _rows(df):
+    pdf = df.toPandas()
+    return sorted(
+        tuple(
+            None if isinstance(v, float) and math.isnan(v) else v
+            for v in row
+        )
+        for row in pdf.itertuples(index=False, name=None)
+    )
+
+
+def _run(spark, build, mode, feed_files=None, monkeypatch=None):
+    if feed_files:
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_FEED_FILES", str(feed_files))
+    else:
+        assert os.environ.get("SPARK_GRAFT_STREAM_FEED_FILES") is None
+    try:
+        out = streams.run_to_memory(build(spark), mode)
+        return _rows(out), len(streams.LAST_BATCH_MS)
+    finally:
+        if feed_files:
+            monkeypatch.delenv("SPARK_GRAFT_STREAM_FEED_FILES")
+
+
+def _tumbling(spark):
+    return streams.tumbling_counts(streams.stream_events(spark, SF_DIR))
+
+
+def _ss_left_outer(spark):
+    return streams.click_purchase_attribution(
+        streams.stream_events(spark, SF_DIR),
+        streams.stream_events(spark, SF_DIR),
+        watermark="10 minutes",
+        how="left_outer",
+    )
+
+
+@pytest.mark.parametrize(
+    "build,mode",
+    [(_tumbling, "complete"), (_ss_left_outer, "append")],
+    ids=["tumbling_complete", "stream_stream_left_outer"],
+)
+def test_multibatch_feed_equals_single_batch(spark, monkeypatch, build, mode):
+    single, n_single = _run(spark, build, mode)
+    multi, n_multi = _run(
+        spark, build, mode, feed_files=N_FEED, monkeypatch=monkeypatch
+    )
+    assert multi == single
+    # every feed file became its own data-carrying micro-batch — the
+    # property that turns the latency p50/p95 into real order stats
+    assert n_multi >= N_FEED > n_single
