@@ -49,7 +49,9 @@ from big_data_exercise_spark.operators import (
     timeseries,
     windows,
 )
-from big_data_exercise_spark.functions import arrays, bpe, grouped, pii, sentiment, text
+from big_data_exercise_spark.functions import (
+    arrays, bpe, grouped, pii, sentiment, text, urls,
+)
 from big_data_exercise_spark.functions.numeric import (
     avg_sql,
     exact_sum,
@@ -63,7 +65,7 @@ from big_data_exercise_spark.dedup import (
 from big_data_exercise_spark.similarity import kmeans, knn, lsh, pq
 from big_data_exercise_spark.multimodal import audio, codecs, detections
 from big_data_exercise_spark.sources import (
-    csvio, jdbcio, jsonio, orcio, pydatasource, textio,
+    csvio, encoding, jdbcio, jsonio, orcio, pydatasource, textio,
 )
 from big_data_exercise_spark.streaming import pipelines as streams
 
@@ -4950,6 +4952,35 @@ def _specs() -> list[QuerySpec]:
         "the governance gauntlet: dedup closure -> quality gates -> "
         "benchmark holdout -> contamination quarantine, with "
         "first-failing-gate drop attribution per language",
+    ))
+    s.append(QuerySpec(
+        "url_parse_fields",
+        lambda sp, d: urls.url_parse_fields(_t(sp, d, "documents")),
+        urls.url_parse_fields_sql(),
+        ("urls", "scalar", "governance"),
+        "URL anatomy via built-in parse_url (HOST/PATH/QUERY-param + "
+        "public-suffix-lite registrable domain) vs string-op oracle — "
+        "the crawl-metadata extraction stage of a web pipeline",
+    ))
+    s.append(QuerySpec(
+        "domain_corpus_rollup",
+        lambda sp, d: urls.domain_corpus_rollup(_t(sp, d, "documents")),
+        urls.domain_corpus_rollup_sql(),
+        ("urls", "agg", "dedup", "governance"),
+        "per-registrable-domain curation rollup: docs, hosts, exact-dup "
+        "rate (dedup_exact fingerprints), chars, corpus mixture weight "
+        "— one domain-keyed hash agg + broadcast 1-row total",
+    ))
+    s.append(QuerySpec(
+        "utf8_decode_accounting",
+        lambda sp, d: encoding.utf8_decode_accounting(
+            _t(sp, d, "documents")),
+        encoding.utf8_decode_accounting_sql(),
+        ("sources", "encoding", "udf", "governance"),
+        "dirty-encoding ingest: planted latin-1/truncated/invalid "
+        "bytes -> Arrow UTF-8 replacement decode with per-doc "
+        "U+FFFD accounting; oracle reconstructs the expected decode "
+        "analytically from the planting rule",
     ))
     s.append(QuerySpec(
         "audio_segment_energy",

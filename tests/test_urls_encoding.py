@@ -1,0 +1,168 @@
+"""Unit/property lanes for the URL/domain curation tier and the
+dirty-encoding ingest operator (round-7 additions; the registry
+entries themselves ride the oracle-parity gate like every query)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_exercise_spark.functions import urls
+from big_data_exercise_spark.sources import encoding
+
+
+# --- registrable domain --------------------------------------------------
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("blog.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),       # exactly 3 labels, PSL hit
+        ("deep.sub.blog.example.co.uk", "example.co.uk"),
+        ("mirror.archive.github.io", "archive.github.io"),
+        ("sample.org", "sample.org"),
+        ("localhost", "localhost"),               # 1 label: itself
+        ("a.b.c.d.example.com", "example.com"),
+        (None, None),
+    ],
+)
+def test_registrable_domain(spark, host, expected):
+    df = spark.createDataFrame([(host,)], "host string")
+    out = df.select(urls.registrable_domain(F.col("host")).alias("d")).collect()
+    assert out[0]["d"] == expected
+
+
+def test_registrable_domain_sql_twin(spark):
+    """Spark expr and DuckDB twin agree label-for-label on the unit
+    host set (the oracle-parity gate only sees the 7 fixture hosts)."""
+    import duckdb
+
+    hosts = [
+        "www.example.com", "example.com", "blog.example.co.uk",
+        "example.co.uk", "deep.sub.blog.example.co.uk",
+        "mirror.archive.github.io", "sample.org", "localhost",
+        "a.b.c.d.example.com", "x.ac.uk", "y.com.au", "z.co.jp",
+    ]
+    sdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in sdf.select(
+            "host", urls.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    duck = duckdb.sql(
+        "SELECT host, "
+        + urls.registrable_domain_sql("host")
+        + " AS d FROM (SELECT unnest(?::VARCHAR[]) AS host)",
+        params=[hosts],
+    ).df()
+    want = dict(zip(duck["host"], duck["d"]))
+    assert got == want
+
+
+def test_parse_url_port_and_query(spark):
+    """Hive parse_url semantics the oracle's string ops must mirror:
+    HOST strips the port, PATH excludes the query, QUERY takes a key."""
+    df = spark.createDataFrame(
+        [("https://data.example.com:8080/src3/10?ref=zh&x=1",)], "url string"
+    )
+    row = df.select(
+        urls.url_host(F.col("url")).alias("h"),
+        urls.url_path(F.col("url")).alias("p"),
+        urls.url_query_param(F.col("url"), "ref").alias("r"),
+        urls.url_query_param(F.col("url"), "missing").alias("m"),
+    ).collect()[0]
+    assert row["h"] == "data.example.com"
+    assert row["p"] == "/src3/10"
+    assert row["r"] == "zh"
+    assert row["m"] is None
+
+
+def test_domain_rollup_counts_planted_dups(spark):
+    """Planted exact duplicates (whitespace variants — the dedup_exact
+    key is whitespace-normalized) show up in the right domain's
+    n_dup_docs; mixture weights sum to ~1."""
+    rows = [
+        # doc_id % 7 == 0 -> www.example.com -> example.com
+        (0, "same doc text", "src0", "en", 13),
+        (7, "same  doc\ttext", "src0", "en", 14),     # ws variant: dup
+        (14, "other text", "src1", "en", 10),
+        # doc_id % 7 == 4 -> sample.org
+        (4, "unique over here", "src2", "de", 16),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = {r["domain"]: r for r in urls.domain_corpus_rollup(docs).collect()}
+    assert out["example.com"]["n_docs"] == 3
+    assert out["example.com"]["n_dup_docs"] == 1
+    assert out["sample.org"]["n_docs"] == 1
+    assert out["sample.org"]["n_dup_docs"] == 0
+    assert abs(sum(r["mixture_weight"] for r in out.values()) - 1.0) < 1e-6
+
+
+# --- UTF-8 replacement decode --------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        b"",
+        b"plain ascii",
+        "déjà vu — 漢字 €".encode(),
+        b"stray tail \xe9",
+        b"truncated \xe2\x82",
+        b"mid \xff\xfe stream",
+        b"\x80\x80\x80",                       # 3 lone continuation bytes
+        b"overlong \xc0\xaf",                  # overlong encoding: 2 repl
+        b"good \xe2\x82\xac then bad \xe2\x82",  # valid EUR then truncated
+        b"\xf0\x9f\x98\x80 emoji ok",
+    ],
+)
+def test_decode_matches_python_replace(spark, raw):
+    """The operator's (text, n_replacements) equals CPython's
+    'replace' handler output — maximal-subpart substitution."""
+    expected = raw.decode("utf-8", "replace")
+    df = spark.createDataFrame([(bytearray(raw),)], "raw binary")
+    row = df.select(encoding.decode_utf8(F.col("raw")).alias("d")).collect()[0]["d"]
+    assert row["text"] == expected
+    assert row["n_replacements"] == expected.count(encoding.REPLACEMENT)
+
+
+def test_decode_null_row(spark):
+    df = spark.createDataFrame([(None,)], "raw binary")
+    row = df.select(encoding.decode_utf8(F.col("raw")).alias("d")).collect()[0]["d"]
+    assert row["text"] is None and row["n_replacements"] is None
+
+
+def test_fixture_corpus_is_replacement_free(spark):
+    """The oracle's analytic reconstruction assumes the corpus carries
+    no literal U+FFFD (else planted counts would over-count); pin it."""
+    from big_data_exercise_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.filter(F.col("text").contains(encoding.REPLACEMENT)).count()
+    assert n == 0
+
+
+def test_planted_classes_round_trip(spark):
+    """End-to-end accounting over a tiny corpus: every planted class
+    yields exactly its documented replacement count, and n_bytes /
+    n_chars close the arithmetic the oracle uses."""
+    rows = [(i, f"text number {i}", "s", "en", 14) for i in range(14)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in encoding.utf8_decode_accounting(docs).collect()}
+    for i, text in [(r[0], r[1]) for r in rows]:
+        m = i % 7
+        want_repl = {1: 1, 3: 1, 5: 2}.get(m, 0)
+        r = out[i]
+        assert r["n_replacements"] == want_repl, (i, r)
+        assert r["valid_utf8"] == (want_repl == 0)
+        extra_bytes = {1: 1, 3: 2, 5: 7}.get(m, 0)
+        assert r["n_bytes"] == len(text.encode()) + extra_bytes
+        extra_chars = {1: 1, 3: 1, 5: 7}.get(m, 0)
+        assert r["n_chars"] == len(text) + extra_chars
