@@ -102,7 +102,13 @@ def registrable_domain(host: Column) -> Column:
     multi-label public suffix (public-suffix-LITE; see module
     docstring). A 1- or 2-label host is its own registrable domain.
     Pure JVM expressions (split / slice / array_join): stays inside
-    whole-stage codegen."""
+    whole-stage codegen.
+
+    NOTE: this builds ONE expression tree referencing ``host`` ~9
+    times — fine on a materialized column, but passing a parse_url
+    expression replicates the parse per reference. Pipelines should
+    use :func:`with_registrable_domain` (staged single-evaluation
+    projections); this form exists for unit-level semantics."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
@@ -130,17 +136,44 @@ def registrable_domain_sql(host_expr: str) -> str:
         END"""
 
 
+def with_registrable_domain(
+    df: DataFrame, url_col: str = "url", out: str = "domain"
+) -> DataFrame:
+    """Materialize url → host → label array → domain in SEPARATE
+    projections, so each expensive expression evaluates once per row.
+
+    Passing ``registrable_domain(url_host(col))`` as one expression
+    tree replicates the ``parse_url`` invoke ~9× per row (once per
+    reference in the CASE — the round-6 expression-replication cost
+    class; measured 10 ParseUrlEvaluator calls per row in the naive
+    plan). Staged columns keep each stage single-evaluation:
+    CollapseProject never merges a non-cheap expression into multiple
+    downstream references (pinned at the plan level by
+    test_plan_properties.test_url_parse_evaluates_once)."""
+    h = df.withColumn("__host", url_host(F.col(url_col)))
+    p = h.withColumn("__parts", F.split(F.col("__host"), r"\."))
+    n = F.size(F.col("__parts"))
+    last2 = F.array_join(F.slice(F.col("__parts"), n - 1, 2), ".")
+    last3 = F.array_join(F.slice(F.col("__parts"), n - 2, 3), ".")
+    domain = (
+        F.when(F.col("__host").isNull(), F.lit(None).cast("string"))
+        .when(n <= 2, F.col("__host"))
+        .when(last2.isin(MULTI_LABEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+    return p.withColumn(out, domain).drop("__parts")
+
+
 def url_parse_fields(documents: DataFrame) -> DataFrame:
     """Per-document URL anatomy: host, registrable domain, path, and
     the ``ref`` query parameter — the scalar parse surface
     (crawl-metadata extraction stage of a web pipeline)."""
-    u = with_url(documents)
-    host = url_host(F.col("url"))
+    u = with_registrable_domain(with_url(documents))
     return u.select(
         "doc_id",
         F.col("url"),
-        host.alias("host"),
-        registrable_domain(host).alias("domain"),
+        F.col("__host").alias("host"),
+        "domain",
         url_path(F.col("url")).alias("path"),
         url_query_param(F.col("url"), "ref").alias("ref"),
     )
@@ -153,11 +186,10 @@ def domain_corpus_rollup(documents: DataFrame) -> DataFrame:
     operator would drop), total chars, and the corpus mixture weight
     (the per-domain sampling prior that feeds
     ``source_mixture_sample``-style downsampling)."""
-    u = with_url(documents)
-    host = url_host(F.col("url"))
+    u = with_registrable_domain(with_url(documents))
     enriched = u.select(
-        registrable_domain(host).alias("domain"),
-        host.alias("host"),
+        "domain",
+        F.col("__host").alias("host"),
         fingerprint(F.col("text")).alias("fp"),
         "n_chars",
     )

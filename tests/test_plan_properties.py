@@ -505,3 +505,32 @@ def test_expensive_rounding_arguments_evaluate_once(spark):
         (l.count("element_at") for l in plan.splitlines()), default=0
     )
     assert worst <= 6 * 64, f"cosine chain replicated: {worst} element_at refs"
+
+
+@pytest.mark.parametrize("name", ["url_parse_fields", "domain_corpus_rollup"])
+def test_url_parse_evaluates_once(spark, name):
+    """Same replication class, URL tier: the registrable-domain CASE
+    references its host ~9 times, so composing it over an inline
+    parse_url expression re-parses the URL per reference (measured 10
+    ParseUrlEvaluator invokes per row in the naive plan). The staged
+    with_registrable_domain projections keep it at one HOST parse per
+    row, and the split-to-labels at one split per row."""
+    plan = _plan(spark, name)
+    worst_parse = max(
+        (l.count("ParseUrlEvaluator(null,HOST") for l in plan.splitlines()),
+        default=0,
+    )
+    assert worst_parse <= 1, f"host parsed {worst_parse}x in one operator"
+    worst_split = max(
+        (l.count("split(__host") for l in plan.splitlines()), default=0
+    )
+    assert worst_split <= 1, f"host split {worst_split}x in one operator"
+
+
+def test_utf8_decode_is_single_pass_arrow(spark):
+    """The dirty-encoding ingest is a pure map stage: one Arrow-batched
+    eval, no row-at-a-time Python, no shuffle anywhere."""
+    plan = _plan(spark, "utf8_decode_accounting")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
