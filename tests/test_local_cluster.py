@@ -41,6 +41,7 @@ LANE = [
     "png_pixel_stats",           # mapInPandas: per-executor Python workers
     "stream_tumbling_counts",    # streaming micro-batches across executors
     "dedup_cluster_assignment",  # iterative checkpoint-per-round closure
+    "utf8_decode_accounting",    # ArrowEvalPython over binary columns
 ]
 
 
