@@ -69,10 +69,22 @@ def _ss_left_outer(spark):
     )
 
 
+def _fire_stream(spark):
+    # stateless append pipeline with the real PNG codec in the
+    # micro-batch — the third mode class of the latency bench set
+    from big_data_exercise_spark.multimodal import codecs
+
+    return codecs.fire_mask_stats(streams.stream_events(spark, SF_DIR))
+
+
 @pytest.mark.parametrize(
     "build,mode",
-    [(_tumbling, "complete"), (_ss_left_outer, "append")],
-    ids=["tumbling_complete", "stream_stream_left_outer"],
+    [
+        (_tumbling, "complete"),
+        (_ss_left_outer, "append"),
+        (_fire_stream, "append"),
+    ],
+    ids=["tumbling_complete", "stream_stream_left_outer", "fire_stateless"],
 )
 def test_multibatch_feed_equals_single_batch(spark, monkeypatch, build, mode):
     single, n_single = _run(spark, build, mode)
