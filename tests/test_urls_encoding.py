@@ -62,6 +62,42 @@ def test_registrable_domain_sql_twin(spark):
     assert got == want
 
 
+def test_registrable_domain_hypothesis_fuzz(spark):
+    """Property sweep of the registrable-domain rule over arbitrary
+    host shapes — random label alphabets, depths 1-6, including labels
+    that collide with the multi-label suffix list — Spark expression
+    vs the DuckDB SQL twin must agree on every host. One batched
+    Spark/DuckDB round-trip per example set keeps the lane cheap."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    label = st.sampled_from(
+        ["a", "bb", "co", "uk", "com", "au", "github", "io", "x1", "ac"]
+    )
+    host = st.lists(label, min_size=1, max_size=6).map(".".join)
+
+    @settings(max_examples=20, deadline=None)
+    @given(hosts=st.lists(host, min_size=1, max_size=25))
+    def run(hosts):
+        sdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = [
+            (r["host"], r["d"])
+            for r in sdf.select(
+                "host", urls.registrable_domain(F.col("host")).alias("d")
+            ).collect()
+        ]
+        duck = duckdb.sql(
+            "SELECT host, "
+            + urls.registrable_domain_sql("host")
+            + " AS d FROM (SELECT unnest(?::VARCHAR[]) AS host)",
+            params=[hosts],
+        ).df()
+        want = list(zip(duck["host"], duck["d"]))
+        assert sorted(got) == sorted(want)
+
+    run()
+
+
 def test_parse_url_port_and_query(spark):
     """Hive parse_url semantics the oracle's string ops must mirror:
     HOST strips the port, PATH excludes the query, QUERY takes a key."""
