@@ -95,3 +95,68 @@ def test_multibatch_feed_equals_single_batch(spark, monkeypatch, build, mode):
     # every feed file became its own data-carrying micro-batch — the
     # property that turns the latency p50/p95 into real order stats
     assert n_multi >= N_FEED > n_single
+
+
+def test_feed_restart_recovers_exactly_once(spark, monkeypatch, tmp_path):
+    """Mid-feed crash/restart on the multi-file path: stop the query
+    after a few committed micro-batches, restart from the SAME
+    checkpoint, and the final sink must equal the batch result exactly
+    — no lost files, no duplicated batches. The sink is the
+    replay-safe idempotent writer (per-batch dynamic partition
+    overwrite), so even a batch re-executed across the restart
+    boundary replaces rather than appends."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_exercise_spark.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_FEED_FILES", str(N_FEED))
+    try:
+        def src():
+            return (
+                streams.stream_events(spark, SF_DIR)
+                .filter(F.col("value") > 150)
+                .select("event_id", "user_id", "event_type", "value")
+            )
+
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        writer = streams.idempotent_batch_writer(out)
+
+        # phase 1: consume a strict prefix of the feed, then stop
+        q = (
+            src().writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while len(q.recentProgress) < 4 and time.monotonic() < deadline:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        n_before = len(q.recentProgress)
+        assert 0 < n_before < N_FEED, (
+            f"phase 1 consumed {n_before} batches — need a strict prefix"
+        )
+
+        # phase 2: restart from the committed offsets, drain the rest
+        q2 = (
+            src().writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        got = _rows(spark.read.parquet(out).drop("_batch_id"))
+        want = _rows(
+            load_table(spark, SF_DIR, "events")
+            .filter(F.col("value") > 150)
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        assert got == want
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_FEED_FILES", raising=False)
