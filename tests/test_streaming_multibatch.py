@@ -125,10 +125,13 @@ def test_feed_restart_recovers_exactly_once(spark, monkeypatch, tmp_path):
         writer = streams.idempotent_batch_writer(out)
 
         # phase 1: consume a strict prefix of the feed, then stop
+        # 1 s trigger paces phase 1 (~1 batch/s), so the stop below
+        # reliably lands mid-feed even on a loaded host
         q = (
             src().writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
             .start()
         )
         deadline = time.monotonic() + 120
