@@ -56,19 +56,33 @@ HOST_POOL = [
 MULTI_LABEL_SUFFIXES = ["co.uk", "com.au", "co.jp", "ac.uk", "github.io"]
 
 
+# URI-unreserved characters (RFC 3986 §2.3) — anything else in a
+# variable URL part is substituted before construction, exactly as a
+# real crawl URL constructor encodes reserved characters. Without the
+# sanitize, a space (or any char java.net.URI rejects) in `source`
+# makes Spark's parse_url return NULL while a string-op oracle still
+# "parses" — a contract gap the round-7 hypothesis fuzz surfaced.
+# Plain substitution (not %-encoding) keeps both engines trivially
+# identical; the NULL-on-invalid parse_url semantics are pinned
+# separately by a unit test on a raw unsanitized URL.
+_UNSAFE = r"[^A-Za-z0-9._~-]"
+
+
 def with_url(documents: DataFrame) -> DataFrame:
     """Deterministic synthetic URL per document:
-    https://{host_pool[doc_id % 7]}/{source}/{doc_id}?ref={lang}."""
+    https://{host_pool[doc_id % 7]}/{source}/{doc_id}?ref={lang},
+    with source/lang sanitized to URI-unreserved characters."""
     host = F.element_at(
         F.array(*[F.lit(h) for h in HOST_POOL]),
         (F.col("doc_id") % 7 + 1).cast("int"),
     )
+    safe = lambda c: F.regexp_replace(c, _UNSAFE, "_")  # noqa: E731
     return documents.withColumn(
         "url",
         F.concat(
-            F.lit("https://"), host, F.lit("/"), F.col("source"),
+            F.lit("https://"), host, F.lit("/"), safe(F.col("source")),
             F.lit("/"), F.col("doc_id").cast("string"),
-            F.lit("?ref="), F.col("lang"),
+            F.lit("?ref="), safe(F.col("lang")),
         ),
     )
 
@@ -78,8 +92,10 @@ def url_sql() -> str:
     pool = ", ".join(f"'{h}'" for h in HOST_POOL)
     return (
         f"'https://' || list_extract([{pool}], "
-        "CAST(doc_id % 7 + 1 AS INTEGER)) || '/' || source || '/' || "
-        "CAST(doc_id AS VARCHAR) || '?ref=' || lang"
+        "CAST(doc_id % 7 + 1 AS INTEGER)) || '/' || "
+        f"regexp_replace(source, '{_UNSAFE}', '_', 'g') || '/' || "
+        "CAST(doc_id AS VARCHAR) || '?ref=' || "
+        f"regexp_replace(lang, '{_UNSAFE}', '_', 'g')"
     )
 
 

@@ -116,6 +116,38 @@ def test_parse_url_port_and_query(spark):
     assert row["m"] is None
 
 
+def test_parse_url_invalid_uri_yields_null(spark):
+    """parse_url is java.net.URI-strict: a URL carrying a raw space
+    (or any rejected character) parses to NULL in EVERY field — the
+    dirty-crawl degradation path. The synthetic-URL builders sanitize
+    their variable parts so the registry oracle never meets this case
+    (the string-op oracle would 'parse' it anyway — the contract gap
+    the round-7 fuzz caught); this lane pins the raw behavior."""
+    df = spark.createDataFrame(
+        [("https://www.example.com/weird src/0?ref=en",)], "url string"
+    )
+    row = df.select(
+        urls.url_host(F.col("url")).alias("h"),
+        urls.url_path(F.col("url")).alias("p"),
+        urls.url_query_param(F.col("url"), "ref").alias("r"),
+    ).collect()[0]
+    assert row["h"] is None and row["p"] is None and row["r"] is None
+
+
+def test_with_url_sanitizes_variable_parts(spark):
+    """Dirty source/lang values reach the URL as URI-unreserved
+    substitutions, so the constructed URL always parses."""
+    docs = spark.createDataFrame(
+        [(3, "text", "weird src/β?", "e n", 4)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    row = urls.url_parse_fields(docs).collect()[0]
+    assert row["url"] == "https://news.sample.org/weird_src___/3?ref=e_n"
+    assert row["host"] == "news.sample.org"
+    assert row["path"] == "/weird_src___/3"
+    assert row["ref"] == "e_n"
+
+
 def test_domain_rollup_counts_planted_dups(spark):
     """Planted exact duplicates (whitespace variants — the dedup_exact
     key is whitespace-normalized) show up in the right domain's
@@ -137,6 +169,73 @@ def test_domain_rollup_counts_planted_dups(spark):
     assert out["sample.org"]["n_docs"] == 1
     assert out["sample.org"]["n_dup_docs"] == 0
     assert abs(sum(r["mixture_weight"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_new_oracle_pairs_hypothesis_fuzz(spark):
+    """End-to-end differential fuzz of the two round-7 oracle pairs:
+    a RANDOM documents corpus (ASCII words, mixed whitespace,
+    arbitrary non-negative doc_ids) runs through the Spark operator
+    AND its DuckDB oracle SQL over the identical frame — the same
+    comparison as the driver contract, on inputs the fixture never
+    produces (degenerate texts, duplicate texts across domains,
+    sparse/colliding ids)."""
+    import duckdb
+    import hashlib
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from big_data_exercise_spark.sources import encoding as enc
+
+    word = st.sampled_from(
+        ["alpha", "beta", "Gamma", "the", "a", "x", "LONGERWORD", ""]
+    )
+    sep = st.sampled_from([" ", "  ", "\t", "\n", " \t "])
+    text = st.lists(st.tuples(word, sep), min_size=0, max_size=8).map(
+        lambda ps: "".join(w + s for w, s in ps)
+    )
+    doc = st.tuples(
+        st.integers(min_value=0, max_value=10**12),  # doc_id
+        text,
+        st.sampled_from(["src0", "src7", "weird src", "", "A/B?x=1", "ünïcode"]),
+        st.sampled_from(["en", "de", "zh", "e n", ""]),
+        st.integers(min_value=0, max_value=5000),    # n_chars
+    )
+
+    def vhash(pdf):
+        pdf = pdf[sorted(pdf.columns)]
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+        return hashlib.md5(
+            pdf.to_csv(index=False, float_format="%.9g").encode()
+        ).hexdigest()
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows=st.lists(doc, min_size=1, max_size=12, unique_by=lambda r: r[0]))
+    def run(rows):
+        sdf = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string, n_chars long"
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                rows, columns=["doc_id", "text", "source", "lang", "n_chars"]
+            ),
+        )
+        for build, sql in (
+            (urls.domain_corpus_rollup, urls.domain_corpus_rollup_sql()),
+            (enc.utf8_decode_accounting, enc.utf8_decode_accounting_sql()),
+        ):
+            got = build(sdf).toPandas()
+            want = con.sql(sql).df()
+            assert sorted(got.columns) == sorted(want.columns)
+            assert vhash(got) == vhash(want), (
+                f"{build.__name__} diverged on {rows}"
+            )
+        con.close()
+
+    run()
 
 
 # --- UTF-8 replacement decode --------------------------------------------
