@@ -269,8 +269,12 @@ def domain_corpus_rollup_sql() -> str:
 
 def url_parse_fields_sql() -> str:
     """DuckDB oracle for :func:`url_parse_fields` (string-op parse of
-    the same synthetic URLs)."""
-    host_port = "split_part(split_part(url, '//', 2), '/', 1)"
+    the same synthetic URLs). The scheme is stripped at the FIRST
+    ``//`` via position(), never split_part: a path that itself starts
+    with ``//`` (empty sanitized source) would otherwise truncate the
+    parse at the second occurrence (round-7 fuzz finding #2)."""
+    after_scheme = "substr(url, position('//' IN url) + 2)"
+    host_port = f"split_part({after_scheme}, '/', 1)"
     host = f"split_part({host_port}, ':', 1)"
     return f"""
         WITH u AS (
@@ -280,7 +284,7 @@ def url_parse_fields_sql() -> str:
           FROM u)
         SELECT doc_id, url, host,
                {registrable_domain_sql("host")} AS domain,
-               substr(split_part(split_part(url, '//', 2), '?', 1),
+               substr(split_part({after_scheme}, '?', 1),
                       len(host_port) + 1) AS path,
                split_part(split_part(url, 'ref=', 2), '&', 1) AS ref
         FROM f
