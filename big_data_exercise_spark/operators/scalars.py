@@ -237,19 +237,27 @@ def corrupt_record_accounting(events: DataFrame) -> DataFrame:
     before trusting a feed; the mangling is keyed on event_id so the
     oracle reproduces exactly which rows fail."""
     # Prefix mangling: Spark's JSON parser TOLERATES trailing garbage
-    # ('{"k":69}x' parses), so corruption must break the head. A
-    # malformed row comes back as a struct of NULL fields (not a NULL
-    # struct) — the detection predicate is on the field.
+    # ('{"k":69}x' parses), so corruption must break the head.
+    # Detection is PERMISSIVE's corrupt-record column — the raw input
+    # string lands in it iff the record failed to PARSE. The earlier
+    # predicate (extracted field IS NULL) conflated malformed records
+    # with VALID records merely missing the field ('{}' parses fine) —
+    # invisible on the fixture, whose payloads always carry k; caught
+    # by the random-corpus oracle fuzz (round 7).
     mangled = F.when(
         F.col("event_id") % 100 == 0, F.concat(F.lit("x"), F.col("props"))
     ).otherwise(F.col("props"))
-    parsed = F.from_json(mangled, "k INT")
+    parsed = F.from_json(
+        mangled,
+        "k INT, _malformed STRING",
+        {"columnNameOfCorruptRecord": "_malformed"},
+    )
     return (
         events.select("event_type", parsed.alias("p"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("p._malformed").isNotNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_corrupt"),
         )

@@ -101,24 +101,140 @@ def _write_corpus(rows) -> str:
     return d
 
 
+def _norm(pdf):
+    import pandas as pd
+
+    out = pdf.copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            try:
+                out[c] = out[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+    return out
+
+
+def _compare(spark, name, sf_dir, table, path, ctx):
+    spec = SPECS[name]
+    got = _norm(spec.build(spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {table} AS SELECT * FROM '{path}'")
+    want = _norm(con.sql(spec.oracle).df())
+    con.close()
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert len(got) == len(want), (name, len(got), len(want), ctx)
+    assert _vhash(got) == _vhash(want), f"{name} diverged on {ctx}"
+
+
 @pytest.mark.parametrize("name", FUZZED)
 def test_oracle_pair_random_corpus(spark, name):
-    spec = SPECS[name]
-
     @settings(max_examples=5, deadline=None)
     @given(rows=st.lists(_DOC, min_size=1, max_size=10, unique_by=lambda r: r[0]))
     def run(rows):
         sf_dir = _write_corpus(rows)
-        got = spec.build(spark, sf_dir).toPandas()
-        con = duckdb.connect()
-        con.execute(
-            "CREATE VIEW documents AS SELECT * FROM "
-            f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+        _compare(
+            spark, name, sf_dir, "documents",
+            os.path.join(sf_dir, "documents.parquet"), rows,
         )
-        want = con.sql(spec.oracle).df()
-        con.close()
-        assert sorted(got.columns) == sorted(want.columns), name
-        assert len(got) == len(want), (name, len(got), len(want), rows)
-        assert _vhash(got) == _vhash(want), f"{name} diverged on {rows}"
+
+    run()
+
+
+# ---- events-table pairs ---------------------------------------------------
+# Formula-dense events-only oracle pairs: window orderings, session
+# boundaries, percentile bands, sweep-lines, Markov/funnel/cohort
+# sequences, map HOFs, z-scores, exact-decimal aggregation. Value
+# domain respects the documented numeric contract (<= 2 fractional
+# digits, |v| <= 1e5 — percentile interpolation past ~1e7 17-digit
+# doubles is an out-of-contract last-ulp zone); ts spans a few days at
+# second granularity WITH planted equal instants (every window order
+# tie-breaks on the unique event_id); props is always-valid JSON,
+# sometimes without the extracted key.
+EVENTS_FUZZED = [
+    "time_bucket",
+    "conditional_agg",
+    "count_distinct_users",
+    "histogram_domain_fill",
+    "heavy_hitter_users",
+    "user_behavior_gini",
+    "user_days_except_all",
+    "user_days_intersect_all",
+    "json_props_stats",
+    "corrupt_record_accounting",
+    "conversion_funnel",
+    "scd2_intervals",
+    "event_transition_matrix",
+    "cohort_retention",
+    "common_event_paths",
+    "value_ranks",
+    "ntile_histogram",
+    "top_k_per_group",
+    "value_equiwidth_histogram",
+    "anomaly_events",
+    "mad_outlier_stats",
+    "resample_interpolate",
+    "decayed_value_by_type",
+    "daily_active_windows",
+    "daily_conversion_wilson",
+    "session_bounce_stats",
+    "seasonal_decompose_daily",
+    "trailing_hour_sums",
+    "running_total_per_user",
+    "inter_event_gap_ms",
+    "latest_event_per_user",
+    "user_first_last_events",
+    "activity_heatmap",
+    "null_semantics_suite",
+    "pivot_event_counts",
+    "event_count_map_roundtrip",
+    "map_hof_roundtrip",
+    "top_types_with_other",
+    "epoch_roundtrip",
+]
+
+_TS = st.integers(min_value=0, max_value=3 * 24 * 3600).map(
+    lambda s: 1704067200_000_000 + s * 1_000_000  # 2024-01-01 + s seconds, µs
+)
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=10**9),                      # event_id
+    _TS,
+    st.integers(min_value=0, max_value=6),                          # user_id
+    st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+    st.one_of(
+        st.integers(min_value=-(10**7), max_value=10**7).map(lambda n: n / 100),
+        st.sampled_from([0.0, 100.0, 150.0, 150.0]),                # tie mass
+    ),
+    st.sampled_from(['{"k": 87}', '{"k": 0}', '{"k": -3}', "{}"]),
+)
+
+
+def _write_events(rows) -> str:
+    d = tempfile.mkdtemp(prefix="bdes_fuzz_ev_")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", EVENTS_FUZZED)
+def test_events_oracle_pair_random_corpus(spark, name):
+    @settings(max_examples=4, deadline=None)
+    @given(
+        rows=st.lists(_EVENT, min_size=1, max_size=14, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_events(rows)
+        _compare(
+            spark, name, sf_dir, "events",
+            os.path.join(sf_dir, "events.parquet"), rows,
+        )
 
     run()
