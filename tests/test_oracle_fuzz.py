@@ -238,3 +238,153 @@ def test_events_oracle_pair_random_corpus(spark, name):
         )
 
     run()
+
+
+# ---- lineitem / orders pairs ----------------------------------------------
+# Single-table TPC-H-shaped pairs: exact-decimal multi-aggregates,
+# grouping sets, regression moments, distributed ranks and the
+# integer-cents ABC sweep. Money domain per the numeric contract.
+LINEITEM_FUZZED = [
+    "pricing_summary",
+    "forecast_revenue",
+    "rollup_pricing",
+    "grouping_sets_pricing",
+    "melt_pricing",
+    "regression_by_flag",
+]
+ORDERS_FUZZED = [
+    "monthly_revenue_change",
+    "rfm_segments",
+    "abc_revenue_classes",
+    "date_math_suite",
+]
+
+_MONEY = st.integers(min_value=0, max_value=10**7).map(lambda n: n / 100)
+_FRAC = st.integers(min_value=0, max_value=10).map(lambda n: n / 100)
+_DATE = st.integers(min_value=0, max_value=900).map(
+    lambda d: 820454400_000_000 + d * 86_400_000_000  # 1996-01-01 + d days
+)
+_LINEITEM = st.tuples(
+    st.integers(min_value=0, max_value=10**6),   # l_orderkey
+    st.integers(min_value=1, max_value=50),      # l_partkey
+    st.integers(min_value=1, max_value=20),      # l_suppkey
+    st.integers(min_value=1, max_value=7),       # l_linenumber
+    st.integers(min_value=1, max_value=50).map(float),  # l_quantity
+    _MONEY,                                      # l_extendedprice
+    _FRAC,                                       # l_discount
+    _FRAC,                                       # l_tax
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["F", "O"]),
+    _DATE,                                       # l_shipdate
+)
+_ORDER = st.tuples(
+    st.integers(min_value=0, max_value=10**6),   # o_orderkey
+    st.integers(min_value=1, max_value=9),       # o_custkey
+    st.sampled_from(["F", "O", "P"]),
+    _MONEY,                                      # o_totalprice
+    _DATE,                                       # o_orderdate
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+)
+
+
+def _write_table(name, cols, rows) -> str:
+    d = tempfile.mkdtemp(prefix=f"bdes_fuzz_{name}_")
+    arrays = {}
+    for i, (col, typ) in enumerate(cols):
+        vals = [r[i] for r in rows]
+        arrays[col] = pa.array(vals, typ)
+    pq.write_table(pa.table(arrays), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+_LI_COLS = [
+    ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+    ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+    ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+    ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("l_shipdate", pa.timestamp("us")),
+]
+_ORD_COLS = [
+    ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+    ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+    ("o_orderdate", pa.timestamp("us")),
+    ("o_orderpriority", pa.string()),
+]
+
+
+@pytest.mark.parametrize("name", LINEITEM_FUZZED)
+def test_lineitem_oracle_pair_random_corpus(spark, name):
+    @settings(max_examples=4, deadline=None)
+    @given(rows=st.lists(_LINEITEM, min_size=1, max_size=14))
+    def run(rows):
+        sf_dir = _write_table("lineitem", _LI_COLS, rows)
+        _compare(
+            spark, name, sf_dir, "lineitem",
+            os.path.join(sf_dir, "lineitem.parquet"), rows,
+        )
+
+    run()
+
+
+@pytest.mark.parametrize("name", ORDERS_FUZZED)
+def test_orders_oracle_pair_random_corpus(spark, name):
+    @settings(max_examples=4, deadline=None)
+    @given(
+        rows=st.lists(_ORDER, min_size=1, max_size=14, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_table("orders", _ORD_COLS, rows)
+        _compare(
+            spark, name, sf_dir, "orders",
+            os.path.join(sf_dir, "orders.parquet"), rows,
+        )
+
+    run()
+
+
+# ---- embeddings pairs -------------------------------------------------------
+# Array-math pairs over random float32 vectors, including the
+# documented dirty-row degradations: an occasional SHORT (dim-63)
+# vector must NULL-degrade per row, never kill the job. Component
+# values are small dyadics (n/256) — exactly representable in float32,
+# so the f32 -> f64 widening both engines perform is bit-identical.
+EMBEDDINGS_FUZZED = [
+    "embedding_stats",
+    "embedding_predicates",
+    "embedding_quantization",
+    "knn_cosine_topk",
+]
+
+_COMPONENT = st.integers(min_value=-512, max_value=512).map(lambda n: n / 256)
+_VEC = st.one_of(
+    st.lists(_COMPONENT, min_size=64, max_size=64),
+    st.lists(_COMPONENT, min_size=63, max_size=63),  # ragged: per-row degrade
+)
+_EMB = st.tuples(
+    st.integers(min_value=0, max_value=10**6),
+    _VEC,
+    st.integers(min_value=0, max_value=9),
+)
+
+_EMB_COLS = [
+    ("vec_id", pa.int64()),
+    ("embedding", pa.list_(pa.float32())),
+    ("label", pa.int32()),
+]
+
+
+@pytest.mark.parametrize("name", EMBEDDINGS_FUZZED)
+def test_embeddings_oracle_pair_random_corpus(spark, name):
+    @settings(max_examples=4, deadline=None)
+    @given(
+        rows=st.lists(_EMB, min_size=2, max_size=10, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_table("embeddings", _EMB_COLS, rows)
+        _compare(
+            spark, name, sf_dir, "embeddings",
+            os.path.join(sf_dir, "embeddings.parquet"), rows,
+        )
+
+    run()
