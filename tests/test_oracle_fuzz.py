@@ -374,6 +374,123 @@ _EMB_COLS = [
 ]
 
 
+# ---- multi-table JOIN pairs -------------------------------------------------
+# Join-shaped pairs over COORDINATED random tables: order/customer/user
+# keys drawn from small overlapping pools so every example contains
+# matches, misses, orphans and childless parents at once — the cases a
+# regular fixture distributes thinly. One sf_dir carries all four
+# tables; the oracle runs over the identical files.
+JOIN_FUZZED = [
+    "order_revenue_by_priority",      # orders ⋈ lineitem sort-merge
+    "customers_with_orders",          # LEFT SEMI
+    "customer_order_distribution",    # Q13 outer-join distribution
+    "fulfillment_lag_stats",          # SLA lag percentiles over a join
+    "large_volume_customers",         # Q18 3-table having-join
+    "user_segment_coverage",          # events ⋈ customer enrichment
+    "cogrouped_user_orders",          # two-sided grouped map
+    "snapshot_diff",                  # full-outer reconciliation
+    "incremental_agg_refresh",        # MV delta identity
+    "incremental_join_refresh",       # MV join delta rule
+    "referential_integrity_audit",    # anti-join orphan audit
+    "udaf_cents_by_type",             # pandas UDAF over events
+    "applyinpandas_user_sequence",    # grouped-map over events
+]
+
+_SMALL_ORDER = st.tuples(
+    st.integers(min_value=0, max_value=12),      # o_orderkey — SMALL pool
+    st.integers(min_value=0, max_value=9),       # o_custkey
+    st.sampled_from(["F", "O", "P"]),
+    _MONEY,
+    _DATE,
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+)
+_SMALL_LINE = st.tuples(
+    st.integers(min_value=0, max_value=12),      # l_orderkey — SMALL pool
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=50).map(float),
+    _MONEY,
+    _FRAC,
+    _FRAC,
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["F", "O"]),
+    _DATE,
+)
+_CUSTOMER = st.tuples(
+    st.integers(min_value=0, max_value=9),       # c_custkey
+    st.sampled_from(["Customer#1", "Customer#2", ""]),
+    st.integers(min_value=0, max_value=24),      # c_nationkey
+    _MONEY,                                      # c_acctbal
+    st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+)
+_CUST_COLS = [
+    ("c_custkey", pa.int64()), ("c_name", pa.string()),
+    ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+    ("c_mktsegment", pa.string()),
+]
+
+
+@pytest.mark.parametrize("name", JOIN_FUZZED)
+def test_join_oracle_pair_random_corpus(spark, name):
+    @settings(max_examples=4, deadline=None)
+    @given(
+        orders=st.lists(
+            _SMALL_ORDER, min_size=1, max_size=8, unique_by=lambda r: r[0]
+        ),
+        lineitem=st.lists(_SMALL_LINE, min_size=1, max_size=12),
+        customer=st.lists(
+            _CUSTOMER, min_size=1, max_size=6, unique_by=lambda r: r[0]
+        ),
+        events=st.lists(
+            _EVENT, min_size=1, max_size=10, unique_by=lambda r: r[0]
+        ),
+    )
+    def run(orders, lineitem, customer, events):
+        sf_dir = tempfile.mkdtemp(prefix="bdes_fuzz_join_")
+        for tname, cols, rows in (
+            ("orders", _ORD_COLS, orders),
+            ("lineitem", _LI_COLS, lineitem),
+            ("customer", _CUST_COLS, customer),
+        ):
+            pq.write_table(
+                pa.table(
+                    {c: pa.array([r[i] for r in rows], t)
+                     for i, (c, t) in enumerate(cols)}
+                ),
+                os.path.join(sf_dir, f"{tname}.parquet"),
+            )
+        ev_tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in events], pa.int64()),
+                "ts": pa.array([r[1] for r in events], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in events], pa.int64()),
+                "event_type": pa.array([r[3] for r in events], pa.string()),
+                "value": pa.array([r[4] for r in events], pa.float64()),
+                "props": pa.array([r[5] for r in events], pa.string()),
+            }
+        )
+        pq.write_table(ev_tbl, os.path.join(sf_dir, "events.parquet"))
+
+        spec = SPECS[name]
+        got = _norm(spec.build(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "customer", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, t + '.parquet')}'"
+            )
+        want = _norm(con.sql(spec.oracle).df())
+        con.close()
+        ctx = {"orders": orders, "lineitem": lineitem,
+               "customer": customer, "events": events}
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert len(got) == len(want), (name, len(got), len(want), ctx)
+        assert _vhash(got) == _vhash(want), f"{name} diverged on {ctx}"
+
+    run()
+
+
 @pytest.mark.parametrize("name", EMBEDDINGS_FUZZED)
 def test_embeddings_oracle_pair_random_corpus(spark, name):
     @settings(max_examples=4, deadline=None)
