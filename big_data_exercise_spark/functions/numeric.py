@@ -100,11 +100,19 @@ def round_det_nn(col: Column, scale: int = 2) -> Column:
 
 
 def round_det_sql(expr: str, scale: int = 2) -> str:
-    """DuckDB twin of round_det (same IEEE ops, same bits)."""
+    """DuckDB twin of round_det (same IEEE ops, same bits).
+
+    The ``+ 0.0`` normalizes SIGNED ZERO: Spark's FLOOR/CEIL return
+    LONG (the double cast always yields +0.0), but DuckDB's CEIL
+    returns DOUBLE, so a tiny negative input in (-0.5/m, 0) rounds to
+    -0.0 there — value-equal, but ``%.9g`` hashes "-0" ≠ "0"
+    (round-7 fuzz finding: a seasonal-decompose residual of -1.7e-18).
+    IEEE -0.0 + 0.0 = +0.0; every other value (NaN/±inf included) is
+    unchanged."""
     m = float(10**scale)
     return (
-        f"(CAST(CASE WHEN ({expr}) * {m} >= 0 THEN FLOOR(({expr}) * {m} + 0.5) "
-        f"ELSE CEIL(({expr}) * {m} - 0.5) END AS DOUBLE) / {m})"
+        f"((CAST(CASE WHEN ({expr}) * {m} >= 0 THEN FLOOR(({expr}) * {m} + 0.5) "
+        f"ELSE CEIL(({expr}) * {m} - 0.5) END AS DOUBLE) + 0.0) / {m})"
     )
 
 

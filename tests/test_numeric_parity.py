@@ -77,6 +77,23 @@ def test_exact_aggregates_partitioning_invariant(spark):
     assert one == many
 
 
+def test_round_det_sql_never_emits_negative_zero():
+    """Signed-zero parity (round-7 fuzz catch): Spark's FLOOR/CEIL
+    return LONG — the double cast yields +0.0 — while DuckDB's CEIL
+    returns DOUBLE, so a tiny negative in (-0.5/m, 0) rounded to -0.0
+    there and '%.9g' hashed "-0" != "0". round_det_sql normalizes with
+    + 0.0; pin it across the boundary and the sign classes."""
+    for v in (-1.7e-18, -1e-300, -0.0, 0.0, 1e-18, -0.00004, 0.00004):
+        out = duckdb.sql(
+            f"SELECT {round_det_sql(str(v), 4)} AS r"
+        ).fetchall()[0][0]
+        assert out == 0.0
+        assert str(out) == "0.0", f"{v} -> {out!r} (signed zero leaked)"
+    # negative values past the tie still round negative
+    out = duckdb.sql(f"SELECT {round_det_sql('-0.00006', 4)} AS r").fetchall()[0][0]
+    assert out == -0.0001
+
+
 def test_round_det_hypothesis_fuzz(spark):
     """Property-based sweep of the kernel over its DOCUMENTED domain —
     decimals of ≤ 6 fractional digits with |v| ≤ 10⁷ (money,
