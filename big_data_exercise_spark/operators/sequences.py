@@ -37,9 +37,15 @@ def conversion_funnel(events: DataFrame) -> DataFrame:
     reached = [F.col(FUNNEL_STAGES[0]).isNotNull()]
     for prev, cur in zip(FUNNEL_STAGES, FUNNEL_STAGES[1:]):
         reached.append(reached[-1] & (F.col(cur) > F.col(prev)))
+    # coalesce: a corpus with NO funnel-stage events leaves `firsts`
+    # EMPTY, and a global SUM over an empty relation is NULL — but
+    # "zero users reached stage k" is 0, which is what the oracle's
+    # grouped count reports (random-corpus fuzz finding, round 7).
     counts = firsts.agg(
         *[
-            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"s{i}")
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"s{i}")
             for i, cond in enumerate(reached)
         ]
     )

@@ -88,18 +88,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- helpers
-def _cos_sql(a: str, b: str) -> str:
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     """DuckDB cosine between two list<float> expressions, mirroring
     functions.arrays.cosine exactly: per-element cast to DOUBLE, then
     an in-order sum (list_sum folds sequentially, as F.aggregate
-    does)."""
+    does) — over the FIXED corpus dimension, with the same dim-strict
+    NULL degradation as the Spark chain. Without the length guard,
+    DuckDB's list_zip pads a short vector with NULL and list_sum
+    SKIPS the NULL term — silently truncating where the Spark
+    try_element_at chain NULL-poisons the whole cosine (the
+    documented dirty-row contract; random-corpus fuzz finding,
+    round 7)."""
+    ok = f"(len({a}) >= {dim} AND len({b}) >= {dim})"
+    sa, sb = f"{a}[1:{dim}]", f"{b}[1:{dim}]"
     dot = (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"list_sum(list_transform(list_zip({sa}, {sb}), "
         f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
     )
-    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    return f"({dot} / ({na} * {nb}))"
+    na = f"sqrt(list_sum(list_transform({sa}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({sb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    # NULLIF: a zero-norm vector divides 0/0 — NULL in Spark's
+    # non-ANSI Divide but IEEE NaN in DuckDB, and the two sort to
+    # OPPOSITE ends of a DESC LIMIT (NaN first, NULL last)
+    return (
+        f"(CASE WHEN {ok} THEN ({dot} / NULLIF({na} * {nb}, 0)) "
+        "ELSE NULL END)"
+    )
 
 
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"

@@ -128,7 +128,7 @@ def _compare(spark, name, sf_dir, table, path, ctx):
 
 @pytest.mark.parametrize("name", FUZZED)
 def test_oracle_pair_random_corpus(spark, name):
-    @settings(max_examples=5, deadline=None)
+    @settings(derandomize=True, max_examples=5, deadline=None)
     @given(rows=st.lists(_DOC, min_size=1, max_size=10, unique_by=lambda r: r[0]))
     def run(rows):
         sf_dir = _write_corpus(rows)
@@ -226,7 +226,7 @@ def _write_events(rows) -> str:
 
 @pytest.mark.parametrize("name", EVENTS_FUZZED)
 def test_events_oracle_pair_random_corpus(spark, name):
-    @settings(max_examples=4, deadline=None)
+    @settings(derandomize=True, max_examples=4, deadline=None)
     @given(
         rows=st.lists(_EVENT, min_size=1, max_size=14, unique_by=lambda r: r[0])
     )
@@ -315,7 +315,7 @@ _ORD_COLS = [
 
 @pytest.mark.parametrize("name", LINEITEM_FUZZED)
 def test_lineitem_oracle_pair_random_corpus(spark, name):
-    @settings(max_examples=4, deadline=None)
+    @settings(derandomize=True, max_examples=4, deadline=None)
     @given(rows=st.lists(_LINEITEM, min_size=1, max_size=14))
     def run(rows):
         sf_dir = _write_table("lineitem", _LI_COLS, rows)
@@ -329,7 +329,7 @@ def test_lineitem_oracle_pair_random_corpus(spark, name):
 
 @pytest.mark.parametrize("name", ORDERS_FUZZED)
 def test_orders_oracle_pair_random_corpus(spark, name):
-    @settings(max_examples=4, deadline=None)
+    @settings(derandomize=True, max_examples=4, deadline=None)
     @given(
         rows=st.lists(_ORDER, min_size=1, max_size=14, unique_by=lambda r: r[0])
     )
@@ -433,7 +433,7 @@ _CUST_COLS = [
 
 @pytest.mark.parametrize("name", JOIN_FUZZED)
 def test_join_oracle_pair_random_corpus(spark, name):
-    @settings(max_examples=4, deadline=None)
+    @settings(derandomize=True, max_examples=4, deadline=None)
     @given(
         orders=st.lists(
             _SMALL_ORDER, min_size=1, max_size=8, unique_by=lambda r: r[0]
@@ -493,7 +493,7 @@ def test_join_oracle_pair_random_corpus(spark, name):
 
 @pytest.mark.parametrize("name", EMBEDDINGS_FUZZED)
 def test_embeddings_oracle_pair_random_corpus(spark, name):
-    @settings(max_examples=4, deadline=None)
+    @settings(derandomize=True, max_examples=4, deadline=None)
     @given(
         rows=st.lists(_EMB, min_size=2, max_size=10, unique_by=lambda r: r[0])
     )

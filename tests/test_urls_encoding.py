@@ -76,7 +76,7 @@ def test_registrable_domain_hypothesis_fuzz(spark):
     )
     host = st.lists(label, min_size=1, max_size=6).map(".".join)
 
-    @settings(max_examples=20, deadline=None)
+    @settings(derandomize=True, max_examples=20, deadline=None)
     @given(hosts=st.lists(host, min_size=1, max_size=25))
     def run(hosts):
         sdf = spark.createDataFrame([(h,) for h in hosts], "host string")
@@ -210,7 +210,7 @@ def test_new_oracle_pairs_hypothesis_fuzz(spark):
             pdf.to_csv(index=False, float_format="%.9g").encode()
         ).hexdigest()
 
-    @settings(max_examples=12, deadline=None)
+    @settings(derandomize=True, max_examples=12, deadline=None)
     @given(rows=st.lists(doc, min_size=1, max_size=12, unique_by=lambda r: r[0]))
     def run(rows):
         sdf = spark.createDataFrame(
