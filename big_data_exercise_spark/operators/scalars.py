@@ -244,6 +244,19 @@ def corrupt_record_accounting(events: DataFrame) -> DataFrame:
     # with VALID records merely missing the field ('{}' parses fine) —
     # invisible on the fixture, whose payloads always carry k; caught
     # by the random-corpus oracle fuzz (round 7).
+    #
+    # A NULL payload is counted corrupt EXPLICITLY: from_json(NULL)
+    # yields a NULL struct with a NULL corrupt-record column (the
+    # parser never ran), so without the isNull term a missing payload
+    # would silently read as clean — and the positional oracle, which
+    # flags every mod-100 row regardless of payload, would diverge on
+    # any corpus carrying NULL props (round-8 advice). Remaining
+    # pinned assumption, enforced by the fixture and fuzz contracts
+    # ("props is always-valid JSON when non-NULL"): a NATURALLY
+    # head-malformed non-NULL payload on a non-mod row would be
+    # counted here but not by the positional oracle — that class is
+    # not SQL-replayable because DuckDB's json validity rules differ
+    # from Spark's tolerant parser on trailing garbage.
     mangled = F.when(
         F.col("event_id") % 100 == 0, F.concat(F.lit("x"), F.col("props"))
     ).otherwise(F.col("props"))
@@ -253,11 +266,16 @@ def corrupt_record_accounting(events: DataFrame) -> DataFrame:
         {"columnNameOfCorruptRecord": "_malformed"},
     )
     return (
-        events.select("event_type", parsed.alias("p"))
+        events.select("event_type", F.col("props").isNull().alias("no_payload"),
+                      parsed.alias("p"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.when(F.col("p._malformed").isNotNull(), 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("no_payload") | F.col("p._malformed").isNotNull(), 1
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_corrupt"),
         )

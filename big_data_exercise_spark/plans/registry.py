@@ -98,8 +98,15 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     SKIPS the NULL term — silently truncating where the Spark
     try_element_at chain NULL-poisons the whole cosine (the
     documented dirty-row contract; random-corpus fuzz finding,
-    round 7)."""
-    ok = f"(len({a}) >= {dim} AND len({b}) >= {dim})"
+    round 7). The same asymmetry applies to a NULL ELEMENT inside a
+    full-length vector — list_sum skips the NULL product where the
+    Spark fold NULL-poisons — so the ok-guard also requires every
+    element in the sliced window to be non-NULL (round-8 advice)."""
+    ok = (
+        f"(len({a}) >= {dim} AND len({b}) >= {dim}"
+        f" AND len(list_filter({a}[1:{dim}], x -> x IS NULL)) = 0"
+        f" AND len(list_filter({b}[1:{dim}], x -> x IS NULL)) = 0)"
+    )
     sa, sb = f"{a}[1:{dim}]", f"{b}[1:{dim}]"
     dot = (
         f"list_sum(list_transform(list_zip({sa}, {sb}), "
@@ -666,7 +673,8 @@ def _specs() -> list[QuerySpec]:
         lambda sp, d: scalars.corrupt_record_accounting(_t(sp, d, "events")),
         """
         SELECT event_type, COUNT(*) AS n_rows,
-               CAST(SUM(CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN props IS NULL
+                              OR event_id % 100 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_corrupt
         FROM events GROUP BY event_type
         """,
@@ -1944,6 +1952,27 @@ def _specs() -> list[QuerySpec]:
         """,
         ("dedup", "cluster", "flagship"),
         "near-dup pairs → connected components → canonical doc per cluster",
+    ))
+    s.append(QuerySpec(
+        "dedup_cluster_assignment_prod",
+        # PRODUCTION closure: the same star-contraction connected
+        # components over the xxhash64 edge feed — no vocabulary pass,
+        # the plan a real 100 TB dedup runs (and therefore the plan
+        # the bench must price; the vocab twin above exists for
+        # hash-checkability). Rows-only for the same reason as
+        # minhash_near_duplicates_prod: every emitted edge is an
+        # exact-Jaccard-verified true pair, only LSH candidate RECALL
+        # depends on the hash family, so the component PARTITION can
+        # differ from the vocab mode only where LSH banding luck
+        # differs — parity on a planted-duplicate corpus is
+        # property-tested (tests/test_dedup_cluster.py).
+        lambda sp, d: cluster.dedup_cluster_assignment(
+            _t(sp, d, "documents"),
+            minhash.near_duplicate_edges(_t(sp, d, "documents")),
+        ),
+        None,
+        ("dedup", "cluster", "production"),
+        "production closure: xxhash64 edge feed → star-contraction CC",
     ))
     # Winnowing fingerprint CTEs — shared by the per-doc summary and
     # the overlap-pairs query so the fingerprint set can't drift.

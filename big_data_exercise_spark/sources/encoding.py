@@ -42,21 +42,40 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+# Counting variant of the 'replace' decode-error handler: CPython's
+# UTF-8 decoder invokes the handler once per undecodable maximal
+# subpart (Unicode §3.9), so incrementing per invocation counts
+# replacements INTRODUCED by the decode exactly — a literal U+FFFD
+# already present in the source bytes (the valid sequence EF BF BD)
+# never reaches the handler and is not counted (round-8 advice; the
+# previous output-scan count inflated on such inputs). Both the
+# handler and its counter are LOCALS of the UDF invocation, and the
+# registration happens per batch: cloudpickle ships the UDF by value,
+# so module-level state splits into one cell per pickle copy while
+# codecs' registry is process-global — a module-level counter ends up
+# incremented by one copy and read by another (observed: all counts
+# 0 under worker reuse). A per-call closure cannot alias.
 @F.pandas_udf(_DECODE_SCHEMA)
 def _decode_replace(data: pd.Series) -> pd.DataFrame:
+    import codecs
+
+    n = [0]
+
+    def counting_replace(exc):
+        n[0] += 1
+        return (REPLACEMENT, exc.end)
+
+    codecs.register_error("bde_count_replace", counting_replace)
     texts, counts = [], []
     for raw in data:
         if raw is None:
             texts.append(None)
             counts.append(None)
             continue
-        decoded = bytes(raw).decode("utf-8", "replace")
+        n[0] = 0
+        decoded = bytes(raw).decode("utf-8", "bde_count_replace")
         texts.append(decoded)
-        # counts replacements INTRODUCED by decoding only when the
-        # source corpus carries no literal U+FFFD — the registry
-        # fixture's property; a pre-scrubbed corpus upholds it by
-        # construction (scrub literal U+FFFD before re-encoding).
-        counts.append(decoded.count(REPLACEMENT))
+        counts.append(n[0])
     return pd.DataFrame({"text": texts, "n_replacements": counts})
 
 

@@ -248,6 +248,58 @@ def test_near_duplicate_edges_same_components(spark):
     assert edges.count() < pairs.count()
 
 
+def test_prod_closure_parity_with_vocab_twin(spark):
+    """`dedup_cluster_assignment_prod` (xxhash64 edge feed — no vocab
+    pass, the 100 TB plan, benched first-class since round 8) vs the
+    hash-checked vocab twin, on a planted-duplicate corpus:
+
+    * every PLANTED exact-dup clique must land in one cluster with the
+      source doc as the kept representative under BOTH modes — exact
+      duplicates are found by the exact-dup collapse stage, which is
+      hash-family-independent, so this parity is guaranteed by
+      construction, not banding luck;
+    * structural closure invariants hold on the prod output: one row
+      per doc, cluster_id is the min member id, keep ⇔ doc_id ==
+      cluster_id (exactly one representative per cluster)."""
+    from big_data_exercise_spark.dedup import cluster, minhash
+
+    base = load_table(spark, SF_DIR, "documents")
+    mx = base.agg(F.max("doc_id")).collect()[0][0]
+    copies, take = 3, 12
+    docs = _planted_dup_corpus(spark, copies=copies, take=take)
+
+    def closure(use_vocab: bool):
+        edges = minhash.near_duplicate_edges(docs, use_vocab_ranks=use_vocab)
+        return {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in cluster.dedup_cluster_assignment(docs, edges).collect()
+        }
+
+    prod, vocab = closure(False), closure(True)
+    n_docs = docs.count()
+    assert len(prod) == n_docs and len(vocab) == n_docs
+    seed_ids = [
+        r["doc_id"]
+        for r in base.orderBy("doc_id").limit(take).select("doc_id").collect()
+    ]
+    for src in seed_ids:
+        clones = [src] + [src + (mx + 1) * (i + 1) for i in range(copies)]
+        want_cid = min(clones)
+        for mode in (prod, vocab):
+            cids = {mode[c][0] for c in clones if c in mode}
+            assert len(cids) == 1, (src, mode is prod, cids)
+            (cid,) = cids
+            assert cid <= want_cid  # may merge wider via near-dups
+            keeps = [c for c in clones if mode[c][1]]
+            # the kept rep of the clique's cluster is the cluster_id
+            # doc — a clone is kept only if it IS that doc
+            assert all(mode[k][0] == k for k in keeps)
+    # structural invariants on the full prod partition
+    for d, (cid, keep) in prod.items():
+        assert keep == (d == cid)
+        assert prod.get(cid, (cid, True))[0] == cid  # rep maps to itself
+
+
 def test_near_duplicate_edges_threshold_above_one(spark):
     """threshold > 1.0 excludes even exact duplicates from the pair
     report (`near_duplicates` returns only cross pairs, which cap at

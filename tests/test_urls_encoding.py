@@ -265,6 +265,34 @@ def test_decode_matches_python_replace(spark, raw):
     assert row["n_replacements"] == expected.count(encoding.REPLACEMENT)
 
 
+def test_decode_counts_only_introduced_replacements(spark):
+    """A literal U+FFFD already present in the source bytes (the valid
+    sequence EF BF BD) must NOT count as a replacement — the counting
+    error handler fires only on undecodable maximal subparts, where
+    the former output-scan count inflated (round-8 advice). Includes
+    the boundary case of a lone lead byte directly followed by a
+    literal U+FFFD."""
+    cases = [
+        ("lit�eral".encode(), 0, "lit�eral"),
+        ("a�b".encode() + b"\xe9", 1, "a�b�"),
+        (b"\xf0\xef\xbf\xbd", 1, "��"),
+        ("��".encode(), 0, "��"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(raw)) for i, (raw, _, _) in enumerate(cases)],
+        "i int, raw binary",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", encoding.decode_utf8(F.col("raw")).alias("d")
+        ).collect()
+    }
+    for i, (_, want_n, want_text) in enumerate(cases):
+        assert got[i]["text"] == want_text, i
+        assert got[i]["n_replacements"] == want_n, i
+
+
 def test_decode_null_row(spark):
     df = spark.createDataFrame([(None,)], "raw binary")
     row = df.select(encoding.decode_utf8(F.col("raw")).alias("d")).collect()[0]["d"]
