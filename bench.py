@@ -125,6 +125,9 @@ HEADLINE = [
     # round-5: the fire pipeline STREAMING like the reference runs it
     # (real PNG decode inside the micro-batch, append mode)
     "stream_fire_mask_stats",
+    # round-8: the COMPLETE fire_detections shape — overlay JPEG
+    # (mask colorize + blend + own-encoder + base64) per emitted frame
+    "fire_overlay_detections",
 ]
 
 # The 50 queries benched every round since round 4 (the set

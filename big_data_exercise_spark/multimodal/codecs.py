@@ -519,3 +519,127 @@ def fire_mask_stats(events: DataFrame, threshold: int = 127) -> DataFrame:
         (F.col("n_hot") * 10 > F.col("n_pixels") * 3).alias("fire_detected"),
         round_det(F.col("n_hot") / F.col("n_pixels"), 4).alias("fire_percentage"),
     )
+
+
+def fire_overlay_detections(
+    events: DataFrame, threshold: int = 127, quality: int = 85
+) -> DataFrame:
+    """The COMPLETE ``fire_detections`` output shape, visualization
+    column included (fire_consumer_streaming.py:166-206, table shape
+    :225-233): per-frame mask stats plus ``image_base64`` — the mask
+    colorized red, alpha-blended onto the frame, re-encoded as a
+    baseline JPEG by the repo's own encoder and base64'd JVM-side.
+
+    Reference semantics mirrored exactly:
+
+    * blend rule — overlay = frame with mask pixels set to pure red,
+      result = 0.6·frame + 0.4·overlay (the reference's addWeighted
+      call): non-mask pixels pass through unchanged, mask pixels keep
+      60% of their value in R and gain 0.4·255, G/B drop to 60%;
+      rounding is half-away-from-zero to uint8 (our own deterministic
+      rule — the decode-back property test replays it);
+    * emission rule — the overlay is built only for every 5th frame
+      or any detection (``save_image or fire_detected``, :159,195);
+      other rows carry NULL, exactly like the reference's NULL
+      ``image_data``;
+    * ``confidence`` — the reference reports mean predicted
+      probability; the deterministic analog is mean brightness / 255,
+      kept rational (integer pixel sum / (n_pixels·255)) so both
+      engines round identically;
+    * JPEG quality 85 (the reference's IMWRITE_JPEG_QUALITY), 4:2:0.
+
+    Spark-first shape: ONE stateless Arrow mapInPandas stage (decode →
+    mask → blend → encode), all derived columns JVM expressions, the
+    base64 itself ``F.base64`` (JVM, not Python). Stateless ⇒ the same
+    function runs unchanged on the streaming source (pinned by
+    tests/test_fire_overlay.py). At 100 TB this is an embarrassingly
+    parallel map with zero shuffle — the bytes never leave the
+    partition that decoded them."""
+    from big_data_exercise_spark.functions.numeric import round_det
+
+    frames = synthesize_gradient_png_frames(events)
+
+    schema = (
+        "camera_id long, frame_number long, n_hot long, n_pixels long, "
+        "sum_gray long, overlay binary"
+    )
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cam, fn, buf in zip(
+                pdf["camera_id"], pdf["frame_number"], pdf["frame"]
+            ):
+                img = decode_png(bytes(buf))
+                gray = img[..., 0]  # channels identical by synthesis
+                mask = gray > threshold
+                n_hot = int(mask.sum())
+                n_pixels = int(gray.size)
+                detected = n_hot * 10 > n_pixels * 3
+                jpg = None
+                if detected or int(fn) % 5 == 0:
+                    overlay = img.copy()
+                    overlay[mask] = (255, 0, 0)
+                    blend = 0.6 * img.astype(np.float64) + 0.4 * overlay
+                    # half-away-from-zero (values are non-negative, so
+                    # floor(x + 0.5) is exact); np.rint would banker's-round
+                    blend = np.floor(blend + 0.5).clip(0, 255).astype(np.uint8)
+                    jpg = encode_jpeg(blend, quality=quality, subsampling="4:2:0")
+                rows.append(
+                    (
+                        int(cam),
+                        int(fn),
+                        n_hot,
+                        n_pixels,
+                        int(gray.sum(dtype=np.int64)),
+                        jpg,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "camera_id",
+                        "frame_number",
+                        "n_hot",
+                        "n_pixels",
+                        "sum_gray",
+                        "overlay",
+                    ],
+                )
+
+    out = frames.mapInPandas(detect, schema)
+    return out.select(
+        "camera_id",
+        "frame_number",
+        (F.col("n_hot") * 10 > F.col("n_pixels") * 3).alias("fire_detected"),
+        round_det(F.col("n_hot") / F.col("n_pixels"), 4).alias("fire_percentage"),
+        round_det(F.col("sum_gray") / (F.col("n_pixels") * 255), 4).alias(
+            "confidence"
+        ),
+        F.base64(F.col("overlay")).alias("image_base64"),
+    )
+
+
+def fire_overlay_accounting(
+    events: DataFrame, threshold: int = 127, quality: int = 85
+) -> DataFrame:
+    """Hash-checked companion of :func:`fire_overlay_detections`: the
+    same pipeline (JPEG encode included — this query prices and
+    executes the full overlay path) with the non-replayable bytes
+    reduced to ``has_overlay``. The DuckDB oracle regenerates every
+    pixel from the synthesis formula, so the hash pins the mask
+    count, the confidence arithmetic AND the emission rule; the bytes
+    themselves are pinned by the decode-back property test
+    (tests/test_fire_overlay.py)."""
+    d = fire_overlay_detections(events, threshold=threshold, quality=quality)
+    return d.select(
+        "camera_id",
+        "frame_number",
+        "fire_detected",
+        "fire_percentage",
+        "confidence",
+        F.col("image_base64").isNotNull().alias("has_overlay"),
+    )

@@ -4046,6 +4046,59 @@ def _specs() -> list[QuerySpec]:
         "mask fraction + flag per frame (fire_consumer_streaming.py:"
         "225-233), pixel-regenerating oracle",
     ))
+    s.append(QuerySpec(
+        "fire_overlay_detections",
+        # the COMPLETE fire_detections shape, image_base64 included
+        # (fire_consumer_streaming.py:166-206): mask colorize → 0.6/0.4
+        # blend → own-JPEG encode (q85, 4:2:0) → F.base64; emitted for
+        # every 5th frame or any detection, NULL otherwise. Rows-only:
+        # JPEG bytes aren't SQL-replayable — the stats/emission rule is
+        # hash-checked by the _accounting twin below, the bytes by the
+        # decode-back property test (tests/test_fire_overlay.py).
+        lambda sp, d: codecs.fire_overlay_detections(_t(sp, d, "events")),
+        None,
+        ("multimodal", "codec", "segmentation", "production"),
+        "fire_detections with the overlay JPEG column: mask colorize + "
+        "blend + own-JPEG encode + base64 (reference's image_data)",
+    ))
+    s.append(QuerySpec(
+        "fire_overlay_accounting",
+        # hash-checked companion: runs the FULL overlay pipeline (JPEG
+        # encode included) and reduces the bytes to has_overlay, so the
+        # oracle pins mask count + confidence arithmetic + emission
+        # rule against regenerated pixels
+        lambda sp, d: codecs.fire_overlay_accounting(_t(sp, d, "events")),
+        f"""
+        WITH f AS (
+          SELECT user_id AS camera_id, event_id AS frame_number,
+                 event_id AS e,
+                 16 + (user_id % 4) * 8 AS w,
+                 12 + (event_id % 3) * 4 AS h
+          FROM events WHERE event_id % 83 = 0),
+        fx AS (
+          SELECT camera_id, frame_number, e, w, h,
+                 unnest(range(0, w)) AS x FROM f),
+        fy AS (
+          SELECT camera_id, frame_number, e, w, h, x,
+                 unnest(range(0, h)) AS y FROM fx),
+        px AS (
+          SELECT camera_id, frame_number, w, h,
+                 SUM(CASE WHEN (e + x + y) % 251 > 127
+                          THEN 1 ELSE 0 END) AS n_hot,
+                 SUM((e + x + y) % 251) AS sum_gray
+          FROM fy GROUP BY 1, 2, 3, 4)
+        SELECT camera_id, frame_number,
+               (n_hot * 10 > w * h * 3) AS fire_detected,
+               {round_det_sql("n_hot / (w * h)", 4)} AS fire_percentage,
+               {round_det_sql("sum_gray / (w * h * 255)", 4)} AS confidence,
+               ((n_hot * 10 > w * h * 3) OR frame_number % 5 = 0)
+                 AS has_overlay
+        FROM px
+        """,
+        ("multimodal", "codec", "segmentation"),
+        "overlay pipeline accounting: mask stats + mean-brightness "
+        "confidence + emission rule, pixel-regenerating oracle",
+    ))
 
     s.append(QuerySpec(
         "jpeg_pixel_stats",
