@@ -534,3 +534,17 @@ def test_utf8_decode_is_single_pass_arrow(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_fire_overlay_is_single_arrow_map_zero_exchange(spark):
+    """fire_overlay_detections (round 8): the full decode→mask→blend→
+    JPEG-encode path is exactly TWO chained Arrow stages (frame
+    synthesis pandas_udf + the detect mapInPandas) and the plan
+    carries ZERO Exchange — at 100 TB the bytes never leave the
+    partition that decoded them, and the base64/flag/percentage
+    projections stay JVM-side above the map."""
+    plan = _plan(spark, "fire_overlay_detections")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" in plan  # the PNG synthesis stage

@@ -1826,3 +1826,31 @@ def test_knn_batch_nan_null_order_parity(spark):
     assert got == want
     assert (0, 1, 9) in got  # NaN cosine outranks every finite one
     assert all(v != 10 for (_, _, v) in got)  # NULL cosine ranks last
+
+
+def test_corrupt_record_accounting_null_and_empty_payloads(spark):
+    """NULL payloads count as corrupt EXPLICITLY (round-8 advice):
+    from_json(NULL) yields a NULL corrupt-record column — the parser
+    never ran — so only the isNull term keeps the operator aligned
+    with the positional oracle on a corpus carrying NULL props. A
+    valid-but-field-less '{}' payload stays clean (the round-7 fuzz
+    fix), and a mod-100 row is corrupt regardless of payload."""
+    from big_data_exercise_spark.operators.scalars import corrupt_record_accounting
+
+    rows = [
+        (100, "a", None),          # mod row, NULL payload  -> corrupt
+        (101, "a", None),          # non-mod, NULL payload  -> corrupt
+        (200, "a", '{"k": 1}'),    # mod row, valid payload -> corrupt (mangled)
+        (201, "a", '{"k": 2}'),    # non-mod, valid         -> clean
+        (202, "a", "{}"),          # non-mod, field-less    -> clean
+        (203, "b", '{"k": 3}'),    # non-mod, valid         -> clean
+        (300, "b", "{}"),          # mod row, field-less    -> corrupt (mangled)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    )
+    got = {
+        r["event_type"]: (r["n_rows"], r["n_corrupt"])
+        for r in corrupt_record_accounting(df).collect()
+    }
+    assert got == {"a": (5, 3), "b": (2, 1)}
