@@ -1,0 +1,507 @@
+"""End-to-end differential fuzz of documents-only oracle pairs over
+RANDOM corpora — the driver-contract comparison (registry build vs
+registry oracle SQL, column-sorted row-sorted md5) on inputs the
+fixture never produces.
+
+Why this lane exists: the fixture's regularity makes the contract
+structurally blind to whole input classes (ASCII-safe sources, no
+degenerate texts, dense doc_ids). Its FIRST run caught a real gap —
+parse_url's URI-strict NULL vs the string-op oracle on a source with
+a space (see PLANS.md round-7). Each example writes a tiny random
+corpus as a real parquet file, points the registry build at it like
+any sf_dir, and runs the query's own oracle SQL over the same file in
+DuckDB.
+
+Corpus domain kept to the documented corpus contract: printable-ASCII
+text with mixed whitespace (the cross-engine lower()/length()
+guarantees the oracles rely on are ASCII-scoped; Unicode casing is a
+separate, documented non-goal), non-negative distinct doc_ids,
+arbitrary source/lang strings (sanitization is the operators' job —
+that is what the first catch was about).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from big_data_exercise_spark.plans.registry import all_queries
+
+SPECS = all_queries()
+
+# documents-only oracle pairs with non-trivial cross-engine formula
+# surface (tokenization, n-gram algebra, percentiles, hashing, LCG
+# sampling, PII regex chains, URL construction)
+FUZZED = [
+    "text_quality_stats",
+    "repetition_stats",
+    "dedup_exact",
+    "token_counts",
+    "corpus_language_stats",
+    "dedup_stats_by_lang",
+    "doc_length_bands",
+    "data_card_report",
+    "clean_text_stats",
+    "ngram_novelty",
+    "idf_top_terms",
+    "token_packing",
+    "document_chunks",
+    "explode_words",
+    "source_mixture_sample",
+    "url_parse_fields",
+    "domain_corpus_rollup",
+    "utf8_decode_accounting",
+]
+
+_WORD = st.sampled_from(
+    ["the", "a", "and", "of", "alpha", "Beta", "x", "LONGWORD", "a.b,c!", ""]
+)
+_SEP = st.sampled_from([" ", "  ", "\t", "\n", " \t\n"])
+_TEXT = st.lists(st.tuples(_WORD, _SEP), min_size=0, max_size=10).map(
+    lambda ps: "".join(w + s for w, s in ps)
+)
+_DOC = st.tuples(
+    st.integers(min_value=0, max_value=10**12),
+    _TEXT,
+    st.sampled_from(["src0", "src7", "weird src", "", "ünïcode"]),
+    st.sampled_from(["en", "de", "zh", "xx", ""]),
+    st.integers(min_value=0, max_value=5000),
+)
+
+
+def _vhash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    return hashlib.md5(
+        pdf.to_csv(index=False, float_format="%.9g").encode()
+    ).hexdigest()
+
+
+def _write_corpus(rows) -> str:
+    d = tempfile.mkdtemp(prefix="bdes_fuzz_")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _norm(pdf):
+    import pandas as pd
+
+    out = pdf.copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            try:
+                out[c] = out[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+    return out
+
+
+def _compare(spark, name, sf_dir, table, path, ctx):
+    spec = SPECS[name]
+    got = _norm(spec.build(spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {table} AS SELECT * FROM '{path}'")
+    want = _norm(con.sql(spec.oracle).df())
+    con.close()
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert len(got) == len(want), (name, len(got), len(want), ctx)
+    assert _vhash(got) == _vhash(want), f"{name} diverged on {ctx}"
+
+
+@pytest.mark.parametrize("name", FUZZED)
+def test_oracle_pair_random_corpus(spark, name):
+    @settings(derandomize=False, max_examples=5, deadline=None)
+    @given(rows=st.lists(_DOC, min_size=1, max_size=10, unique_by=lambda r: r[0]))
+    def run(rows):
+        sf_dir = _write_corpus(rows)
+        _compare(
+            spark, name, sf_dir, "documents",
+            os.path.join(sf_dir, "documents.parquet"), rows,
+        )
+
+    run()
+
+
+# ---- events-table pairs ---------------------------------------------------
+# Formula-dense events-only oracle pairs: window orderings, session
+# boundaries, percentile bands, sweep-lines, Markov/funnel/cohort
+# sequences, map HOFs, z-scores, exact-decimal aggregation. Value
+# domain respects the documented numeric contract (<= 2 fractional
+# digits, |v| <= 1e5 — percentile interpolation past ~1e7 17-digit
+# doubles is an out-of-contract last-ulp zone); ts spans a few days at
+# second granularity WITH planted equal instants (every window order
+# tie-breaks on the unique event_id); props is always-valid JSON,
+# sometimes without the extracted key.
+EVENTS_FUZZED = [
+    "time_bucket",
+    "conditional_agg",
+    "count_distinct_users",
+    "histogram_domain_fill",
+    "heavy_hitter_users",
+    "user_behavior_gini",
+    "user_days_except_all",
+    "user_days_intersect_all",
+    "json_props_stats",
+    "corrupt_record_accounting",
+    "conversion_funnel",
+    "scd2_intervals",
+    "event_transition_matrix",
+    "cohort_retention",
+    "common_event_paths",
+    "value_ranks",
+    "ntile_histogram",
+    "top_k_per_group",
+    "value_equiwidth_histogram",
+    "anomaly_events",
+    "mad_outlier_stats",
+    "resample_interpolate",
+    "decayed_value_by_type",
+    "daily_active_windows",
+    "daily_conversion_wilson",
+    "session_bounce_stats",
+    "seasonal_decompose_daily",
+    "trailing_hour_sums",
+    "running_total_per_user",
+    "inter_event_gap_ms",
+    "latest_event_per_user",
+    "user_first_last_events",
+    "activity_heatmap",
+    "null_semantics_suite",
+    "pivot_event_counts",
+    "event_count_map_roundtrip",
+    "map_hof_roundtrip",
+    "top_types_with_other",
+    "epoch_roundtrip",
+]
+
+_TS = st.integers(min_value=0, max_value=3 * 24 * 3600).map(
+    lambda s: 1704067200_000_000 + s * 1_000_000  # 2024-01-01 + s seconds, µs
+)
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=10**9),                      # event_id
+    _TS,
+    st.integers(min_value=0, max_value=6),                          # user_id
+    st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+    st.one_of(
+        st.integers(min_value=-(10**7), max_value=10**7).map(lambda n: n / 100),
+        st.sampled_from([0.0, 100.0, 150.0, 150.0]),                # tie mass
+    ),
+    st.sampled_from(['{"k": 87}', '{"k": 0}', '{"k": -3}', "{}"]),
+)
+
+
+def _write_events(rows) -> str:
+    d = tempfile.mkdtemp(prefix="bdes_fuzz_ev_")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", EVENTS_FUZZED)
+def test_events_oracle_pair_random_corpus(spark, name):
+    @settings(derandomize=False, max_examples=4, deadline=None)
+    @given(
+        rows=st.lists(_EVENT, min_size=1, max_size=14, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_events(rows)
+        _compare(
+            spark, name, sf_dir, "events",
+            os.path.join(sf_dir, "events.parquet"), rows,
+        )
+
+    run()
+
+
+# ---- lineitem / orders pairs ----------------------------------------------
+# Single-table TPC-H-shaped pairs: exact-decimal multi-aggregates,
+# grouping sets, regression moments, distributed ranks and the
+# integer-cents ABC sweep. Money domain per the numeric contract.
+LINEITEM_FUZZED = [
+    "pricing_summary",
+    "forecast_revenue",
+    "rollup_pricing",
+    "grouping_sets_pricing",
+    "melt_pricing",
+    "regression_by_flag",
+]
+ORDERS_FUZZED = [
+    "monthly_revenue_change",
+    "rfm_segments",
+    "abc_revenue_classes",
+    "date_math_suite",
+]
+
+_MONEY = st.integers(min_value=0, max_value=10**7).map(lambda n: n / 100)
+_FRAC = st.integers(min_value=0, max_value=10).map(lambda n: n / 100)
+_DATE = st.integers(min_value=0, max_value=900).map(
+    lambda d: 820454400_000_000 + d * 86_400_000_000  # 1996-01-01 + d days
+)
+_LINEITEM = st.tuples(
+    st.integers(min_value=0, max_value=10**6),   # l_orderkey
+    st.integers(min_value=1, max_value=50),      # l_partkey
+    st.integers(min_value=1, max_value=20),      # l_suppkey
+    st.integers(min_value=1, max_value=7),       # l_linenumber
+    st.integers(min_value=1, max_value=50).map(float),  # l_quantity
+    _MONEY,                                      # l_extendedprice
+    _FRAC,                                       # l_discount
+    _FRAC,                                       # l_tax
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["F", "O"]),
+    _DATE,                                       # l_shipdate
+)
+_ORDER = st.tuples(
+    st.integers(min_value=0, max_value=10**6),   # o_orderkey
+    st.integers(min_value=1, max_value=9),       # o_custkey
+    st.sampled_from(["F", "O", "P"]),
+    _MONEY,                                      # o_totalprice
+    _DATE,                                       # o_orderdate
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+)
+
+
+def _write_table(name, cols, rows) -> str:
+    d = tempfile.mkdtemp(prefix=f"bdes_fuzz_{name}_")
+    arrays = {}
+    for i, (col, typ) in enumerate(cols):
+        vals = [r[i] for r in rows]
+        arrays[col] = pa.array(vals, typ)
+    pq.write_table(pa.table(arrays), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+_LI_COLS = [
+    ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+    ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+    ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+    ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("l_shipdate", pa.timestamp("us")),
+]
+_ORD_COLS = [
+    ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+    ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+    ("o_orderdate", pa.timestamp("us")),
+    ("o_orderpriority", pa.string()),
+]
+
+
+@pytest.mark.parametrize("name", LINEITEM_FUZZED)
+def test_lineitem_oracle_pair_random_corpus(spark, name):
+    @settings(derandomize=False, max_examples=4, deadline=None)
+    @given(rows=st.lists(_LINEITEM, min_size=1, max_size=14))
+    def run(rows):
+        sf_dir = _write_table("lineitem", _LI_COLS, rows)
+        _compare(
+            spark, name, sf_dir, "lineitem",
+            os.path.join(sf_dir, "lineitem.parquet"), rows,
+        )
+
+    run()
+
+
+@pytest.mark.parametrize("name", ORDERS_FUZZED)
+def test_orders_oracle_pair_random_corpus(spark, name):
+    @settings(derandomize=False, max_examples=4, deadline=None)
+    @given(
+        rows=st.lists(_ORDER, min_size=1, max_size=14, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_table("orders", _ORD_COLS, rows)
+        _compare(
+            spark, name, sf_dir, "orders",
+            os.path.join(sf_dir, "orders.parquet"), rows,
+        )
+
+    run()
+
+
+# ---- embeddings pairs -------------------------------------------------------
+# Array-math pairs over random float32 vectors, including the
+# documented dirty-row degradations: an occasional SHORT (dim-63)
+# vector must NULL-degrade per row, never kill the job. Component
+# values are small dyadics (n/256) — exactly representable in float32,
+# so the f32 -> f64 widening both engines perform is bit-identical.
+EMBEDDINGS_FUZZED = [
+    "embedding_stats",
+    "embedding_predicates",
+    "embedding_quantization",
+    "knn_cosine_topk",
+]
+
+_COMPONENT = st.integers(min_value=-512, max_value=512).map(lambda n: n / 256)
+_VEC = st.one_of(
+    st.lists(_COMPONENT, min_size=64, max_size=64),
+    st.lists(_COMPONENT, min_size=63, max_size=63),  # ragged: per-row degrade
+)
+_EMB = st.tuples(
+    st.integers(min_value=0, max_value=10**6),
+    _VEC,
+    st.integers(min_value=0, max_value=9),
+)
+
+_EMB_COLS = [
+    ("vec_id", pa.int64()),
+    ("embedding", pa.list_(pa.float32())),
+    ("label", pa.int32()),
+]
+
+
+# ---- multi-table JOIN pairs -------------------------------------------------
+# Join-shaped pairs over COORDINATED random tables: order/customer/user
+# keys drawn from small overlapping pools so every example contains
+# matches, misses, orphans and childless parents at once — the cases a
+# regular fixture distributes thinly. One sf_dir carries all four
+# tables; the oracle runs over the identical files.
+JOIN_FUZZED = [
+    "order_revenue_by_priority",      # orders ⋈ lineitem sort-merge
+    "customers_with_orders",          # LEFT SEMI
+    "customer_order_distribution",    # Q13 outer-join distribution
+    "fulfillment_lag_stats",          # SLA lag percentiles over a join
+    "large_volume_customers",         # Q18 3-table having-join
+    "user_segment_coverage",          # events ⋈ customer enrichment
+    "cogrouped_user_orders",          # two-sided grouped map
+    "snapshot_diff",                  # full-outer reconciliation
+    "incremental_agg_refresh",        # MV delta identity
+    "incremental_join_refresh",       # MV join delta rule
+    "referential_integrity_audit",    # anti-join orphan audit
+    "udaf_cents_by_type",             # pandas UDAF over events
+    "applyinpandas_user_sequence",    # grouped-map over events
+]
+
+_SMALL_ORDER = st.tuples(
+    st.integers(min_value=0, max_value=12),      # o_orderkey — SMALL pool
+    st.integers(min_value=0, max_value=9),       # o_custkey
+    st.sampled_from(["F", "O", "P"]),
+    _MONEY,
+    _DATE,
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+)
+_SMALL_LINE = st.tuples(
+    st.integers(min_value=0, max_value=12),      # l_orderkey — SMALL pool
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=50).map(float),
+    _MONEY,
+    _FRAC,
+    _FRAC,
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["F", "O"]),
+    _DATE,
+)
+_CUSTOMER = st.tuples(
+    st.integers(min_value=0, max_value=9),       # c_custkey
+    st.sampled_from(["Customer#1", "Customer#2", ""]),
+    st.integers(min_value=0, max_value=24),      # c_nationkey
+    _MONEY,                                      # c_acctbal
+    st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+)
+_CUST_COLS = [
+    ("c_custkey", pa.int64()), ("c_name", pa.string()),
+    ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+    ("c_mktsegment", pa.string()),
+]
+
+
+@pytest.mark.parametrize("name", JOIN_FUZZED)
+def test_join_oracle_pair_random_corpus(spark, name):
+    @settings(derandomize=False, max_examples=4, deadline=None)
+    @given(
+        orders=st.lists(
+            _SMALL_ORDER, min_size=1, max_size=8, unique_by=lambda r: r[0]
+        ),
+        lineitem=st.lists(_SMALL_LINE, min_size=1, max_size=12),
+        customer=st.lists(
+            _CUSTOMER, min_size=1, max_size=6, unique_by=lambda r: r[0]
+        ),
+        events=st.lists(
+            _EVENT, min_size=1, max_size=10, unique_by=lambda r: r[0]
+        ),
+    )
+    def run(orders, lineitem, customer, events):
+        sf_dir = tempfile.mkdtemp(prefix="bdes_fuzz_join_")
+        for tname, cols, rows in (
+            ("orders", _ORD_COLS, orders),
+            ("lineitem", _LI_COLS, lineitem),
+            ("customer", _CUST_COLS, customer),
+        ):
+            pq.write_table(
+                pa.table(
+                    {c: pa.array([r[i] for r in rows], t)
+                     for i, (c, t) in enumerate(cols)}
+                ),
+                os.path.join(sf_dir, f"{tname}.parquet"),
+            )
+        ev_tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in events], pa.int64()),
+                "ts": pa.array([r[1] for r in events], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in events], pa.int64()),
+                "event_type": pa.array([r[3] for r in events], pa.string()),
+                "value": pa.array([r[4] for r in events], pa.float64()),
+                "props": pa.array([r[5] for r in events], pa.string()),
+            }
+        )
+        pq.write_table(ev_tbl, os.path.join(sf_dir, "events.parquet"))
+
+        spec = SPECS[name]
+        got = _norm(spec.build(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "customer", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, t + '.parquet')}'"
+            )
+        want = _norm(con.sql(spec.oracle).df())
+        con.close()
+        ctx = {"orders": orders, "lineitem": lineitem,
+               "customer": customer, "events": events}
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert len(got) == len(want), (name, len(got), len(want), ctx)
+        assert _vhash(got) == _vhash(want), f"{name} diverged on {ctx}"
+
+    run()
+
+
+@pytest.mark.parametrize("name", EMBEDDINGS_FUZZED)
+def test_embeddings_oracle_pair_random_corpus(spark, name):
+    @settings(derandomize=False, max_examples=4, deadline=None)
+    @given(
+        rows=st.lists(_EMB, min_size=2, max_size=10, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_table("embeddings", _EMB_COLS, rows)
+        _compare(
+            spark, name, sf_dir, "embeddings",
+            os.path.join(sf_dir, "embeddings.parquet"), rows,
+        )
+
+    run()
