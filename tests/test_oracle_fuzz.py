@@ -360,6 +360,24 @@ _COMPONENT = st.integers(min_value=-512, max_value=512).map(lambda n: n / 256)
 _VEC = st.one_of(
     st.lists(_COMPONENT, min_size=64, max_size=64),
     st.lists(_COMPONENT, min_size=63, max_size=63),  # ragged: per-row degrade
+    st.just([0.0] * 64),  # zero norm: 0/0 is NULL both sides (NULLIF oracle)
+)
+# Dirty-element universe for the cosine pairs specifically: full-length
+# vectors carrying a NULL element (the Spark fold NULL-poisons where
+# DuckDB's list_sum would silently skip — the round-8 _cos_sql ok-guard
+# closes exactly this asymmetry) and whole-NULL embeddings.
+_VEC_DIRTY = st.one_of(
+    _VEC,
+    st.none(),
+    st.tuples(
+        st.lists(_COMPONENT, min_size=64, max_size=64),
+        st.integers(min_value=0, max_value=63),
+    ).map(lambda t: t[0][: t[1]] + [None] + t[0][t[1] + 1 :]),
+)
+_EMB_DIRTY = st.tuples(
+    st.integers(min_value=0, max_value=10**6),
+    _VEC_DIRTY,
+    st.integers(min_value=0, max_value=9),
 )
 _EMB = st.tuples(
     st.integers(min_value=0, max_value=10**6),
@@ -501,6 +519,31 @@ def test_embeddings_oracle_pair_random_corpus(spark, name):
         sf_dir = _write_table("embeddings", _EMB_COLS, rows)
         _compare(
             spark, name, sf_dir, "embeddings",
+            os.path.join(sf_dir, "embeddings.parquet"), rows,
+        )
+
+    run()
+
+
+def test_cosine_oracle_dirty_vectors(spark):
+    """knn_cosine_topk over NULL-ELEMENT, whole-NULL and zero-norm
+    vectors: the Spark fixed-dim fold NULL-poisons on any NULL term,
+    so the _cos_sql ok-guard must NULL the oracle's cosine for the
+    same rows (DuckDB's list_sum would otherwise skip the NULL
+    product and emit a value — the round-8 advice asymmetry). The
+    query vector (vec_id 0) itself draws from the dirty universe, so
+    the all-rows-NULL degradation is exercised too."""
+
+    @settings(derandomize=True, max_examples=6, deadline=None)
+    @given(
+        rows=st.lists(
+            _EMB_DIRTY, min_size=2, max_size=10, unique_by=lambda r: r[0]
+        )
+    )
+    def run(rows):
+        sf_dir = _write_table("embeddings", _EMB_COLS, rows)
+        _compare(
+            spark, "knn_cosine_topk", sf_dir, "embeddings",
             os.path.join(sf_dir, "embeddings.parquet"), rows,
         )
 
