@@ -45,8 +45,21 @@ def stopword_count(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
-    whitespace-normalized, lowercased text. The exact-dedup key."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+    whitespace-normalized, casefolded text. The exact-dedup key.
+
+    ``lower()`` alone is NOT engine-stable: Java implements Unicode
+    SpecialCasing (lower('İ') = 'i' + combining dot; Σ lowers to the
+    FINAL sigma ς at word end) while simple-mapping engines (DuckDB
+    without ICU) emit 'i' and 'σ' unconditionally — found by the
+    round-8 unicode corpus fuzz as a live fingerprint divergence. The
+    translate pre-step pins the complete root-locale exceptional set
+    (U+0130 dotted İ → i, the Turkic casefold T-mapping; Σ/ς → σ,
+    simple casefold — which also makes the fingerprint
+    sigma-position-insensitive, the behavior a dedup key wants). Both
+    engines apply the identical pre-step, so lower() never sees an
+    exceptional input."""
+    folded = F.translate(col, "İΣς", "iσσ")
+    return F.md5(F.lower(F.trim(F.regexp_replace(folded, r"\s+", " "))))
 
 
 BPE_ISH_PATTERN = r"\w+|[^\w\s]+"

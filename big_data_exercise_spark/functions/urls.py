@@ -245,7 +245,8 @@ def domain_corpus_rollup_sql() -> str:
           SELECT doc_id, text, n_chars, {host} AS host FROM u),
         d AS (
           SELECT {registrable_domain_sql("host")} AS domain, host,
-                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                 md5(lower(trim(regexp_replace(
+                     translate(text, 'İΣς', 'iσσ'), '\\s+', ' ', 'g')))) AS fp,
                  n_chars
           FROM h),
         per AS (

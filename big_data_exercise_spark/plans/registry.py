@@ -124,7 +124,11 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
 
 
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
-_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+# Casefold pre-step mirrors functions.text.fingerprint: Java's
+# SpecialCasing lower (İ → i+U+0307, final sigma) vs DuckDB's simple
+# mapping diverge without it (round-8 unicode fuzz finding).
+_FP = ("md5(lower(trim(regexp_replace("
+       "translate(text, 'İΣς', 'iσσ'), '\\s+', ' ', 'g'))))")
 
 # MinHash+LSH pair pipeline as DuckDB CTEs (vocab-rank token ids so
 # both engines agree bit-for-bit). Shared by minhash_near_duplicates
