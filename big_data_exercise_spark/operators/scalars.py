@@ -286,11 +286,18 @@ def regex_suite(documents: DataFrame, max_doc_id: int = 100) -> DataFrame:
     """Regex surface beyond regexp_extract: match counting and
     first-match extraction. RE2-safe ASCII classes only, so Java and
     RE2 agree; the no-match cases differ by engine (Spark NULL vs
-    DuckDB ''), normalized on the oracle side with NULLIF."""
+    DuckDB ''), normalized on the oracle side with NULLIF.
+
+    ``\\b`` is deliberately ABSENT: Java's word-boundary is
+    Unicode-aware even while its ``\\w`` stays ASCII (a document like
+    'İstanbul' has no boundary before the 's' in Java but does in
+    RE2 — round-8 unicode fuzz finding). A greedy ``\\w{7,}`` counts
+    exactly the maximal ASCII word runs of length ≥ 7, which is what
+    the boundary form counted on ASCII text, without the asymmetry."""
     return documents.filter(F.col("doc_id") < max_doc_id).select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"[aeiou]+")).alias("n_vowel_runs"),
-        F.regexp_count(F.col("text"), F.lit(r"\b\w{7,}\b")).alias("n_long_words"),
+        F.regexp_count(F.col("text"), F.lit(r"\w{7,}")).alias("n_long_words"),
         F.regexp_substr(F.col("text"), F.lit(r"\w{7,}")).alias("first_long_word"),
     )
 

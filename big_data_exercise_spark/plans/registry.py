@@ -646,7 +646,7 @@ def _specs() -> list[QuerySpec]:
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER)
                  AS n_vowel_runs,
-               CAST(len(regexp_extract_all(text, '\\b\\w{7,}\\b')) AS INTEGER)
+               CAST(len(regexp_extract_all(text, '\\w{7,}')) AS INTEGER)
                  AS n_long_words,
                NULLIF(regexp_extract(text, '\\w{7,}'), '') AS first_long_word
         FROM documents WHERE doc_id < 100
@@ -699,13 +699,25 @@ def _specs() -> list[QuerySpec]:
         "string_suite",
         lambda sp, d: scalars.string_suite(_t(sp, d, "documents")),
         """
-        SELECT doc_id, left(text, 12) AS head12,
-               reverse(left(text, 12)) AS head12_rev,
+        WITH h AS (
+          SELECT doc_id, left(text, 12) AS head12, lang, text
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, head12,
+               -- CODEPOINT reversal, spelled out: DuckDB's reverse()
+               -- is grapheme-aware (combining marks ride their base)
+               -- where Spark reverses codepoints (marks detach) —
+               -- round-8 unicode fuzz finding. substring() is
+               -- codepoint-based in both engines, so the unrolled
+               -- form reproduces Spark exactly.
+               array_to_string(list_transform(
+                 range(1, length(head12) + 1),
+                 i -> substring(head12, length(head12) - i + 1, 1)), '')
+                 AS head12_rev,
                lpad(lang, 8, '_') AS lang_padded,
                translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
                repeat(lang, 2) AS lang_twice,
                CAST(length(text) AS INTEGER) AS n_chars
-        FROM documents WHERE doc_id < 50
+        FROM h
         """,
         ("scalar", "string"),
         "consolidated string-function surface (substring/reverse/pad/translate/repeat)",

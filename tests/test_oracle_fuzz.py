@@ -58,6 +58,12 @@ FUZZED = [
     "url_parse_fields",
     "domain_corpus_rollup",
     "utf8_decode_accounting",
+    # round-8: the string/regex scalar suites joined after the unicode
+    # pool exposed reverse()'s grapheme-vs-codepoint divergence (fixed
+    # with an unrolled codepoint reversal in the oracle); doc_id draws
+    # reach below their <50/<100 filters often enough to feed them
+    "string_suite",
+    "regex_suite",
 ]
 
 # The unicode tail planted the round-8 fingerprint finding: Java's
@@ -77,7 +83,12 @@ _TEXT = st.lists(st.tuples(_WORD, _SEP), min_size=0, max_size=10).map(
     lambda ps: "".join(w + s for w, s in ps)
 )
 _DOC = st.tuples(
-    st.integers(min_value=0, max_value=10**12),
+    # half-weight on tiny ids so the <50/<100-filtered scalar suites
+    # (string_suite, regex_suite) see non-empty corpora
+    st.one_of(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=10**12),
+    ),
     _TEXT,
     st.sampled_from(["src0", "src7", "weird src", "", "ünïcode"]),
     st.sampled_from(["en", "de", "zh", "xx", ""]),
