@@ -36,6 +36,19 @@ from big_data_exercise_spark.plans.registry import all_queries
 
 SPECS = all_queries()
 
+# CI lanes are deterministic (derandomize=True, small example counts).
+# Exploration runs — fresh seeds, more examples per pair — are one
+# command: SPARK_GRAFT_FUZZ_EXPLORE=10 python -m pytest tests/test_oracle_fuzz.py
+_EXPLORE = int(os.environ.get("SPARK_GRAFT_FUZZ_EXPLORE", "0"))
+
+
+def _fuzz_settings(max_examples: int):
+    if _EXPLORE:
+        return settings(
+            derandomize=False, max_examples=_EXPLORE, deadline=None
+        )
+    return settings(derandomize=True, max_examples=max_examples, deadline=None)
+
 # documents-only oracle pairs with non-trivial cross-engine formula
 # surface (tokenization, n-gram algebra, percentiles, hashing, LCG
 # sampling, PII regex chains, URL construction)
@@ -148,7 +161,7 @@ def _compare(spark, name, sf_dir, table, path, ctx):
 
 @pytest.mark.parametrize("name", FUZZED)
 def test_oracle_pair_random_corpus(spark, name):
-    @settings(derandomize=True, max_examples=5, deadline=None)
+    @_fuzz_settings(5)
     @given(rows=st.lists(_DOC, min_size=1, max_size=10, unique_by=lambda r: r[0]))
     def run(rows):
         sf_dir = _write_corpus(rows)
@@ -246,7 +259,7 @@ def _write_events(rows) -> str:
 
 @pytest.mark.parametrize("name", EVENTS_FUZZED)
 def test_events_oracle_pair_random_corpus(spark, name):
-    @settings(derandomize=True, max_examples=4, deadline=None)
+    @_fuzz_settings(4)
     @given(
         rows=st.lists(_EVENT, min_size=1, max_size=14, unique_by=lambda r: r[0])
     )
@@ -335,7 +348,7 @@ _ORD_COLS = [
 
 @pytest.mark.parametrize("name", LINEITEM_FUZZED)
 def test_lineitem_oracle_pair_random_corpus(spark, name):
-    @settings(derandomize=True, max_examples=4, deadline=None)
+    @_fuzz_settings(4)
     @given(rows=st.lists(_LINEITEM, min_size=1, max_size=14))
     def run(rows):
         sf_dir = _write_table("lineitem", _LI_COLS, rows)
@@ -349,7 +362,7 @@ def test_lineitem_oracle_pair_random_corpus(spark, name):
 
 @pytest.mark.parametrize("name", ORDERS_FUZZED)
 def test_orders_oracle_pair_random_corpus(spark, name):
-    @settings(derandomize=True, max_examples=4, deadline=None)
+    @_fuzz_settings(4)
     @given(
         rows=st.lists(_ORDER, min_size=1, max_size=14, unique_by=lambda r: r[0])
     )
@@ -471,7 +484,7 @@ _CUST_COLS = [
 
 @pytest.mark.parametrize("name", JOIN_FUZZED)
 def test_join_oracle_pair_random_corpus(spark, name):
-    @settings(derandomize=True, max_examples=4, deadline=None)
+    @_fuzz_settings(4)
     @given(
         orders=st.lists(
             _SMALL_ORDER, min_size=1, max_size=8, unique_by=lambda r: r[0]
@@ -531,7 +544,7 @@ def test_join_oracle_pair_random_corpus(spark, name):
 
 @pytest.mark.parametrize("name", EMBEDDINGS_FUZZED)
 def test_embeddings_oracle_pair_random_corpus(spark, name):
-    @settings(derandomize=True, max_examples=4, deadline=None)
+    @_fuzz_settings(4)
     @given(
         rows=st.lists(_EMB, min_size=2, max_size=10, unique_by=lambda r: r[0])
     )
@@ -554,7 +567,7 @@ def test_cosine_oracle_dirty_vectors(spark):
     query vector (vec_id 0) itself draws from the dirty universe, so
     the all-rows-NULL degradation is exercised too."""
 
-    @settings(derandomize=True, max_examples=6, deadline=None)
+    @_fuzz_settings(6)
     @given(
         rows=st.lists(
             _EMB_DIRTY, min_size=2, max_size=10, unique_by=lambda r: r[0]
@@ -566,5 +579,174 @@ def test_cosine_oracle_dirty_vectors(spark):
             spark, "knn_cosine_topk", sf_dir, "embeddings",
             os.path.join(sf_dir, "embeddings.parquet"), rows,
         )
+
+    run()
+
+# ---- TPC-H dimension-family pairs ------------------------------------------
+# The Q-family queries (scalar-subquery decorrelations, market-share
+# arms, EXISTS/NOT-EXISTS pairs, LATERAL top-n, Pareto scans, the
+# nation tree) over COORDINATED random dim+fact tables. Dims are
+# random SUBSETS of the canonical domains (region names / NATION_k
+# mapping stay canonical because the queries filter on those literals
+# and join through the keys), so every example mixes hit, miss,
+# dangling-FK and absent-dim cases; facts reuse the join lane's
+# overlapping-pool strategies. One sf_dir carries all eight tables;
+# the oracle runs over the identical files.
+TPCH_FUZZED = [
+    "regional_customers",        # two-hop dim broadcast join
+    "local_supplier_volume",     # Q5 six-table arm
+    "nation_market_share",       # Q8 market-share CASE aggregation
+    "nation_trade_volume",       # Q7 directed nation pairs
+    "product_type_profit",       # Q9 profit rollup, %red% LIKE
+    "important_parts",           # Q11 global-scalar HAVING
+    "min_cost_part_supplier",    # Q2 per-part min-cost decorrelation
+    "top_supplier",              # Q15 global-max scalar subquery
+    "waiting_suppliers",         # Q21 EXISTS/NOT-EXISTS decorrelation
+    "returned_item_report",      # Q10 returned-flag rollup
+    "shipping_priority",         # Q3 segment filter + date windows
+    "promo_revenue_pct",         # Q14 conditional-share percent
+    "part_promotion_suppliers",  # Q20 quantity-threshold semi-join
+    "supplier_variety",          # distinct-part-count per supplier
+    "supplier_cooccurrence",     # basket pair join (a-priori prune)
+    "supplier_triangles",        # triangle enumeration
+    "fuzzy_supplier_matches",    # edit-distance-1 name blocking
+    "small_quantity_revenue",    # Q17 avg-quantity scalar per part
+    "late_order_priority",       # Q12 two-date lateness CASE
+    "priority_flag_counts",      # Q4 EXISTS-decorrelated counts
+    "dormant_rich_customers",    # Q22 anti-join over events
+    "pareto_frontier_parts",     # dominance self-join
+    "lateral_top_orders",        # LATERAL top-n per customer
+    "recursive_tree_depth",      # iterative nation-tree closure
+    "bracket_revenue",           # Q19 bracket OR-of-ANDs
+]
+
+_REGION_NAMES = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_REGION = st.lists(
+    st.integers(min_value=0, max_value=4), min_size=1, max_size=5, unique=True
+).map(lambda ks: [(k, _REGION_NAMES[k]) for k in ks])
+_NATION = st.lists(
+    st.integers(min_value=0, max_value=24), min_size=1, max_size=25, unique=True
+).map(lambda ks: [(k, f"NATION_{k}", k % 5) for k in ks])
+# Near-identical name pool drives fuzzy_supplier_matches' ED-1
+# blocking; nationkey range 0..26 plants dangling FKs past nation's
+# 0..24 domain.
+_SUPP_NAME = st.sampled_from(
+    ["Supplier#000000001", "Supplier#000000002", "Supplier#00000000l",
+     "Supplier#0000000012", "upplier#000000001", "ACME Corp", "ACME Corp.",
+     "ACME  Corp", ""]
+)
+_SUPPLIER = st.tuples(
+    st.integers(min_value=0, max_value=20),      # s_suppkey — l_suppkey pool
+    _SUPP_NAME,
+    st.integers(min_value=0, max_value=26),      # s_nationkey, some dangling
+    _MONEY,
+)
+_PART_NAME = st.sampled_from(
+    ["small widget", "red rod", "dark red anvil", "blue ring", "new bolt",
+     "small red cog", "hot rod", "cold anvil"]
+)
+_PART = st.tuples(
+    st.integers(min_value=1, max_value=50),      # p_partkey — l_partkey pool
+    _PART_NAME,
+    st.sampled_from(["Brand#1", "Brand#13", "Brand#23", "Brand#9"]),
+    st.sampled_from(["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"]),
+    st.integers(min_value=1, max_value=50),      # p_size
+    _MONEY,                                      # p_retailprice
+)
+
+_REG_COLS = [("r_regionkey", pa.int32()), ("r_name", pa.string())]
+_NAT_COLS = [
+    ("n_nationkey", pa.int32()), ("n_name", pa.string()),
+    ("n_regionkey", pa.int32()),
+]
+_SUP_COLS = [
+    ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+    ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+]
+_PART_COLS = [
+    ("p_partkey", pa.int64()), ("p_name", pa.string()),
+    ("p_brand", pa.string()), ("p_type", pa.string()),
+    ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+]
+
+_TPCH_TABLES = (
+    ("region", _REG_COLS), ("nation", _NAT_COLS), ("supplier", _SUP_COLS),
+    ("part", _PART_COLS), ("customer", _CUST_COLS), ("orders", _ORD_COLS),
+    ("lineitem", _LI_COLS),
+)
+
+
+@pytest.mark.parametrize("name", TPCH_FUZZED)
+def test_tpch_oracle_pair_random_corpus(spark, name):
+    @_fuzz_settings(3)
+    @given(
+        region=_REGION,
+        nation=_NATION,
+        supplier=st.lists(
+            _SUPPLIER, min_size=1, max_size=8, unique_by=lambda r: r[0]
+        ),
+        part=st.lists(_PART, min_size=1, max_size=10, unique_by=lambda r: r[0]),
+        customer=st.lists(
+            _CUSTOMER, min_size=1, max_size=6, unique_by=lambda r: r[0]
+        ),
+        orders=st.lists(
+            _SMALL_ORDER, min_size=1, max_size=8, unique_by=lambda r: r[0]
+        ),
+        lineitem=st.lists(_SMALL_LINE, min_size=1, max_size=12),
+        events=st.lists(
+            _EVENT, min_size=1, max_size=10, unique_by=lambda r: r[0]
+        ),
+    )
+    def run(region, nation, supplier, part, customer, orders, lineitem, events):
+        tables = dict(zip(
+            ("region", "nation", "supplier", "part", "customer", "orders",
+             "lineitem"),
+            (region, nation, supplier, part, customer, orders, lineitem),
+        ))
+        sf_dir = tempfile.mkdtemp(prefix="bdes_fuzz_tpch_")
+        for tname, cols in _TPCH_TABLES:
+            rows = tables[tname]
+            pq.write_table(
+                pa.table(
+                    {c: pa.array([r[i] for r in rows], t)
+                     for i, (c, t) in enumerate(cols)}
+                ),
+                os.path.join(sf_dir, f"{tname}.parquet"),
+            )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in events], pa.int64()),
+                    "ts": pa.array([r[1] for r in events], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in events], pa.int64()),
+                    "event_type": pa.array(
+                        [r[3] for r in events], pa.string()
+                    ),
+                    "value": pa.array([r[4] for r in events], pa.float64()),
+                    "props": pa.array([r[5] for r in events], pa.string()),
+                }
+            ),
+            os.path.join(sf_dir, "events.parquet"),
+        )
+
+        spec = SPECS[name]
+        got = _norm(spec.build(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        for t, _ in _TPCH_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, t + '.parquet')}'"
+            )
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, 'events.parquet')}'"
+        )
+        want = _norm(con.sql(spec.oracle).df())
+        con.close()
+        ctx = {k: v for k, v in tables.items()}
+        ctx["events"] = events
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert len(got) == len(want), (name, len(got), len(want), ctx)
+        assert _vhash(got) == _vhash(want), f"{name} diverged on {ctx}"
 
     run()

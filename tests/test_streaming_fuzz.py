@@ -28,8 +28,9 @@ deliver on demand:
   83 so the fire pipeline's `event_id % 83 = 0` sample is non-empty.
 
 Deterministic: derandomize=True like the batch fuzz lanes (the CI
-gate never discovery-flakes mid-round; per-round exploration =
-temporarily dropping derandomize and re-running).
+gate never discovery-flakes mid-round). Per-round exploration with
+fresh seeds is SPARK_GRAFT_FUZZ_EXPLORE=<examples>, same knob as the
+batch lanes.
 """
 
 from __future__ import annotations
@@ -46,6 +47,16 @@ from hypothesis import given, settings, strategies as st
 from big_data_exercise_spark.streaming import pipelines as streams
 
 N_FEED = 12
+
+_EXPLORE = int(os.environ.get("SPARK_GRAFT_FUZZ_EXPLORE", "0"))
+
+
+def _fuzz_settings(max_examples: int):
+    if _EXPLORE:
+        return settings(
+            derandomize=False, max_examples=_EXPLORE, deadline=None
+        )
+    return settings(derandomize=True, max_examples=max_examples, deadline=None)
 
 # 2024-01-01 + s seconds, µs — same epoch domain as the batch fuzz
 _TS_UNIFORM = st.integers(min_value=0, max_value=3 * 24 * 3600).map(
@@ -154,7 +165,7 @@ def _run_at_width(spark, build, sf_dir, feed_files):
 def test_latency_pipeline_feed_width_invariance_random_logs(spark, name):
     build = PIPELINES[name]
 
-    @settings(derandomize=True, max_examples=3, deadline=None)
+    @_fuzz_settings(3)
     @given(
         rows=st.lists(_EVENT, min_size=1, max_size=40, unique_by=lambda r: r[0])
     )
