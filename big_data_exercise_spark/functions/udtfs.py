@@ -19,16 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 
+# Explicit ASCII-whitespace trim set. Python's bare str.strip() is
+# Unicode-whitespace-aware (strips NBSP, U+2028, …) which no SQL
+# trim() replays — and SQL trim() defaults to SPACES ONLY, which
+# leaves 'the\t' untrimmed (live divergence found by the round-8
+# random-corpus fuzz on [(0, 'the\t', …)]). The pinned contract is
+# the ASCII set below on BOTH engines.
+_WS = " \t\n\r\v\f"
+
+
 @udtf(returnType="sent_idx: int, sentence: string, n_chars: int")
 class SplitSentences:
-    """text → one row per '.'-delimited non-empty sentence."""
+    """text → one row per '.'-delimited non-empty sentence
+    (ASCII-whitespace-trimmed; see _WS)."""
 
     def eval(self, text: str):  # noqa: ANN001 — UDTF protocol
         if text is None:
             return
         idx = 0
         for part in text.split("."):
-            part = part.strip()
+            part = part.strip(_WS)
             if part:
                 yield idx, part, len(part)
                 idx += 1

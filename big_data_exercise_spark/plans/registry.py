@@ -1778,7 +1778,14 @@ def _specs() -> list[QuerySpec]:
           FROM documents WHERE doc_id < 20),
         u AS (SELECT doc_id, unnest(generate_series(1, len(parts))) AS i, parts
               FROM t),
-        c AS (SELECT doc_id, i, trim(parts[i]) AS sentence FROM u)
+        -- ASCII-whitespace trim set matches udtfs._WS exactly: SQL
+        -- trim() defaults to SPACES ONLY ('the\t' stays untrimmed)
+        -- while Python str.strip() is Unicode-aware — both replaced
+        -- by the same explicit set (round-8 fuzz finding)
+        c AS (SELECT doc_id, i,
+                     trim(parts[i], ' ' || chr(9) || chr(10) || chr(13)
+                                    || chr(11) || chr(12)) AS sentence
+              FROM u)
         SELECT doc_id,
                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
                     AS INTEGER) AS sent_idx,

@@ -77,6 +77,38 @@ FUZZED = [
     # reach below their <50/<100 filters often enough to feed them
     "string_suite",
     "regex_suite",
+    # round-8 continuation: the text/NLP tier joined after its first
+    # exploration run caught udtf_sentences' trim divergence (Python
+    # str.strip() is Unicode-whitespace-aware, SQL trim() spaces-only
+    # — 'the\t' split the engines; both now pinned to an explicit
+    # ASCII-whitespace set)
+    "language_id",
+    "doc_sentiment_scores",
+    "sentiment_distribution",
+    "word_positions",
+    "udtf_sentences",
+    "regex_keyword_hits",
+    "pii_redaction",
+    "pii_corpus_summary",
+    "scalar_projection",
+    "prefix_edit_distances",
+    "exact_jaccard_pairs",
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+]
+
+# The dedup tier end-to-end (collapse → signatures/fingerprints →
+# banding → verify → closure) over random corpora: expensive per
+# example (checkpoint boundaries), so fewer examples than the scalar
+# lanes — exploration scales them up via SPARK_GRAFT_FUZZ_EXPLORE.
+DOC_HEAVY_FUZZED = [
+    "contamination_report",
+    "contamination_summary",
+    "winnowing_fingerprints",
+    "dedup_kept_corpus",
+    "incremental_dedup_new_docs",
+    "simhash_checked_near_duplicates",
+    "minhash_near_duplicates",
 ]
 
 # The unicode tail planted the round-8 fingerprint finding: Java's
@@ -89,7 +121,12 @@ _WORD = st.sampled_from(
     ["the", "a", "and", "of", "alpha", "Beta", "x", "LONGWORD", "a.b,c!", "",
      "café", "naïve", "日本語", "\U0001f600\U0001f600",
      "é", "İstanbul", "straße", "Ωmega",
-     "a\U0001f600b", "ΒΟΣ", "ςigma"]
+     "a\U0001f600b", "ΒΟΣ", "ςigma",
+     # sentiment lexicon hits, PII-shaped tokens (emails/IPs/SSN/phone
+     # shapes — the IP doubles as a '.'-dense sentence-split input),
+     # and a period-bearing sentiment word for the splitter
+     "fast", "slow.big", "bob@x.io", "1.2.3.4", "555-12-3456",
+     "+1-555-1234"]
 )
 _SEP = st.sampled_from([" ", "  ", "\t", "\n", " \t\n"])
 _TEXT = st.lists(st.tuples(_WORD, _SEP), min_size=0, max_size=10).map(
@@ -163,6 +200,20 @@ def _compare(spark, name, sf_dir, table, path, ctx):
 def test_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(5)
     @given(rows=st.lists(_DOC, min_size=1, max_size=10, unique_by=lambda r: r[0]))
+    def run(rows):
+        sf_dir = _write_corpus(rows)
+        _compare(
+            spark, name, sf_dir, "documents",
+            os.path.join(sf_dir, "documents.parquet"), rows,
+        )
+
+    run()
+
+
+@pytest.mark.parametrize("name", DOC_HEAVY_FUZZED)
+def test_dedup_tier_oracle_pair_random_corpus(spark, name):
+    @_fuzz_settings(2)
+    @given(rows=st.lists(_DOC, min_size=1, max_size=8, unique_by=lambda r: r[0]))
     def run(rows):
         sf_dir = _write_corpus(rows)
         _compare(
