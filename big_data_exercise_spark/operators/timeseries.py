@@ -109,11 +109,21 @@ def decayed_value_by_type(
     the engine-stable formulation of the same idea. At scale this is
     one partial-aggregated shuffle, identical to any grouped sum; the
     anchor pins results regardless of when the job runs (never use
-    current_timestamp() in a reproducible pipeline)."""
+    current_timestamp() in a reproducible pipeline).
+
+    Events AFTER the anchor carry weight 1 — halvings clamp at 0, so
+    the future never AMPLIFIES (a negative age would double weekly:
+    an event 316 days past the anchor would weigh 2^46, pushing
+    value*weight ~1e15, outside the cross-engine decimal-conversion
+    exactness domain documented in functions.numeric — a live
+    divergence the round-8 events fuzz found once its generator
+    crossed the anchor)."""
     from big_data_exercise_spark.functions.numeric import exact_sum
 
     age_days = F.datediff(F.lit(anchor).cast("date"), F.col("ts").cast("date"))
-    halvings = F.floor(age_days / F.lit(float(half_life_days)))
+    halvings = F.greatest(
+        F.floor(age_days / F.lit(float(half_life_days))), F.lit(0)
+    )
     weight = F.lit(1.0) / F.pow(F.lit(2.0), halvings.cast("double"))
     return (
         events.groupBy("event_type")

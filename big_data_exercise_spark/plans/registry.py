@@ -4783,9 +4783,9 @@ def _specs() -> list[QuerySpec]:
         f"""
         SELECT event_type, COUNT(*) AS n_events,
                {sum_sql(
-                   "value * (1.0 / POW(2.0, FLOOR("
+                   "value * (1.0 / POW(2.0, GREATEST(FLOOR("
                    "date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')"
-                   " / 7.0)))",
+                   " / 7.0), 0)))",
                    "decayed_value", 4)},
                {sum_sql("value", "raw_value", 4)}
         FROM events GROUP BY event_type

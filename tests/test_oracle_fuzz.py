@@ -274,10 +274,49 @@ EVENTS_FUZZED = [
     "map_hof_roundtrip",
     "top_types_with_other",
     "epoch_roundtrip",
+    # round-8 continuation: the calendar/percentile/set tier joined
+    # after a 63-pair exploration run under the enriched generator
+    # (sub-second µs instants, 400-day span crossing the 2024 leap day
+    # and the year boundary) came back clean — promoted so CI keeps
+    # pinning that result
+    "calendar_features",
+    "value_percentiles",
+    "value_percentiles_disc",
+    "exact_value_quantiles",
+    "value_dispersion",
+    "winsorized_value_stats",
+    "key_skew_report",
+    "session_windows",
+    "last_click_before_error",
+    "prior_events_within",
+    "bitwise_user_masks",
+    "cube_event_stats",
+    "distinct_user_type_pairs",
+    "users_except",
+    "users_intersect",
+    "user_type_sets",
+    "salted_top_revenue",
+    "systematic_sample",
+    "observed_rollup",
+    "top_revenue",
+    "json_path_extract",
+    "variant_props_stats",
+    "try_arithmetic",
+    "latest_type_per_user_agg",
 ]
 
-_TS = st.integers(min_value=0, max_value=3 * 24 * 3600).map(
-    lambda s: 1704067200_000_000 + s * 1_000_000  # 2024-01-01 + s seconds, µs
+# 2023-11-15 + up to 400 days: crosses 2024-01-01 and the 2024-02-29
+# leap day. Half-weight on whole-second instants (planted tie mass —
+# every window order tie-breaks on the unique event_id), half on
+# arbitrary µs offsets (sub-second truncation/bucketing parity).
+_TS_BASE = 1700006400_000_000  # 2023-11-15 00:00:00 UTC, µs
+_TS = st.one_of(
+    st.integers(min_value=0, max_value=400 * 24 * 3600).map(
+        lambda s: _TS_BASE + s * 1_000_000
+    ),
+    st.integers(min_value=0, max_value=400 * 24 * 3600 * 10**6).map(
+        lambda u: _TS_BASE + u
+    ),
 )
 _EVENT = st.tuples(
     st.integers(min_value=0, max_value=10**9),                      # event_id
