@@ -30,6 +30,12 @@ def _cents_total():
     def cents_total(v: pd.Series) -> int:
         # Integral cents: each term is an exact float64 integer (values
         # are few-digit currency), so the sum is exact below 2^53.
+        # SQL-SUM NULL parity: Series.sum() already skips NaN (Arrow
+        # maps NULL→NaN on the way in), but an all-NULL group must
+        # yield NULL — pandas' sum of nothing is 0.0, SQL's is NULL
+        # (round-8 NULL-dirt fuzz finding).
+        if v.count() == 0:
+            return None
         return int(np.floor(v * 100 + 0.5).sum())
 
     # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in

@@ -950,15 +950,22 @@ def exact_value_quantiles(events: DataFrame) -> DataFrame:
     differ between engines).  Order is fully tie-broken on
     (value, event_id); the oracle replays the same rank arithmetic
     with a window, so the hash match proves the distributed
-    decomposition, not just the numbers."""
+    decomposition, not just the numbers.
+
+    Quantiles are over NON-NULL values (percentile_cont semantics;
+    n counts non-null too) — including NULLs would also expose the
+    engines' opposite default NULL sort placement (Spark ASC ranks
+    NULLS FIRST, DuckDB NULLS LAST; round-8 NULL-dirt fuzz finding).
+    """
     from big_data_exercise_spark.operators.windows import global_row_number
 
+    nn = events.filter(F.col("value").isNotNull())
     ranked = global_row_number(
-        events.select("value", "event_id"),
+        nn.select("value", "event_id"),
         [F.asc("value"), F.asc("event_id")],
         "rk",
     )
-    n = events.agg(F.count("*").cast("long").alias("n"))
+    n = nn.agg(F.count("*").cast("long").alias("n"))
     quants = events.sparkSession.createDataFrame(
         [(25, 100), (50, 100), (75, 100), (90, 100), (99, 100)],
         "num int, den int",

@@ -246,6 +246,12 @@ def ntile_histogram(events: DataFrame, buckets: int = 10) -> DataFrame:
     approximate histogram over a 100 TB column the cheaper path is
     approx_percentile cutpoints (see value_percentiles); this operator
     is the exact equi-height form.
+
+    NULL-value rows stay IN the histogram (standard NTILE) and rank
+    lowest — F.asc is NULLS FIRST, and the oracle pins the same
+    placement explicitly because DuckDB's ASC default is NULLS LAST
+    (round-8 NULL-dirt fuzz finding). An all-NULL bucket reports
+    lo = hi = NULL on both engines (MIN/MAX skip NULLs).
     """
     ranked = grouped_row_number(
         events.select("event_type", "event_id", "value"),

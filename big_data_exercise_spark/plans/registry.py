@@ -729,7 +729,11 @@ def _specs() -> list[QuerySpec]:
         # try_* forms count exactly the rows the strict forms keep.
         """
         SELECT COUNT(*) AS n_rows,
-               COUNT(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_divisible,
+               -- try_divide(value, …) is NULL when value itself is
+               -- NULL, not only on a zero divisor (round-8 NULL-dirt
+               -- fuzz finding) — the positional replay must match
+               COUNT(CASE WHEN event_id % 3 <> 0 AND value IS NOT NULL
+                     THEN 1 END) AS n_divisible,
                COUNT(CASE WHEN contains(event_type, 'u') THEN 1 END) AS n_with_u,
                COUNT(try_cast(event_type AS INTEGER)) AS n_numeric
         FROM events
@@ -2886,10 +2890,14 @@ def _specs() -> list[QuerySpec]:
         # integer target-rank arithmetic with a window.
         lambda sp, d: agg.exact_value_quantiles(_t(sp, d, "events")),
         f"""
+        -- quantiles are over NON-NULL values (percentile_cont
+        -- semantics; also sidesteps the engines' opposite default
+        -- NULL sort placement — Spark ASC is NULLS FIRST, DuckDB
+        -- NULLS LAST; round-8 NULL-dirt fuzz finding)
         WITH o AS (
           SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
-          FROM events),
-        n AS (SELECT COUNT(*) AS n FROM events),
+          FROM events WHERE value IS NOT NULL),
+        n AS (SELECT COUNT(value) AS n FROM events),
         q AS (SELECT * FROM (VALUES (25,100),(50,100),(75,100),(90,100),
                                     (99,100)) t(num, den))
         SELECT CAST(num AS DOUBLE) / den AS quantile,
@@ -3080,8 +3088,13 @@ def _specs() -> list[QuerySpec]:
         """
         WITH b AS (
           SELECT event_type, event_id, value,
+                 -- NULLS FIRST pins the engines' opposite ASC
+                 -- defaults (Spark first, DuckDB last): NULL-value
+                 -- rows stay IN the histogram (standard NTILE) and
+                 -- land in the lowest buckets on both engines
                  CAST(ntile(10) OVER (
-                   PARTITION BY event_type ORDER BY value, event_id)
+                   PARTITION BY event_type
+                   ORDER BY value NULLS FIRST, event_id)
                    AS INTEGER) AS bucket
           FROM events)
         SELECT event_type, bucket, COUNT(*) AS n_events,

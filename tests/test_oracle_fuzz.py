@@ -323,11 +323,19 @@ _EVENT = st.tuples(
     _TS,
     st.integers(min_value=0, max_value=6),                          # user_id
     st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+    # NULL dirt joined round-8: the first NULL-value probe caught
+    # three real contract gaps (try_divide NULL-poisoning vs the
+    # positional oracle; Spark-vs-DuckDB opposite default NULL sort
+    # placement in the exact-quantile and NTILE ranks) — each pinned
     st.one_of(
+        st.none(),
         st.integers(min_value=-(10**7), max_value=10**7).map(lambda n: n / 100),
         st.sampled_from([0.0, 100.0, 150.0, 150.0]),                # tie mass
     ),
-    st.sampled_from(['{"k": 87}', '{"k": 0}', '{"k": -3}', "{}"]),
+    st.one_of(
+        st.none(),
+        st.sampled_from(['{"k": 87}', '{"k": 0}', '{"k": -3}', "{}"]),
+    ),
 )
 
 
