@@ -36,9 +36,12 @@ IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 def with_fixture_pii(documents: DataFrame) -> DataFrame:
     """Append doc_id-derived fake PII to each document (the test
-    fixture; both engines build the identical string)."""
+    fixture; both engines build the identical string). NULL text ≡
+    empty text — without the coalesce, concat NULL-poisons the whole
+    dirty string and every per-doc count goes NULL (round-8 NULL-dirt
+    fuzz; the oracle's _PII_DIRTY macro applies the same COALESCE)."""
     dirty = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
         F.lit("@example.org ssn "),
         F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),

@@ -27,8 +27,17 @@ def tokens(col: Column) -> Column:
     str.split() in the langid kernel and fingerprint()'s \\s+
     normalization — round-6 review: the old single-space split glued
     tab/newline-separated words into one token), empty tokens
-    dropped."""
-    return F.filter(F.split(col, WORD_SPLIT), lambda t: t != F.lit(""))
+    dropped.
+
+    NULL text ≡ empty text (a no-content document): without the
+    coalesce, Spark's legacy size(NULL) = -1 leaks into every token
+    count where DuckDB's len(NULL) is NULL — a live divergence the
+    round-8 NULL-dirt corpus fuzz found across the whole text tier.
+    The oracle macro (_TOKS) applies the same COALESCE."""
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), WORD_SPLIT),
+        lambda t: t != F.lit(""),
+    )
 
 
 def token_count(col: Column) -> Column:
@@ -58,7 +67,9 @@ def fingerprint(col: Column) -> Column:
     sigma-position-insensitive, the behavior a dedup key wants). Both
     engines apply the identical pre-step, so lower() never sees an
     exceptional input."""
-    folded = F.translate(col, "İΣς", "iσσ")
+    # NULL ≡ empty here too: a NULL-text doc fingerprints as md5('')
+    # and lands in the same exact-dup cluster as ''-text docs.
+    folded = F.translate(F.coalesce(col, F.lit("")), "İΣς", "iσσ")
     return F.md5(F.lower(F.trim(F.regexp_replace(folded, r"\s+", " "))))
 
 
@@ -70,7 +81,10 @@ def bpe_ish_token_count(col: Column) -> Column:
     word characters, and runs of punctuation, as separate tokens — a
     cheap, deterministic proxy for subword tokenizers. The pattern is
     RE2-safe (no lookarounds) so any engine reproduces it."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")),
+                             F.lit(BPE_ISH_PATTERN), 0)
+    )
 
 
 def token_counts(documents: DataFrame) -> DataFrame:

@@ -235,8 +235,17 @@ def domain_corpus_rollup(documents: DataFrame) -> DataFrame:
 
 
 def domain_corpus_rollup_sql() -> str:
-    """DuckDB oracle for :func:`domain_corpus_rollup`."""
-    host = "split_part(split_part(split_part(url, '//', 2), '/', 1), ':', 1)"
+    """DuckDB oracle for :func:`domain_corpus_rollup`.
+
+    NULL guards (round-8 NULL-dirt fuzz): a NULL source/lang makes the
+    synthetic url NULL on both engines, but DuckDB's split_part(NULL)
+    returns '' — a phantom host that COUNT(DISTINCT host) would count
+    where Spark's parse_url(NULL) host is NULL and isn't; the CASE
+    keeps NULL url → NULL host. The inline fingerprint coalesces like
+    functions.text.fingerprint (NULL text ≡ empty doc)."""
+    host = ("CASE WHEN url IS NULL THEN NULL ELSE "
+            "split_part(split_part(split_part(url, '//', 2), '/', 1), ':', 1)"
+            " END")
     return f"""
         WITH u AS (
           SELECT doc_id, text, n_chars, {url_sql()} AS url
@@ -246,7 +255,8 @@ def domain_corpus_rollup_sql() -> str:
         d AS (
           SELECT {registrable_domain_sql("host")} AS domain, host,
                  md5(lower(trim(regexp_replace(
-                     translate(text, 'İΣς', 'iσσ'), '\\s+', ' ', 'g')))) AS fp,
+                     translate(COALESCE(text, ''), 'İΣς', 'iσσ'),
+                     '\\s+', ' ', 'g')))) AS fp,
                  n_chars
           FROM h),
         per AS (
@@ -281,12 +291,21 @@ def url_parse_fields_sql() -> str:
         WITH u AS (
           SELECT doc_id, {url_sql()} AS url FROM documents),
         f AS (
-          SELECT doc_id, url, {host_port} AS host_port, {host} AS host
+          -- NULL url → NULL host (DuckDB split_part(NULL) is '', a
+          -- phantom value Spark's parse_url never produces)
+          SELECT doc_id, url,
+                 CASE WHEN url IS NULL THEN NULL
+                      ELSE {host_port} END AS host_port,
+                 CASE WHEN url IS NULL THEN NULL
+                      ELSE {host} END AS host
           FROM u)
         SELECT doc_id, url, host,
                {registrable_domain_sql("host")} AS domain,
-               substr(split_part({after_scheme}, '?', 1),
-                      len(host_port) + 1) AS path,
-               split_part(split_part(url, 'ref=', 2), '&', 1) AS ref
+               CASE WHEN url IS NULL THEN NULL
+                    ELSE substr(split_part({after_scheme}, '?', 1),
+                                len(host_port) + 1) END AS path,
+               CASE WHEN url IS NULL THEN NULL
+                    ELSE split_part(split_part(url, 'ref=', 2), '&', 1)
+               END AS ref
         FROM f
         """

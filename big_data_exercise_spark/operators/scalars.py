@@ -121,9 +121,20 @@ def prefix_edit_distances(documents: DataFrame, max_doc_id: int = 15) -> DataFra
     """Pairwise Levenshtein distance between document prefixes — the
     edit-distance primitive fuzzy dedup builds on. Bounded kernel
     (doc_id < max): all-pairs edit distance is quadratic by nature;
-    at scale it runs only on LSH/blocking candidates."""
+    at scale it runs only on LSH/blocking candidates.
+
+    The distance is over the ASCII PROJECTION of the text (non-ASCII
+    chars stripped first, then the 20-char prefix): Spark's
+    levenshtein counts codepoints but DuckDB's counts BYTES, so
+    'café' is 4 edits from '' in Spark and 5 in the oracle — on the
+    ASCII subset bytes ≡ codepoints and the two agree exactly
+    (round-8 fuzz finding; same projection the winnowing kernel
+    uses)."""
+    ascii_p = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"[^\x20-\x7e]", ""
+    )
     pref = documents.filter(F.col("doc_id") < max_doc_id).select(
-        "doc_id", F.substring("text", 1, 20).alias("p")
+        "doc_id", F.substring(ascii_p, 1, 20).alias("p")
     )
     a = pref.select(F.col("doc_id").alias("id1"), F.col("p").alias("p1"))
     b = pref.select(F.col("doc_id").alias("id2"), F.col("p").alias("p2"))

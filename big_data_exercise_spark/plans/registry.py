@@ -123,12 +123,16 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+# COALESCE mirrors functions.text.tokens/fingerprint: NULL text is an
+# empty document (Spark's legacy size(NULL) = -1 vs DuckDB len(NULL) =
+# NULL otherwise splits every token count; round-8 NULL-dirt finding).
+_TOKS = (r"list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),"
+         r" t -> t <> '')")
 # Casefold pre-step mirrors functions.text.fingerprint: Java's
 # SpecialCasing lower (İ → i+U+0307, final sigma) vs DuckDB's simple
 # mapping diverge without it (round-8 unicode fuzz finding).
 _FP = ("md5(lower(trim(regexp_replace("
-       "translate(text, 'İΣς', 'iσσ'), '\\s+', ' ', 'g'))))")
+       "translate(COALESCE(text, ''), 'İΣς', 'iσσ'), '\\s+', ' ', 'g'))))")
 
 # MinHash+LSH pair pipeline as DuckDB CTEs (vocab-rank token ids so
 # both engines agree bit-for-bit). Shared by minhash_near_duplicates
@@ -165,13 +169,24 @@ _MINHASH_CTES = f"""toks AS (
           JOIN tt t1 ON t1.doc_id = c.id1
           JOIN tt t2 ON t2.doc_id = c.id2 AND t2.tok_id = t1.tok_id
           GROUP BY c.id1, c.id2),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id)"""
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tt GROUP BY doc_id),
+        empties AS (
+          -- zero-token docs never reach the LSH replay (no tt rows)
+          -- but ARE exact duplicates of each other: all-whitespace or
+          -- NULL text normalizes to the same fingerprint, and the
+          -- operator's exact-dup collapse reports every intra-cluster
+          -- pair at jaccard 1.0 (round-8 NULL/empty-dirt fuzz finding)
+          SELECT doc_id FROM documents
+          WHERE len({_TOKS}) = 0)"""
 _MINHASH_PAIRS = """SELECT id1, id2,
                (CAST(CASE WHEN (n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 >= 0 THEN FLOOR((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 + 0.5) ELSE CEIL((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 - 0.5) END AS DOUBLE) / 10000.0) AS jaccard
         FROM isz
         JOIN sizes s1 ON s1.doc_id = id1
         JOIN sizes s2 ON s2.doc_id = id2
-        WHERE (CAST(CASE WHEN (n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 >= 0 THEN FLOOR((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 + 0.5) ELSE CEIL((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 - 0.5) END AS DOUBLE) / 10000.0) >= 0.8"""
+        WHERE (CAST(CASE WHEN (n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 >= 0 THEN FLOOR((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 + 0.5) ELSE CEIL((n * 1.0 / (s1.sz + s2.sz - n)) * 10000.0 - 0.5) END AS DOUBLE) / 10000.0) >= 0.8
+        UNION ALL
+        SELECT a.doc_id AS id1, b.doc_id AS id2, 1.0 AS jaccard
+        FROM empties a JOIN empties b ON a.doc_id < b.doc_id"""
 
 
 # ---------------------------------------------------------------- specs
@@ -1606,7 +1621,13 @@ def _specs() -> list[QuerySpec]:
         "prefix_edit_distances",
         lambda sp, d: scalars.prefix_edit_distances(_t(sp, d, "documents")),
         """
-        WITH p AS (SELECT doc_id, SUBSTRING(text, 1, 20) AS p
+        -- ASCII projection first: Spark levenshtein is codepoint-
+        -- based, DuckDB's is BYTE-based; they agree exactly on the
+        -- ASCII subset (round-8 fuzz finding)
+        WITH p AS (SELECT doc_id,
+                          SUBSTRING(regexp_replace(COALESCE(text, ''),
+                                    '[^\x20-\x7e]', '', 'g'),
+                                    1, 20) AS p
                    FROM documents WHERE doc_id < 15)
         SELECT a.doc_id AS id1, b.doc_id AS id2,
                CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_distance
@@ -1761,7 +1782,8 @@ def _specs() -> list[QuerySpec]:
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
                CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
-               CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))
+               CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                           '\\w+|[^\\w\\s]+'))
                     AS INTEGER) AS n_bpe_tokens,
                {_FP} AS fp
         FROM documents
@@ -4489,7 +4511,7 @@ def _specs() -> list[QuerySpec]:
     # operators/sampling.py). The remaining pre-training curation steps
     # a 100 TB corpus build runs after dedup/quality filtering.
     _PII_DIRTY = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        "COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
         " || '@example.org ssn '"
         " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')"
         " || '-45-6789 call +1-555-'"

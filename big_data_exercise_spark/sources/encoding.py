@@ -97,7 +97,11 @@ def planted_corrupt_bytes(documents: DataFrame) -> DataFrame:
       mid-stream, 2 replacements, decoding resumes after)
     * otherwise clean (0 replacements)
     """
-    enc = F.encode(F.col("text"), "UTF-8")
+    # NULL text ≡ empty text (no-content doc): the planted corrupt
+    # tail still applies, so a NULL-text doc with doc_id%7==1 is one
+    # invalid byte, one replacement — deterministic on both engines
+    # (round-8 NULL-dirt fuzz finding).
+    enc = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
     m = F.col("doc_id") % 7
     raw = (
         F.when(m == 1, F.concat(enc, F.lit(bytearray(b"\xe9"))))
@@ -133,6 +137,8 @@ def utf8_decode_accounting_sql() -> str:
     length, ``length`` char length; the fixture corpus is
     U+FFFD-free (pinned by the property test)."""
     return """
+        WITH t AS (SELECT doc_id, COALESCE(text, '') AS text
+                   FROM documents)
         SELECT doc_id,
                CAST(strlen(text) + CASE doc_id % 7
                       WHEN 1 THEN 1 WHEN 3 THEN 2 WHEN 5 THEN 7
@@ -149,5 +155,5 @@ def utf8_decode_accounting_sql() -> str:
                       WHEN 5 THEN 2 ELSE 0 END AS INTEGER)
                  AS n_replacements,
                (doc_id % 7 NOT IN (1, 3, 5)) AS valid_utf8
-        FROM documents
+        FROM t
         """
