@@ -62,6 +62,13 @@ def _fuzz_settings(max_examples: int):
 _TS_UNIFORM = st.integers(min_value=0, max_value=3 * 24 * 3600).map(
     lambda s: 1704067200_000_000 + s * 1_000_000
 )
+# sub-second µs instants (round-8): the stream-stream left-outer
+# emission rule keys on the MS-TRUNCATED max event time of each
+# filtered side — whole-second inputs can never catch a truncation
+# bug in that arithmetic, arbitrary-µs inputs can
+_TS_MICRO = st.integers(min_value=0, max_value=3 * 24 * 3600 * 10**6).map(
+    lambda u: 1704067200_000_000 + u
+)
 # planted tie instants: window edges and mid-window points
 _TS_TIES = st.sampled_from(
     [1704067200_000_000 + s * 1_000_000
@@ -72,7 +79,7 @@ _EVENT = st.tuples(
         st.integers(min_value=0, max_value=10**9),
         st.integers(min_value=0, max_value=10**6).map(lambda k: k * 83),
     ),                                                              # event_id
-    st.one_of(_TS_UNIFORM, _TS_TIES),                               # ts
+    st.one_of(_TS_UNIFORM, _TS_TIES, _TS_MICRO),                    # ts
     st.integers(min_value=0, max_value=6),                          # user_id
     st.sampled_from(["click", "view", "purchase", "signup", "error"]),
     st.one_of(
