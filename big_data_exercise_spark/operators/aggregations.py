@@ -915,11 +915,20 @@ def pareto_frontier_parts(part: DataFrame) -> DataFrame:
     sort), broadcast-join the per-price frontier bound back and keep
     rows with size > bound (NULL bound = cheapest price band, always
     on the frontier).  Every comparison is on raw parquet values, so
-    both engines agree exactly."""
+    both engines agree exactly.
+
+    Rows with a NULL price or size are EXCLUDED: dominance is
+    undefined against a missing dimension (and the engines sort a
+    NULL price group to opposite ends of the running-max order, so
+    including them isn't even deterministic cross-engine — round-8
+    NULL-dirt fuzz finding). The oracle applies the same filter."""
     from big_data_exercise_spark.operators.windows import (
         global_exclusive_running_max,
     )
 
+    part = part.filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     pm = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("msize")
     )

@@ -115,17 +115,23 @@ def snapshot_diff(base: DataFrame, new: DataFrame) -> DataFrame:
     """
     from big_data_exercise_spark.functions.numeric import exact_sum
 
+    # Presence is marked by a literal flag, NEVER by the balance
+    # column: a row that EXISTS with a NULL balance is not an insert
+    # (round-8 NULL-dirt fuzz finding). The update test is null-safe
+    # (NULL vs non-NULL balance IS an update; NULL vs NULL is same).
     b = base.select(
-        "c_custkey", F.col("c_acctbal").alias("b_bal")
+        "c_custkey", F.col("c_acctbal").alias("b_bal"),
+        F.lit(True).alias("b_present"),
     )
     n = new.select(
-        "c_custkey", F.col("c_acctbal").alias("n_bal")
+        "c_custkey", F.col("c_acctbal").alias("n_bal"),
+        F.lit(True).alias("n_present"),
     )
     j = b.join(n, "c_custkey", "full_outer")
     status = (
-        F.when(F.col("b_bal").isNull(), F.lit("insert"))
-        .when(F.col("n_bal").isNull(), F.lit("delete"))
-        .when(F.col("b_bal") != F.col("n_bal"), F.lit("update"))
+        F.when(F.col("b_present").isNull(), F.lit("insert"))
+        .when(F.col("n_present").isNull(), F.lit("delete"))
+        .when(~F.col("b_bal").eqNullSafe(F.col("n_bal")), F.lit("update"))
         .otherwise(F.lit("same"))
     )
     drift = F.abs(F.coalesce("n_bal", F.lit(0.0)) - F.coalesce("b_bal", F.lit(0.0)))
@@ -153,22 +159,39 @@ def incremental_agg_refresh(base: DataFrame, new: DataFrame) -> DataFrame:
     from big_data_exercise_spark.functions.numeric import DEC, round_det
 
     zero = F.lit(0).cast(DEC)
+    # Row presence is a literal flag (a present row with NULL balance
+    # is NOT a delete/insert), and the segment merge join is
+    # NULL-SAFE: a plain equi-join never matches the NULL-segment
+    # group, splitting it into a base row and a delta row — observed
+    # as a negative n_customers under the round-8 NULL-dirt fuzz.
     b = base.select(
         "c_custkey",
         F.col("c_acctbal").alias("b_bal"),
         F.col("c_mktsegment").alias("b_seg"),
+        F.lit(True).alias("b_present"),
     )
     n = new.select(
         "c_custkey",
         F.col("c_acctbal").alias("n_bal"),
         F.col("c_mktsegment").alias("n_seg"),
+        F.lit(True).alias("n_present"),
     )
+    # SQL-SUM NULL convention, maintained incrementally: SUM over an
+    # all-NULL (or empty) group is NULL, not 0 — so the delta state
+    # carries the NON-NULL VALUE COUNT (dnv) next to the running sum,
+    # and the refreshed total degrades to NULL exactly when that
+    # count reaches 0 (round-8 NULL-dirt fuzz: the coalesce-only form
+    # emitted 0.0 where the full recompute says NULL). This is the
+    # textbook incremental-AVG/SUM-with-NULLs bookkeeping.
+    nn = lambda p, v: F.when(  # noqa: E731 — local combinator
+        p.isNotNull() & v.isNotNull(), F.lit(1)
+    ).otherwise(F.lit(0))
     delta = (
         b.join(n, "c_custkey", "full_outer")
         .select(
             F.coalesce("n_seg", "b_seg").alias("c_mktsegment"),
-            F.when(F.col("n_bal").isNull(), F.lit(-1))
-            .when(F.col("b_bal").isNull(), F.lit(1))
+            F.when(F.col("n_present").isNull(), F.lit(-1))
+            .when(F.col("b_present").isNull(), F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("dn"),
@@ -176,24 +199,48 @@ def incremental_agg_refresh(base: DataFrame, new: DataFrame) -> DataFrame:
                 F.coalesce(F.col("n_bal").cast(DEC), zero)
                 - F.coalesce(F.col("b_bal").cast(DEC), zero)
             ).alias("ds"),
+            (
+                nn(F.col("n_present"), F.col("n_bal"))
+                - nn(F.col("b_present"), F.col("b_bal"))
+            ).cast("long").alias("dnv"),
         )
         .groupBy("c_mktsegment")
-        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+        .agg(
+            F.sum("dn").alias("dn"),
+            F.sum("ds").alias("ds"),
+            F.sum("dnv").alias("dnv"),
+        )
     )
     base_agg = base.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n0"), F.sum(F.col("c_acctbal").cast(DEC)).alias("s0")
+        F.count("*").alias("n0"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("s0"),
+        F.count("c_acctbal").alias("nv0"),
     )
-    return base_agg.join(delta, "c_mktsegment", "full_outer").select(
-        "c_mktsegment",
+    return base_agg.join(
+        delta,
+        base_agg["c_mktsegment"].eqNullSafe(delta["c_mktsegment"]),
+        "full_outer",
+    ).select(
+        F.coalesce(base_agg["c_mktsegment"], delta["c_mktsegment"]).alias(
+            "c_mktsegment"
+        ),
         (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
         .cast("long")
         .alias("n_customers"),
-        round_det(
-            (F.coalesce(F.col("s0"), zero) + F.coalesce(F.col("ds"), zero)).cast(
-                "double"
-            ),
-            2,
-        ).alias("total_acctbal"),
+        F.when(
+            (F.coalesce("nv0", F.lit(0)) + F.coalesce("dnv", F.lit(0))) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            round_det(
+                (
+                    F.coalesce(F.col("s0"), zero)
+                    + F.coalesce(F.col("ds"), zero)
+                ).cast("double"),
+                2,
+            )
+        )
+        .alias("total_acctbal"),
     )
 
 
@@ -206,10 +253,16 @@ def referential_integrity_audit(
     lineitem) — the data-quality gate to run after any ingest. Each
     check is ONE anti-join (left_anti drops the probe payload before
     the shuffle and never duplicates rows); output is one row per
-    relationship so the report is constant-size at any SF."""
+    relationship so the report is constant-size at any SF.
+
+    A NULL foreign key is an ABSENT reference, not a broken one —
+    standard referential integrity vacuously holds on NULL FKs, so
+    orphan counts cover non-NULL FKs only (pinned both ways: a bare
+    left_anti would count NULL FKs as orphans while the oracle's
+    NOT IN drops them — round-8 NULL-dirt fuzz finding)."""
     from pyspark.sql import functions as F
 
-    li_orphans = lineitem.join(
+    li_orphans = lineitem.filter(F.col("l_orderkey").isNotNull()).join(
         orders.select("o_orderkey"),
         lineitem.l_orderkey == orders.o_orderkey,
         "left_anti",
@@ -217,7 +270,7 @@ def referential_integrity_audit(
         F.lit("lineitem->orders").alias("relationship"),
         F.count("*").alias("n_orphans"),
     )
-    ord_orphans = orders.join(
+    ord_orphans = orders.filter(F.col("o_custkey").isNotNull()).join(
         customer.select("c_custkey"),
         orders.o_custkey == customer.c_custkey,
         "left_anti",

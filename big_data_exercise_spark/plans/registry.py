@@ -2655,14 +2655,20 @@ def _specs() -> list[QuerySpec]:
             _t(sp, d, "orders"), _t(sp, d, "lineitem"), _t(sp, d, "customer")
         ),
         """
+        -- NULL-FK policy pinned explicitly: a NULL FK is absent, not
+        -- orphaned (and a NULL in a NOT IN subquery would otherwise
+        -- vacuously zero the whole count)
         SELECT 'lineitem->orders' AS relationship, COUNT(*) AS n_orphans
-        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
         UNION ALL
         SELECT 'orders->customer', COUNT(*)
-        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
         UNION ALL
         SELECT 'orders-without-lineitems', COUNT(*)
-        FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        FROM orders WHERE o_orderkey NOT IN
+          (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)
         """,
         ("set", "anti-join", "dq"),
         "foreign-key orphan audit via anti-joins (constant-size report)",
@@ -2888,10 +2894,18 @@ def _specs() -> list[QuerySpec]:
                  {sum_sql("o_totalprice", "monetary")}
           FROM orders GROUP BY o_custkey),
         scored AS (
+          -- NULLS placement pinned to Spark's defaults (asc = NULLS
+          -- FIRST, desc = NULLS LAST) — DuckDB defaults are the exact
+          -- opposite on BOTH directions, so an all-NULL-date or
+          -- all-NULL-price customer flipped quartiles (round-8
+          -- NULL-dirt fuzz finding)
           SELECT o_custkey, monetary,
-                 NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
-                 NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
-                 NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+                 NTILE(4) OVER (ORDER BY recency_days ASC NULLS FIRST,
+                                o_custkey) AS r,
+                 NTILE(4) OVER (ORDER BY frequency DESC NULLS LAST,
+                                o_custkey) AS f,
+                 NTILE(4) OVER (ORDER BY monetary DESC NULLS LAST,
+                                o_custkey) AS m
           FROM cust)
         SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
                  AS segment,
@@ -2937,16 +2951,21 @@ def _specs() -> list[QuerySpec]:
         # ROWS UNBOUNDED..1 PRECEDING window.
         lambda sp, d: agg.pareto_frontier_parts(_t(sp, d, "part")),
         """
-        WITH pm AS (
+        -- NULL price/size rows excluded on both engines: dominance
+        -- against a missing dimension is undefined (round-8 fuzz)
+        WITH p0 AS (
+          SELECT * FROM part
+          WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        pm AS (
           SELECT p_retailprice AS price, MAX(p_size) AS msize
-          FROM part GROUP BY 1),
+          FROM p0 GROUP BY 1),
         pf AS (
           SELECT price, MAX(msize) OVER (
             ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING
             AND 1 PRECEDING) AS pmax
           FROM pm)
         SELECT p_partkey, p_retailprice AS price, p_size AS size
-        FROM part JOIN pf ON p_retailprice = pf.price
+        FROM p0 JOIN pf ON p_retailprice = pf.price
         WHERE pmax IS NULL OR p_size > pmax
         """,
         ("agg", "skyline", "distributed-max"),
@@ -3142,9 +3161,13 @@ def _specs() -> list[QuerySpec]:
           FROM customer WHERE c_custkey % 17 = 0),
         ns AS (SELECT * FROM survivors UNION ALL SELECT * FROM inserts),
         j AS (
+          -- null-safe update test: NULL vs non-NULL balance IS an
+          -- update, NULL vs NULL is same (matches eqNullSafe in the
+          -- operator; round-8 NULL-dirt fuzz finding)
           SELECT CASE WHEN b.c_custkey IS NULL THEN 'insert'
                       WHEN n.c_custkey IS NULL THEN 'delete'
-                      WHEN b.c_acctbal <> n.n_bal THEN 'update'
+                      WHEN b.c_acctbal IS DISTINCT FROM n.n_bal
+                        THEN 'update'
                       ELSE 'same' END AS status,
                  ABS(COALESCE(n.n_bal, 0.0) - COALESCE(b.c_acctbal, 0.0))
                    AS drift

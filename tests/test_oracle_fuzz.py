@@ -404,26 +404,39 @@ _FRAC = st.integers(min_value=0, max_value=10).map(lambda n: n / 100)
 _DATE = st.integers(min_value=0, max_value=900).map(
     lambda d: 820454400_000_000 + d * 86_400_000_000  # 1996-01-01 + d days
 )
+
+
+def _n(strat):
+    """NULL dirt on non-key columns (round-8): the first NULL probe
+    over the TPC-H tier caught six real gaps — presence tests abusing
+    NULLable balances, a non-null-safe group-key merge join, NULL FKs
+    counted as orphans, opposite NULLS placement in the rfm quartile
+    ranks and the skyline running max, and the incremental-SUM NULL
+    convention — each fixed and pinned by these generators staying
+    dirty. Keys stay non-NULL (PK contract)."""
+    return st.one_of(st.none(), strat)
+
+
 _LINEITEM = st.tuples(
     st.integers(min_value=0, max_value=10**6),   # l_orderkey
-    st.integers(min_value=1, max_value=50),      # l_partkey
-    st.integers(min_value=1, max_value=20),      # l_suppkey
+    _n(st.integers(min_value=1, max_value=50)),  # l_partkey
+    _n(st.integers(min_value=1, max_value=20)),  # l_suppkey
     st.integers(min_value=1, max_value=7),       # l_linenumber
-    st.integers(min_value=1, max_value=50).map(float),  # l_quantity
-    _MONEY,                                      # l_extendedprice
-    _FRAC,                                       # l_discount
-    _FRAC,                                       # l_tax
-    st.sampled_from(["A", "N", "R"]),
-    st.sampled_from(["F", "O"]),
-    _DATE,                                       # l_shipdate
+    _n(st.integers(min_value=1, max_value=50).map(float)),  # l_quantity
+    _n(_MONEY),                                  # l_extendedprice
+    _n(_FRAC),                                   # l_discount
+    _n(_FRAC),                                   # l_tax
+    _n(st.sampled_from(["A", "N", "R"])),
+    _n(st.sampled_from(["F", "O"])),
+    _n(_DATE),                                   # l_shipdate
 )
 _ORDER = st.tuples(
     st.integers(min_value=0, max_value=10**6),   # o_orderkey
-    st.integers(min_value=1, max_value=9),       # o_custkey
-    st.sampled_from(["F", "O", "P"]),
-    _MONEY,                                      # o_totalprice
-    _DATE,                                       # o_orderdate
-    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    _n(st.integers(min_value=1, max_value=9)),   # o_custkey
+    _n(st.sampled_from(["F", "O", "P"])),
+    _n(_MONEY),                                  # o_totalprice
+    _n(_DATE),                                   # o_orderdate
+    _n(st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"])),
 )
 
 
@@ -556,31 +569,31 @@ JOIN_FUZZED = [
 
 _SMALL_ORDER = st.tuples(
     st.integers(min_value=0, max_value=12),      # o_orderkey — SMALL pool
-    st.integers(min_value=0, max_value=9),       # o_custkey
-    st.sampled_from(["F", "O", "P"]),
-    _MONEY,
-    _DATE,
-    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    _n(st.integers(min_value=0, max_value=9)),   # o_custkey
+    _n(st.sampled_from(["F", "O", "P"])),
+    _n(_MONEY),
+    _n(_DATE),
+    _n(st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"])),
 )
 _SMALL_LINE = st.tuples(
     st.integers(min_value=0, max_value=12),      # l_orderkey — SMALL pool
-    st.integers(min_value=1, max_value=50),
-    st.integers(min_value=1, max_value=20),
+    _n(st.integers(min_value=1, max_value=50)),
+    _n(st.integers(min_value=1, max_value=20)),
     st.integers(min_value=1, max_value=7),
-    st.integers(min_value=1, max_value=50).map(float),
-    _MONEY,
-    _FRAC,
-    _FRAC,
-    st.sampled_from(["A", "N", "R"]),
-    st.sampled_from(["F", "O"]),
-    _DATE,
+    _n(st.integers(min_value=1, max_value=50).map(float)),
+    _n(_MONEY),
+    _n(_FRAC),
+    _n(_FRAC),
+    _n(st.sampled_from(["A", "N", "R"])),
+    _n(st.sampled_from(["F", "O"])),
+    _n(_DATE),
 )
 _CUSTOMER = st.tuples(
     st.integers(min_value=0, max_value=9),       # c_custkey
-    st.sampled_from(["Customer#1", "Customer#2", ""]),
-    st.integers(min_value=0, max_value=24),      # c_nationkey
-    _MONEY,                                      # c_acctbal
-    st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+    _n(st.sampled_from(["Customer#1", "Customer#2", ""])),
+    _n(st.integers(min_value=0, max_value=24)),  # c_nationkey
+    _n(_MONEY),                                  # c_acctbal
+    _n(st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"])),
 )
 _CUST_COLS = [
     ("c_custkey", pa.int64()), ("c_name", pa.string()),
@@ -744,9 +757,9 @@ _SUPP_NAME = st.sampled_from(
 )
 _SUPPLIER = st.tuples(
     st.integers(min_value=0, max_value=20),      # s_suppkey — l_suppkey pool
-    _SUPP_NAME,
-    st.integers(min_value=0, max_value=26),      # s_nationkey, some dangling
-    _MONEY,
+    _n(_SUPP_NAME),
+    _n(st.integers(min_value=0, max_value=26)),  # s_nationkey, some dangling
+    _n(_MONEY),
 )
 _PART_NAME = st.sampled_from(
     ["small widget", "red rod", "dark red anvil", "blue ring", "new bolt",
@@ -754,11 +767,11 @@ _PART_NAME = st.sampled_from(
 )
 _PART = st.tuples(
     st.integers(min_value=1, max_value=50),      # p_partkey — l_partkey pool
-    _PART_NAME,
-    st.sampled_from(["Brand#1", "Brand#13", "Brand#23", "Brand#9"]),
-    st.sampled_from(["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"]),
-    st.integers(min_value=1, max_value=50),      # p_size
-    _MONEY,                                      # p_retailprice
+    _n(_PART_NAME),
+    _n(st.sampled_from(["Brand#1", "Brand#13", "Brand#23", "Brand#9"])),
+    _n(st.sampled_from(["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"])),
+    _n(st.integers(min_value=1, max_value=50)),  # p_size
+    _n(_MONEY),                                  # p_retailprice
 )
 
 _REG_COLS = [("r_regionkey", pa.int32()), ("r_name", pa.string())]
