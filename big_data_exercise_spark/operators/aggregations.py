@@ -114,7 +114,14 @@ def rollup_pricing(lineitem: DataFrame) -> DataFrame:
     subtotals + grand total in ONE pass (Spark expands the grouping
     sets map-side; no extra scans). grouping_id disambiguates NULL-as-
     subtotal from NULL-as-data — the declared-gap operator SURVEY §2.3
-    notes the reference lacks."""
+    notes the reference lacks.
+
+    Empty-input note: Spark emits ZERO rows for rollup/cube/
+    grouping-sets over an empty relation — the SQL-standard
+    grand-total row of the () grouping set is absent (engines that
+    follow the standard, incl. DuckDB/PostgreSQL, emit one
+    count-0 row). Pinned both ways by the oracle's HAVING
+    COUNT(*) > 0 and the empty-table probe (round-8)."""
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -129,7 +136,14 @@ def cube_event_stats(events: DataFrame) -> DataFrame:
     """CUBE over (event_type, day): all four grouping-set combinations
     (detail, per-type, per-day, grand total) in one pass. Same
     single-shuffle property as rollup — the grouping-set expansion is
-    map-side."""
+    map-side.
+
+    Empty-input note: Spark emits ZERO rows for rollup/cube/
+    grouping-sets over an empty relation — the SQL-standard
+    grand-total row of the () grouping set is absent (engines that
+    follow the standard, incl. DuckDB/PostgreSQL, emit one
+    count-0 row). Pinned both ways by the oracle's HAVING
+    COUNT(*) > 0 and the empty-table probe (round-8)."""
     return (
         events.cube("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(

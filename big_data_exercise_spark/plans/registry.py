@@ -288,6 +288,13 @@ def _specs() -> list[QuerySpec]:
                CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        -- Spark emits NO rows for ROLLUP/CUBE/GROUPING SETS over an
+        -- empty relation, dropping the SQL-standard grand-total row
+        -- of the () grouping set (which DuckDB emits). No grouping-
+        -- set row over a non-empty input can have COUNT(*) = 0, so
+        -- this HAVING replays Spark's behavior exactly on every
+        -- input (round-8 empty-table probe finding).
+        HAVING COUNT(*) > 0
         """,
         ("agg", "rollup"),
         "ROLLUP subtotals + grouping_id (declared gap, SURVEY §2.3)",
@@ -301,6 +308,13 @@ def _specs() -> list[QuerySpec]:
                CAST(GROUPING(event_type, date_trunc('day', ts)) AS INTEGER) AS gid
         FROM events
         GROUP BY CUBE (event_type, date_trunc('day', ts))
+        -- Spark emits NO rows for ROLLUP/CUBE/GROUPING SETS over an
+        -- empty relation, dropping the SQL-standard grand-total row
+        -- of the () grouping set (which DuckDB emits). No grouping-
+        -- set row over a non-empty input can have COUNT(*) = 0, so
+        -- this HAVING replays Spark's behavior exactly on every
+        -- input (round-8 empty-table probe finding).
+        HAVING COUNT(*) > 0
         """,
         ("agg", "cube"),
         "CUBE grouping sets + grouping_id (declared gap, SURVEY §2.3)",
@@ -1027,6 +1041,13 @@ def _specs() -> list[QuerySpec]:
                CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        -- Spark emits NO rows for ROLLUP/CUBE/GROUPING SETS over an
+        -- empty relation, dropping the SQL-standard grand-total row
+        -- of the () grouping set (which DuckDB emits). No grouping-
+        -- set row over a non-empty input can have COUNT(*) = 0, so
+        -- this HAVING replays Spark's behavior exactly on every
+        -- input (round-8 empty-table probe finding).
+        HAVING COUNT(*) > 0
         """,
         ("agg", "grouping-sets"),
         "Explicit GROUPING SETS + grouping_id (completes rollup/cube trio)",
@@ -2901,11 +2922,11 @@ def _specs() -> list[QuerySpec]:
           -- NULL-dirt fuzz finding)
           SELECT o_custkey, monetary,
                  NTILE(4) OVER (ORDER BY recency_days ASC NULLS FIRST,
-                                o_custkey) AS r,
+                                o_custkey NULLS FIRST) AS r,
                  NTILE(4) OVER (ORDER BY frequency DESC NULLS LAST,
-                                o_custkey) AS f,
+                                o_custkey NULLS FIRST) AS f,
                  NTILE(4) OVER (ORDER BY monetary DESC NULLS LAST,
-                                o_custkey) AS m
+                                o_custkey NULLS FIRST) AS m
           FROM cust)
         SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
                  AS segment,

@@ -208,7 +208,7 @@ def _compare(spark, name, sf_dir, table, path, ctx):
 @pytest.mark.parametrize("name", FUZZED)
 def test_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(5)
-    @given(rows=st.lists(_DOC, min_size=1, max_size=10, unique_by=lambda r: r[0]))
+    @given(rows=st.lists(_DOC, min_size=0, max_size=10, unique_by=lambda r: r[0]))
     def run(rows):
         sf_dir = _write_corpus(rows)
         _compare(
@@ -222,7 +222,7 @@ def test_oracle_pair_random_corpus(spark, name):
 @pytest.mark.parametrize("name", DOC_HEAVY_FUZZED)
 def test_dedup_tier_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(2)
-    @given(rows=st.lists(_DOC, min_size=1, max_size=8, unique_by=lambda r: r[0]))
+    @given(rows=st.lists(_DOC, min_size=0, max_size=8, unique_by=lambda r: r[0]))
     def run(rows):
         sf_dir = _write_corpus(rows)
         _compare(
@@ -368,7 +368,7 @@ def _write_events(rows) -> str:
 def test_events_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(4)
     @given(
-        rows=st.lists(_EVENT, min_size=1, max_size=14, unique_by=lambda r: r[0])
+        rows=st.lists(_EVENT, min_size=0, max_size=14, unique_by=lambda r: r[0])
     )
     def run(rows):
         sf_dir = _write_events(rows)
@@ -469,7 +469,7 @@ _ORD_COLS = [
 @pytest.mark.parametrize("name", LINEITEM_FUZZED)
 def test_lineitem_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(4)
-    @given(rows=st.lists(_LINEITEM, min_size=1, max_size=14))
+    @given(rows=st.lists(_LINEITEM, min_size=0, max_size=14))
     def run(rows):
         sf_dir = _write_table("lineitem", _LI_COLS, rows)
         _compare(
@@ -484,7 +484,7 @@ def test_lineitem_oracle_pair_random_corpus(spark, name):
 def test_orders_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(4)
     @given(
-        rows=st.lists(_ORDER, min_size=1, max_size=14, unique_by=lambda r: r[0])
+        rows=st.lists(_ORDER, min_size=0, max_size=14, unique_by=lambda r: r[0])
     )
     def run(rows):
         sf_dir = _write_table("orders", _ORD_COLS, rows)
@@ -607,14 +607,14 @@ def test_join_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(4)
     @given(
         orders=st.lists(
-            _SMALL_ORDER, min_size=1, max_size=8, unique_by=lambda r: r[0]
+            _SMALL_ORDER, min_size=0, max_size=8, unique_by=lambda r: r[0]
         ),
-        lineitem=st.lists(_SMALL_LINE, min_size=1, max_size=12),
+        lineitem=st.lists(_SMALL_LINE, min_size=0, max_size=12),
         customer=st.lists(
-            _CUSTOMER, min_size=1, max_size=6, unique_by=lambda r: r[0]
+            _CUSTOMER, min_size=0, max_size=6, unique_by=lambda r: r[0]
         ),
         events=st.lists(
-            _EVENT, min_size=1, max_size=10, unique_by=lambda r: r[0]
+            _EVENT, min_size=0, max_size=10, unique_by=lambda r: r[0]
         ),
     )
     def run(orders, lineitem, customer, events):
@@ -666,7 +666,7 @@ def test_join_oracle_pair_random_corpus(spark, name):
 def test_embeddings_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(4)
     @given(
-        rows=st.lists(_EMB, min_size=2, max_size=10, unique_by=lambda r: r[0])
+        rows=st.lists(_EMB, min_size=0, max_size=10, unique_by=lambda r: r[0])
     )
     def run(rows):
         sf_dir = _write_table("embeddings", _EMB_COLS, rows)
@@ -690,7 +690,7 @@ def test_cosine_oracle_dirty_vectors(spark):
     @_fuzz_settings(6)
     @given(
         rows=st.lists(
-            _EMB_DIRTY, min_size=2, max_size=10, unique_by=lambda r: r[0]
+            _EMB_DIRTY, min_size=0, max_size=10, unique_by=lambda r: r[0]
         )
     )
     def run(rows):
@@ -742,10 +742,10 @@ TPCH_FUZZED = [
 
 _REGION_NAMES = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 _REGION = st.lists(
-    st.integers(min_value=0, max_value=4), min_size=1, max_size=5, unique=True
+    st.integers(min_value=0, max_value=4), min_size=0, max_size=5, unique=True
 ).map(lambda ks: [(k, _REGION_NAMES[k]) for k in ks])
 _NATION = st.lists(
-    st.integers(min_value=0, max_value=24), min_size=1, max_size=25, unique=True
+    st.integers(min_value=0, max_value=24), min_size=0, max_size=25, unique=True
 ).map(lambda ks: [(k, f"NATION_{k}", k % 5) for k in ks])
 # Near-identical name pool drives fuzzy_supplier_matches' ED-1
 # blocking; nationkey range 0..26 plants dangling FKs past nation's
@@ -803,18 +803,18 @@ def test_tpch_oracle_pair_random_corpus(spark, name):
         region=_REGION,
         nation=_NATION,
         supplier=st.lists(
-            _SUPPLIER, min_size=1, max_size=8, unique_by=lambda r: r[0]
+            _SUPPLIER, min_size=0, max_size=8, unique_by=lambda r: r[0]
         ),
-        part=st.lists(_PART, min_size=1, max_size=10, unique_by=lambda r: r[0]),
+        part=st.lists(_PART, min_size=0, max_size=10, unique_by=lambda r: r[0]),
         customer=st.lists(
-            _CUSTOMER, min_size=1, max_size=6, unique_by=lambda r: r[0]
+            _CUSTOMER, min_size=0, max_size=6, unique_by=lambda r: r[0]
         ),
         orders=st.lists(
-            _SMALL_ORDER, min_size=1, max_size=8, unique_by=lambda r: r[0]
+            _SMALL_ORDER, min_size=0, max_size=8, unique_by=lambda r: r[0]
         ),
-        lineitem=st.lists(_SMALL_LINE, min_size=1, max_size=12),
+        lineitem=st.lists(_SMALL_LINE, min_size=0, max_size=12),
         events=st.lists(
-            _EVENT, min_size=1, max_size=10, unique_by=lambda r: r[0]
+            _EVENT, min_size=0, max_size=10, unique_by=lambda r: r[0]
         ),
     )
     def run(region, nation, supplier, part, customer, orders, lineitem, events):
