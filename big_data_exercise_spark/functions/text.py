@@ -52,6 +52,24 @@ def stopword_count(col: Column) -> Column:
     return F.size(F.filter(tokens(col), lambda t: t.isin(*STOPWORDS)))
 
 
+# Unicode-version lower() skew (round-8 full-codepoint audit): the JVM
+# and DuckDB's utf8proc implement DIFFERENT Unicode versions, so 70
+# recently-encoded cased letters (Cyrillic U+1C89, Latin additions,
+# Vithkuqi, Garay) lowercase under Java but pass through utf8proc
+# unchanged — every one a 1→1 mapping. The casefold pre-step
+# translates them (plus the SpecialCasing trio İΣς) to their lowered
+# forms on BOTH engines before lower(), so lower() never sees a
+# version-skewed input. length()/upper() audit results: length() is
+# parity-clean on every assigned codepoint; upper() keeps 172
+# divergences (SpecialCasing expansions like ß→SS) — no operator
+# applies upper() to free text (the one upper() site is the
+# ASCII-contract lang column).
+_LOWER_SKEW_SRC = "\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7d8\ua7da\ua7dc\ua7f5\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64\U00010d65"
+_LOWER_SKEW_DST = "\u1c8a\u2c5f\ua7c1\ua7c8\ua7ca\u0264\ua7cd\ua7d1\ua7d7\ua7d9\ua7db\u019b\ua7f6\U00010597\U00010598\U00010599\U0001059a\U0001059b\U0001059c\U0001059d\U0001059e\U0001059f\U000105a0\U000105a1\U000105a3\U000105a4\U000105a5\U000105a6\U000105a7\U000105a8\U000105a9\U000105aa\U000105ab\U000105ac\U000105ad\U000105ae\U000105af\U000105b0\U000105b1\U000105b3\U000105b4\U000105b5\U000105b6\U000105b7\U000105b8\U000105b9\U000105bb\U000105bc\U00010d70\U00010d71\U00010d72\U00010d73\U00010d74\U00010d75\U00010d76\U00010d77\U00010d78\U00010d79\U00010d7a\U00010d7b\U00010d7c\U00010d7d\U00010d7e\U00010d7f\U00010d80\U00010d81\U00010d82\U00010d83\U00010d84\U00010d85"
+CASEFOLD_SRC = "İΣς" + _LOWER_SKEW_SRC
+CASEFOLD_DST = "iσσ" + _LOWER_SKEW_DST
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, casefolded text. The exact-dedup key.
@@ -69,7 +87,9 @@ def fingerprint(col: Column) -> Column:
     exceptional input."""
     # NULL ≡ empty here too: a NULL-text doc fingerprints as md5('')
     # and lands in the same exact-dup cluster as ''-text docs.
-    folded = F.translate(F.coalesce(col, F.lit("")), "İΣς", "iσσ")
+    folded = F.translate(
+        F.coalesce(col, F.lit("")), CASEFOLD_SRC, CASEFOLD_DST
+    )
     return F.md5(F.lower(F.trim(F.regexp_replace(folded, r"\s+", " "))))
 
 

@@ -255,7 +255,8 @@ def domain_corpus_rollup_sql() -> str:
         d AS (
           SELECT {registrable_domain_sql("host")} AS domain, host,
                  md5(lower(trim(regexp_replace(
-                     translate(COALESCE(text, ''), 'İΣς', 'iσσ'),
+                     translate(COALESCE(text, ''),
+                               'İΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕𐵐𐵑𐵒𐵓𐵔𐵕𐵖𐵗𐵘𐵙𐵚𐵛𐵜𐵝𐵞𐵟𐵠𐵡𐵢𐵣𐵤𐵥', 'iσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼𐵰𐵱𐵲𐵳𐵴𐵵𐵶𐵷𐵸𐵹𐵺𐵻𐵼𐵽𐵾𐵿𐶀𐶁𐶂𐶃𐶄𐶅'),
                      '\\s+', ' ', 'g')))) AS fp,
                  n_chars
           FROM h),

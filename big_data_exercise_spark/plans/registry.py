@@ -131,8 +131,16 @@ _TOKS = (r"list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),"
 # Casefold pre-step mirrors functions.text.fingerprint: Java's
 # SpecialCasing lower (İ → i+U+0307, final sigma) vs DuckDB's simple
 # mapping diverge without it (round-8 unicode fuzz finding).
+# Casefold tables imported from functions.text: SpecialCasing trio +
+# the 70 Unicode-version-skew letters (round-8 full-codepoint audit).
+from big_data_exercise_spark.functions.text import (  # noqa: E402
+    CASEFOLD_DST as _CF_DST,
+    CASEFOLD_SRC as _CF_SRC,
+)
+
 _FP = ("md5(lower(trim(regexp_replace("
-       "translate(COALESCE(text, ''), 'İΣς', 'iσσ'), '\\s+', ' ', 'g'))))")
+       f"translate(COALESCE(text, ''), '{_CF_SRC}', '{_CF_DST}'),"
+       " '\\s+', ' ', 'g'))))")
 
 # MinHash+LSH pair pipeline as DuckDB CTEs (vocab-rank token ids so
 # both engines agree bit-for-bit). Shared by minhash_near_duplicates

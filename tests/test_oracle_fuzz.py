@@ -126,7 +126,11 @@ _WORD = st.sampled_from(
      # shapes — the IP doubles as a '.'-dense sentence-split input),
      # and a period-bearing sentiment word for the splitter
      "fast", "slow.big", "bob@x.io", "1.2.3.4", "555-12-3456",
-     "+1-555-1234"]
+     "+1-555-1234",
+     # Unicode-version-skew letters (round-8 codepoint audit): the JVM
+     # lowercases these, DuckDB's utf8proc doesn't — the casefold
+     # pre-step must keep absorbing them
+     "𐕰iry", "ꟘᲉ"]
 )
 _SEP = st.sampled_from([" ", "  ", "\t", "\n", " \t\n"])
 _TEXT = st.lists(st.tuples(_WORD, _SEP), min_size=0, max_size=10).map(
@@ -870,3 +874,24 @@ def test_tpch_oracle_pair_random_corpus(spark, name):
         assert _vhash(got) == _vhash(want), f"{name} diverged on {ctx}"
 
     run()
+
+
+def test_casefold_skew_chars_fingerprint_parity(spark):
+    """Directed: every codepoint in the casefold tables (SpecialCasing
+    trio + the 70 Unicode-version-skew letters the round-8
+    full-codepoint audit found — JVM lowers them, DuckDB's utf8proc
+    doesn't) through the fingerprint/token pipeline, one doc per char.
+    Pins the translate pre-step on BOTH engines; if either engine's
+    Unicode tables move again, this is the test that catches it."""
+    from big_data_exercise_spark.functions.text import CASEFOLD_SRC
+
+    rows = [
+        (i, f"x {ch}y", "src0", "en", 3)
+        for i, ch in enumerate(CASEFOLD_SRC)
+    ]
+    sf_dir = _write_corpus(rows)
+    for name in ("token_counts", "dedup_exact", "dedup_stats_by_lang"):
+        _compare(
+            spark, name, sf_dir, "documents",
+            os.path.join(sf_dir, "documents.parquet"), "casefold-skew",
+        )
