@@ -117,7 +117,16 @@ def round_det_sql(expr: str, scale: int = 2) -> str:
 
 
 def exact_sum(col: Column, scale: int = 2) -> Column:
-    """Order-independent, engine-stably-rounded SUM of a double expr."""
+    """Order-independent, engine-stably-rounded SUM of a double expr.
+
+    Non-finite inputs (NaN/±Inf — outside the documented numeric
+    contract): Spark's non-ANSI double→decimal cast yields NULL, so
+    they are silently EXCLUDED from the sum — the job never crashes
+    on a dirty row (round-8 NaN probe: 0 Spark-side crashes across
+    the whole events tier; DuckDB's cast raises instead, which is why
+    the oracle fuzz domain excludes non-finite values). Callers that
+    must *detect* non-finite rows should gate on isnan/isinf
+    explicitly rather than rely on the sum."""
     return round_det(F.sum(col.cast(DEC)).cast("double"), scale)
 
 

@@ -235,3 +235,44 @@ def test_round_det_nn_equals_round_det_on_domain(spark):
         pd.testing.assert_series_equal(
             out["b"], duck["r"], check_names=False, check_exact=True
         )
+
+
+def test_nonfinite_values_never_crash_and_are_excluded(spark):
+    """Round-8 NaN/Inf probe, pinned: values outside the numeric
+    contract (NaN, ±Inf) must never kill a job — Spark's non-ANSI
+    double→decimal cast nulls them, so exact-decimal aggregates
+    silently exclude them (documented in functions.numeric.exact_sum;
+    DuckDB's cast raises, so the oracle fuzz domain stays finite)."""
+    import math
+
+    from big_data_exercise_spark.operators.aggregations import (
+        conditional_agg,
+        time_bucket,
+        top_revenue,
+    )
+
+    rows = [
+        (0, 1700006400000000, 0, "click", float("nan"), "{}"),
+        (1, 1700006401000000, 1, "view", float("inf"), "{}"),
+        (2, 1700006402000000, 2, "purchase", float("-inf"), "{}"),
+        (3, 1700006403000000, 0, "click", 5.0, "{}"),
+    ]
+    import pandas as pd
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ).astype({"ts": "datetime64[us]"})
+    )
+    # none of these may raise; the finite row aggregates normally
+    top = top_revenue(ev).toPandas()
+    clk = top[(top.user_id == 0) & (top.event_type == "click")]
+    assert len(clk) == 1 and clk.total_value.iloc[0] == 5.0
+    agg = conditional_agg(ev).toPandas().set_index("event_type")
+    # click group: NaN excluded from the exact sum/avg path
+    assert agg.loc["click", "n_events"] == 2
+    # one hour bucket × 3 types (the two clicks collapse)
+    tb = time_bucket(ev).toPandas()
+    assert len(tb) == 3
