@@ -795,9 +795,13 @@ def _specs() -> list[QuerySpec]:
         "applyinpandas_user_sequence",
         lambda sp, d: grouped.user_event_sequence(_t(sp, d, "events")),
         """
+        -- NULLS LAST explicitly: the operator sorts in PANDAS
+        -- (sort_values, NaT last) — unlike the JVM windows, whose
+        -- F.asc is NULLS FIRST
         SELECT user_id, event_id,
                CAST(row_number() OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS INTEGER) AS seq
+                                       ORDER BY ts NULLS LAST, event_id)
+                    AS INTEGER) AS seq
         FROM events WHERE user_id < 25
         """,
         ("udf", "grouped-map"),
@@ -895,7 +899,7 @@ def _specs() -> list[QuerySpec]:
                      last_value(event_type)  OVER w AS last_type,
                      nth_value(event_type, 2) OVER w AS second_type
               FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING)) t
         GROUP BY user_id, first_type, last_type, second_type
@@ -1323,7 +1327,7 @@ def _specs() -> list[QuerySpec]:
                  LAST_VALUE(value IGNORE NULLS) OVER w AS last_value,
                  epoch_us(ts) - epoch_us(MIN(ts) OVER w) AS tenure_us
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         ) t WHERE event_type = 'purchase'
         """,
@@ -1428,7 +1432,7 @@ def _specs() -> list[QuerySpec]:
         SELECT event_id, user_id, last_prior_ts FROM (
           SELECT event_id, user_id, event_type,
                  MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS last_prior_ts
           FROM events WHERE event_type IN ('click', 'error')) t
@@ -1477,7 +1481,7 @@ def _specs() -> list[QuerySpec]:
         FROM (
           SELECT user_id, event_id,
                  SUM(value) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_raw
           FROM events) t
         """,
@@ -1490,7 +1494,7 @@ def _specs() -> list[QuerySpec]:
         """
         SELECT user_id, event_id,
                epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+                 PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS gap_ms
         FROM events
         """,
         ("window",),
@@ -2583,7 +2587,7 @@ def _specs() -> list[QuerySpec]:
         WITH p AS (
           SELECT user_id, event_type,
                  LAG(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_type
           FROM events),
         c AS (
           SELECT prev_type, event_type, COUNT(*) AS n_transitions
@@ -2604,9 +2608,9 @@ def _specs() -> list[QuerySpec]:
         WITH stepped AS (
           SELECT event_type AS e1,
                  LEAD(event_type, 1) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS e2,
                  LEAD(event_type, 2) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS e3
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS e3
           FROM events)
         SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths
         FROM stepped WHERE e2 IS NOT NULL AND e3 IS NOT NULL
@@ -2864,15 +2868,18 @@ def _specs() -> list[QuerySpec]:
         f"""
         WITH o AS (
           SELECT user_id, event_id, ts,
-                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            IS NULL
-                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
-          FROM events),
+          -- session_window() drops NULL event times (an event with no
+          -- time cannot be sessionized) — the lag-based replay must
+          -- drop them too (round-8 NULL-ts probe)
+          FROM events WHERE ts IS NOT NULL),
         s AS (
           SELECT *, SUM(new_s) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
+            PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM o),
         sess AS (
@@ -3147,7 +3154,7 @@ def _specs() -> list[QuerySpec]:
                LEAD(ts) OVER w AS valid_to,
                (LEAD(ts) OVER w IS NULL) AS is_current
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
         """,
         ("sequence", "cdc"),
         "event log -> SCD2 validity intervals (version/valid_from/valid_to)",
@@ -3559,15 +3566,18 @@ def _specs() -> list[QuerySpec]:
         f"""
         WITH o AS (
           SELECT user_id, event_id, ts, value,
-                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            IS NULL
-                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
-          FROM events),
+          -- session_window() drops NULL event times (an event with no
+          -- time cannot be sessionized) — the lag-based replay must
+          -- drop them too (round-8 NULL-ts probe)
+          FROM events WHERE ts IS NOT NULL),
         s AS (
           SELECT *, SUM(new_s) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
+            PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM o)
         SELECT MIN(ts) AS session_start,
@@ -3585,15 +3595,18 @@ def _specs() -> list[QuerySpec]:
         f"""
         WITH o AS (
           SELECT user_id, event_id, ts,
-                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            IS NULL
-                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
-          FROM events),
+          -- session_window() drops NULL event times (an event with no
+          -- time cannot be sessionized) — the lag-based replay must
+          -- drop them too (round-8 NULL-ts probe)
+          FROM events WHERE ts IS NOT NULL),
         s AS (
           SELECT *, SUM(new_s) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
+            PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM o),
         sess AS (
@@ -3628,15 +3641,18 @@ def _specs() -> list[QuerySpec]:
         f"""
         WITH o AS (
           SELECT user_id, event_id, ts, value,
-                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            IS NULL
-                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                            >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
-          FROM events),
+          -- session_window() drops NULL event times (an event with no
+          -- time cannot be sessionized) — the lag-based replay must
+          -- drop them too (round-8 NULL-ts probe)
+          FROM events WHERE ts IS NOT NULL),
         s AS (
           SELECT *, SUM(new_s) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
+            PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM o)
         SELECT MIN(ts) AS session_start,

@@ -333,7 +333,13 @@ _TS = st.one_of(
 )
 _EVENT = st.tuples(
     st.integers(min_value=0, max_value=10**9),                      # event_id
-    _TS,
+    # NULL ts joined round-8 (batch lanes only — the streaming feed
+    # fuzz keeps event time non-NULL for watermarks): the probe caught
+    # the engines' opposite NULLS placement in every ts-ordered window
+    # (pinned NULLS FIRST in the oracles; the one pandas-sorted
+    # operator pins NULLS LAST) and session_window()'s NULL-event-time
+    # DROP, which the lag-based session oracles now replay
+    st.one_of(st.none(), _TS),
     st.integers(min_value=0, max_value=6),                          # user_id
     st.sampled_from(["click", "view", "purchase", "signup", "error"]),
     # NULL dirt joined round-8: the first NULL-value probe caught
