@@ -112,7 +112,13 @@ def embedding_predicates(embeddings: DataFrame) -> DataFrame:
         "vec_id",
         F.exists(emb, lambda x: x < 0).alias("any_negative"),
         F.forall(emb, lambda x: F.abs(x) < 1.0).alias("all_unit_bounded"),
-        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        # NULL embedding degrades the whole row to NULL (the tier's
+        # documented dirty-row contract) — Spark's legacy size(NULL)
+        # would otherwise emit -1 where the oracle's len(NULL) is NULL
+        # (round-8 dirty-embedding probe)
+        F.when(
+            emb.isNotNull(), F.size(F.filter(emb, lambda x: x > 0))
+        ).cast("int").alias("n_positive"),
     )
 
 

@@ -524,6 +524,9 @@ _VEC = st.one_of(
     st.lists(_COMPONENT, min_size=64, max_size=64),
     st.lists(_COMPONENT, min_size=63, max_size=63),  # ragged: per-row degrade
     st.just([0.0] * 64),  # zero norm: 0/0 is NULL both sides (NULLIF oracle)
+    # whole-NULL embedding (round-8): caught legacy size(NULL) = -1 in
+    # embedding_predicates' n_positive where the oracle says NULL
+    st.none(),
 )
 # Dirty-element universe for the cosine pairs specifically: full-length
 # vectors carrying a NULL element (the Spark fold NULL-poisons where
