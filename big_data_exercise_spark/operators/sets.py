@@ -259,7 +259,13 @@ def referential_integrity_audit(
     standard referential integrity vacuously holds on NULL FKs, so
     orphan counts cover non-NULL FKs only (pinned both ways: a bare
     left_anti would count NULL FKs as orphans while the oracle's
-    NOT IN drops them — round-8 NULL-dirt fuzz finding)."""
+    NOT IN drops them — round-8 NULL-dirt fuzz finding). The same
+    guard applies to the childless-orders probe side: a NULL
+    o_orderkey is an absent key, not a childless order — and without
+    the symmetric filter the engines split on the empty-lineitem
+    corner (NOT IN over an EMPTY subquery is TRUE even for a NULL
+    probe, so the oracle would count NULL-key orders that a
+    NULL-filtered Spark side drops)."""
     from pyspark.sql import functions as F
 
     li_orphans = lineitem.filter(F.col("l_orderkey").isNotNull()).join(
@@ -278,7 +284,7 @@ def referential_integrity_audit(
         F.lit("orders->customer").alias("relationship"),
         F.count("*").alias("n_orphans"),
     )
-    childless = orders.join(
+    childless = orders.filter(F.col("o_orderkey").isNotNull()).join(
         lineitem.select("l_orderkey"),
         orders.o_orderkey == lineitem.l_orderkey,
         "left_anti",

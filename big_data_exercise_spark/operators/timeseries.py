@@ -117,7 +117,15 @@ def decayed_value_by_type(
     value*weight ~1e15, outside the cross-engine decimal-conversion
     exactness domain documented in functions.numeric — a live
     divergence the round-8 events fuzz found once its generator
-    crossed the anchor)."""
+    crossed the anchor).
+
+    NULL event time carries weight 1, by construction: age_days is
+    NULL, and both Spark's greatest() and DuckDB's GREATEST() SKIP
+    NULL arguments, so the clamp resolves greatest(NULL, 0) = 0
+    halvings. "Unknown time = no decay" is the deliberate policy
+    (an event whose timestamp was lost is still an event; silently
+    zeroing it would understate totals) — anyone wanting exclusion
+    filters ts IS NOT NULL upstream on both engines."""
     from big_data_exercise_spark.functions.numeric import exact_sum
 
     age_days = F.datediff(F.lit(anchor).cast("date"), F.col("ts").cast("date"))

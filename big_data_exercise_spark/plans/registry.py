@@ -52,6 +52,10 @@ from big_data_exercise_spark.operators import (
 from big_data_exercise_spark.functions import (
     arrays, bpe, grouped, pii, sentiment, text, urls,
 )
+from big_data_exercise_spark.functions.text import (
+    CASEFOLD_DST as _CF_DST,
+    CASEFOLD_SRC as _CF_SRC,
+)
 from big_data_exercise_spark.functions.numeric import (
     avg_sql,
     exact_sum,
@@ -131,13 +135,9 @@ _TOKS = (r"list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),"
 # Casefold pre-step mirrors functions.text.fingerprint: Java's
 # SpecialCasing lower (İ → i+U+0307, final sigma) vs DuckDB's simple
 # mapping diverge without it (round-8 unicode fuzz finding).
-# Casefold tables imported from functions.text: SpecialCasing trio +
-# the 70 Unicode-version-skew letters (round-8 full-codepoint audit).
-from big_data_exercise_spark.functions.text import (  # noqa: E402
-    CASEFOLD_DST as _CF_DST,
-    CASEFOLD_SRC as _CF_SRC,
-)
-
+# Casefold tables (_CF_SRC/_CF_DST, imported at module top from
+# functions.text): SpecialCasing trio + the 70 Unicode-version-skew
+# letters (round-8 full-codepoint audit).
 _FP = ("md5(lower(trim(regexp_replace("
        f"translate(COALESCE(text, ''), '{_CF_SRC}', '{_CF_DST}'),"
        " '\\s+', ' ', 'g'))))")
@@ -2700,7 +2700,7 @@ def _specs() -> list[QuerySpec]:
           AND o_custkey NOT IN (SELECT c_custkey FROM customer)
         UNION ALL
         SELECT 'orders-without-lineitems', COUNT(*)
-        FROM orders WHERE o_orderkey NOT IN
+        FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey NOT IN
           (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)
         """,
         ("set", "anti-join", "dq"),

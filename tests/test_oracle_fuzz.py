@@ -675,6 +675,52 @@ def test_join_oracle_pair_random_corpus(spark, name):
     run()
 
 
+def test_ri_audit_null_pk_empty_child_corner(spark):
+    """Directed pin of the referential_integrity_audit childless-check
+    NULL guard (round-8 advice item): a NULL o_orderkey order over an
+    EMPTY lineitem. Without the symmetric IS NOT NULL on both sides
+    the engines split exactly here — SQL's NOT IN over an EMPTY
+    subquery is TRUE even for a NULL probe (no comparison ever
+    evaluates), so an unguarded oracle counts the NULL-key order as
+    childless while a NULL-filtered Spark side drops it. The fuzz
+    generator can't reach this (o_orderkey is its unique_by key,
+    drawn non-NULL), hence the directed lane."""
+    sf_dir = tempfile.mkdtemp(prefix="bdes_ri_corner_")
+    orders = [
+        (None, 1, "F", 10.0, None, "2-HIGH"),
+        (7, None, "O", 20.0, None, "1-URGENT"),
+    ]
+    pq.write_table(
+        pa.table(
+            {c: pa.array([r[i] for r in orders], t)
+             for i, (c, t) in enumerate(_ORD_COLS)}
+        ),
+        os.path.join(sf_dir, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({c: pa.array([], t) for c, t in _LI_COLS}),
+        os.path.join(sf_dir, "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table({c: pa.array([], t) for c, t in _CUST_COLS}),
+        os.path.join(sf_dir, "customer.parquet"),
+    )
+    spec = SPECS["referential_integrity_audit"]
+    got = _norm(spec.build(spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    want = _norm(con.sql(spec.oracle).df())
+    con.close()
+    assert _vhash(got) == _vhash(want)
+    # the NULL-key order is absent, not childless: exactly 1 childless
+    childless = got[got["relationship"] == "orders-without-lineitems"]
+    assert int(childless["n_orphans"].iloc[0]) == 1
+
+
 @pytest.mark.parametrize("name", EMBEDDINGS_FUZZED)
 def test_embeddings_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(4)
