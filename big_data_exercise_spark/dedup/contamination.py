@@ -40,9 +40,19 @@ from big_data_exercise_spark.functions.numeric import round_det
 BENCH_MODULUS = 97
 
 
-def _gram_hashes(n: int) -> Column:
-    """DISTINCT md5 hashes of word n-grams of ``text``."""
-    w = F.split(F.col("text"), r"\s+")
+def _gram_hashes(w: Column, n: int) -> Column:
+    """DISTINCT md5 hashes of word n-grams over a MATERIALIZED token
+    array column ``w``.
+
+    ``w`` must be an attribute reference (a column aliased in its own
+    projection), never the ``split(...)`` expression itself: an
+    expression captured in a transform lambda is re-evaluated PER
+    ELEMENT, so split-inside-the-lambda re-tokenizes the document once
+    per n-gram position — O(len²) per doc. Invisible on ~KB rows; on
+    the round-9 skewed corpus one 10 MB document pinned a core for
+    >10 minutes (≈10¹² char ops). With ``w`` bound, each gram is a
+    4-element slice copy — linear overall. Same discipline as
+    winnow.fingerprint_sets_relational's pre-split char array."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
@@ -62,8 +72,14 @@ def contamination_report(
     Returns docs with ≥ ``min_hits`` contaminated grams, with the
     contaminated fraction rounded deterministically (4 dp).
     """
-    hashed = documents.filter(F.size(F.split(F.col("text"), r"\s+")) >= n).select(
-        "doc_id", F.explode(_gram_hashes(n)).alias("gh")
+    # split ONCE into its own projection; __w is multi-referenced
+    # (filter size + sequence bound + slice) so CollapseProject never
+    # inlines the split back into the gram lambda
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("__w")
+    ).filter(F.size("__w") >= n)
+    hashed = toks.select(
+        "doc_id", F.explode(_gram_hashes(F.col("__w"), n)).alias("gh")
     )
     bench = (
         hashed.filter(F.col("doc_id") % bench_modulus == 0)

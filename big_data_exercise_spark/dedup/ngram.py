@@ -15,15 +15,19 @@ from big_data_exercise_spark.functions.numeric import round_det_nn
 from big_data_exercise_spark.functions.text import tokens
 
 
-def shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (array<string>)."""
-    toks = tokens(col)
+def shingles(toks, n: int = 3):
+    """Distinct word n-gram shingles (array<string>) over a token-array
+    column ``toks``.
+
+    Pass a MATERIALIZED column (an alias projected in its own step),
+    not the ``tokens(text)`` expression: an expression captured in a
+    transform lambda re-evaluates per element, so tokenize-inside-the-
+    lambda is O(len²) per document (the round-9 contamination
+    straggler class). The n-gram is a bounded slice+concat — with a
+    bound array, linear overall."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
@@ -36,8 +40,10 @@ def pairwise_jaccard(
     """Exact shingle-Jaccard over all pairs within a bounded doc_id
     window (the verification kernel; blocking comes from LSH or an
     explicit window)."""
-    docs = documents.filter(F.col("doc_id") < max_doc_id).select(
-        "doc_id", shingles(F.col("text"), n).alias("sh")
+    docs = (
+        documents.filter(F.col("doc_id") < max_doc_id)
+        .select("doc_id", tokens(F.col("text")).alias("__t"))
+        .select("doc_id", shingles(F.col("__t"), n).alias("sh"))
     )
     a = docs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     b = docs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
