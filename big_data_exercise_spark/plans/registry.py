@@ -2058,21 +2058,30 @@ def _specs() -> list[QuerySpec]:
     ))
     # Winnowing fingerprint CTEs — shared by the per-doc summary and
     # the overlap-pairs query so the fingerprint set can't drift.
+    # The k-gram hash indexes a pre-split CHAR LIST (c[i+j]), never the
+    # string (t[i+j]): DuckDB VARCHAR indexing is O(i) per access, so
+    # the string form is O(len²) per document — measured 15 s at
+    # 160 kB, i.e. days at the 10 MB giant-doc tier the round-9 skewed
+    # corpus carries. List element access is O(1); the char-list form
+    # is linear (0.24 s per 640 kB) and hash-identical (t is pure
+    # printable ASCII after the strip, so length(t) = len(c) and
+    # ord(c[i]) = ord(t[i])).
     _WINNOW_CTES = """docs AS (
-          SELECT doc_id,
-                 lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
-          FROM documents),
+          SELECT doc_id, t, string_split(t, '') AS c FROM (
+            SELECT doc_id,
+                   lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+            FROM documents)),
         hashes AS (
           SELECT doc_id, u.s.pos AS pos, u.s.h AS h
           FROM (SELECT doc_id, unnest([{'pos': i,
-                 'h': CAST(ord(t[i+1]) AS BIGINT) * 27512614111
-                    + CAST(ord(t[i+2]) AS BIGINT) * 887503681
-                    + CAST(ord(t[i+3]) AS BIGINT) * 28629151
-                    + CAST(ord(t[i+4]) AS BIGINT) * 923521
-                    + CAST(ord(t[i+5]) AS BIGINT) * 29791
-                    + CAST(ord(t[i+6]) AS BIGINT) * 961
-                    + CAST(ord(t[i+7]) AS BIGINT) * 31
-                    + CAST(ord(t[i+8]) AS BIGINT)}
+                 'h': CAST(ord(c[i+1]) AS BIGINT) * 27512614111
+                    + CAST(ord(c[i+2]) AS BIGINT) * 887503681
+                    + CAST(ord(c[i+3]) AS BIGINT) * 28629151
+                    + CAST(ord(c[i+4]) AS BIGINT) * 923521
+                    + CAST(ord(c[i+5]) AS BIGINT) * 29791
+                    + CAST(ord(c[i+6]) AS BIGINT) * 961
+                    + CAST(ord(c[i+7]) AS BIGINT) * 31
+                    + CAST(ord(c[i+8]) AS BIGINT)}
                  for i in range(0, length(t) - 7)]) AS s
                 FROM docs WHERE length(t) >= 8) u),
         wmin AS (
@@ -4645,13 +4654,20 @@ def _specs() -> list[QuerySpec]:
         "corpus-level scrub report: category totals + distinct "
         "redacted fingerprints (the governance sign-off number)",
     ))
+    # Four O(1) element accesses, NOT the list slice w[i+1:i+4]:
+    # DuckDB re-materializes the sliced list per comprehension element,
+    # which is O(len²) per document (measured 125 s at a 10k-token doc
+    # — the round-9 skewed-giant straggler). The concatenation is
+    # byte-identical to array_to_string(.., ' ') (regexp_split yields
+    # no NULL elements).
     _GRAM_CTES = r"""
         words AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
                   FROM documents),
         grams AS (
           SELECT DISTINCT doc_id, gh FROM (
             SELECT doc_id,
-                   unnest([md5(array_to_string(w[i+1:i+4], ' '))
+                   unnest([md5(w[i+1] || ' ' || w[i+2] || ' ' ||
+                               w[i+3] || ' ' || w[i+4])
                            for i in range(0, len(w) - 3)]) AS gh
             FROM words WHERE len(w) >= 4)),
         bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
@@ -5233,16 +5249,31 @@ def _specs() -> list[QuerySpec]:
         "document_chunks",
         lambda sp, d: text.chunk_documents(_t(sp, d, "documents")),
         f"""
+        -- Linear form: explode tokens WITH ORDINALITY and route each
+        -- token to its ≤2 owning chunks (width 100, stride 80), then
+        -- one ordered string_agg per chunk. The obvious per-chunk
+        -- list slice (w[st+1 : st+100] with w carried into every
+        -- chunk row) re-materializes the full token list per chunk —
+        -- O(len²/stride), measured 13 s at a 160k-token document and
+        -- unbounded memory at the 10 MB giant-doc tier (round 9).
         WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
         b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
               FROM t WHERE len(w) > 0),
-        ch AS (SELECT doc_id, w, n,
-                      unnest([st for st in range(0, n, 80)]) AS st
-               FROM b)
-        SELECT doc_id, CAST(st // 80 AS INTEGER) AS chunk_idx,
-               CAST(least(100, n - st) AS INTEGER) AS chunk_tokens,
-               md5(array_to_string(w[st + 1 : st + 100], ' ')) AS chunk_fp
-        FROM ch
+        tok AS (SELECT doc_id, n, u.s.tok AS tok, u.s.pos AS pos
+                FROM (SELECT doc_id, n,
+                             unnest([{{'tok': w[i], 'pos': i}}
+                                     for i in range(1, len(w) + 1)]) AS s
+                      FROM b) u),
+        cand AS (SELECT doc_id, n, tok, pos,
+                        unnest([(pos - 1) // 80, (pos - 1) // 80 - 1]) AS k
+                 FROM tok),
+        ok AS (SELECT * FROM cand
+               WHERE k >= 0 AND 80 * k < n
+                 AND pos - 1 >= 80 * k AND pos - 1 < 80 * k + 100)
+        SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+               CAST(least(100, n - 80 * k) AS INTEGER) AS chunk_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+        FROM ok GROUP BY doc_id, k, n
         """,
         ("text", "chunking", "reshape"),
         "sliding token-window chunking (100-token windows, stride 80) "
