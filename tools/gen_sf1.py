@@ -10,9 +10,14 @@ generator replicates with content variation instead:
   (and fact↔dim references stay consistent: orders.o_custkey shifts
   by the CUSTOMER key stride, lineitem.l_orderkey by the ORDERS
   stride, …);
-* document text gets one replica+doc-distinct token appended —
-  within-replica similarity structure is preserved, cross-replica
-  exact dups are impossible (n_chars recomputed);
+* document text has every TOKEN prefixed with the replica id
+  (whitespace runs preserved byte-for-byte, so dirty-text statistics
+  survive) — within-replica similarity structure is preserved
+  exactly, while replicas share zero tokens, so pair reports scale as
+  10× the per-replica pair count instead of going quadratic on
+  cross-replica near-dups (a 1-token tag would leave cross-replica
+  Jaccard at t/(t+1) ≈ 0.99 and multiply the pair tables by ~100×);
+  n_chars recomputed for rep > 0;
 * embeddings perturb their last element by replica·2^-10 (exact in
   float32) — no cross-replica identical vectors;
 * event/order timestamps shift by replica microseconds — keeps the
@@ -101,8 +106,20 @@ def main() -> None:
         d = dfs["documents"].copy()
         d["doc_id"] = d["doc_id"] + rep * st_doc
         if rep:
-            tag = " r" + d["doc_id"].astype(str) + "x"
-            d["text"] = d["text"].where(d["text"].isna(), d["text"] + tag)
+            import re
+
+            ws = re.compile(r"(\s+)")
+            pref = f"r{rep}x"
+
+            def prefix_tokens(s, pref=pref, ws=ws):
+                if not isinstance(s, str):
+                    return s
+                return "".join(
+                    p if not p or p.isspace() else pref + p
+                    for p in ws.split(s)
+                )
+
+            d["text"] = d["text"].map(prefix_tokens)
             # recompute n_chars only where text changed — replica 0
             # keeps the driver's own values verbatim (whatever its
             # convention or deliberate dirt)

@@ -47,6 +47,8 @@ engine's own pair machinery:
    100-doc cluster; giants are singletons.
 
 Usage: python tools/skew_verify.py [skew_dir] [skew_nogiants_dir]
+Env:   SKEW_VERIFY_SECTIONS — comma list of {closure,counts,invariance}
+       (default: all three)
 """
 from __future__ import annotations
 
@@ -250,9 +252,17 @@ def main() -> None:
 
     specs = all_queries()
     spark = get_spark("skew-verify")
-    closure_replay(spark, specs)
-    pair_counts(spark, specs)
-    invariance_and_structure(spark, specs)
+    sections = set(
+        os.environ.get(
+            "SKEW_VERIFY_SECTIONS", "closure,counts,invariance"
+        ).split(",")
+    )
+    if "closure" in sections:
+        closure_replay(spark, specs)
+    if "counts" in sections:
+        pair_counts(spark, specs)
+    if "invariance" in sections:
+        invariance_and_structure(spark, specs)
     print("BAD:", ", ".join(FAILS) if FAILS else "none", flush=True)
     spark.stop()
 
