@@ -634,3 +634,36 @@ def test_file_log_shrunken_partition_never_plans_backwards(tmp_path):
     assert end3["0"] == 6 and all(
         end3[p] >= 6 for p in end3
     ), end3
+
+
+def test_state_store_bounded_over_long_feed(spark):
+    """Compact CI lane of tools/stream_soak.py (round 9): over a
+    60-micro-batch ts-ordered feed, the watermarked dedup's state
+    store must PLATEAU (last-quartile mean rows ≤ 1.5× the
+    second-quartile mean, floor 64) — a linear state leak fails by
+    construction. The 500-file soak (recorded in PLANS.md) runs the
+    same assertion over all four stateful pipelines."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "stream_soak",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stream_soak.py"),
+    )
+    soak = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+
+    os.environ["SPARK_GRAFT_STREAM_FEED_FILES"] = "60"
+    try:
+        series = soak.run_with_progress(
+            streams.streaming_dedup_within_watermark(
+                streams.stream_events(spark, SF_DIR)
+            )
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_STREAM_FEED_FILES", None)
+    assert len(series) >= 54, len(series)
+    n = len(series)
+    q2 = [s for s, _ in series[n // 4: n // 2]]
+    q4 = [s for s, _ in series[3 * n // 4:]]
+    m2, m4 = sum(q2) / len(q2), sum(q4) / len(q4)
+    assert m4 <= max(1.5 * m2, 64), (m2, m4)

@@ -36,8 +36,14 @@ import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-N_FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+# argv only when run as a script — the compact pytest lane imports
+# this module for run_with_progress and must not see pytest's argv
+if __name__ == "__main__" and len(sys.argv) > 1:
+    SF_DIR = sys.argv[1]
+    N_FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+else:
+    SF_DIR = "/root/testdata/sf0.1"
+    N_FILES = 500
 
 FAILS: list[str] = []
 
