@@ -182,6 +182,111 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast-gather gate: rows × dim × 8 B must stay a sane broadcast
+# (500k × 64-dim float64 ≈ 256 MB). Above it the payload-join verify
+# is the correct plan; below it shipping two vector payloads per
+# CANDIDATE PAIR is the dominant cost, not the join itself — at the
+# generated sf1 the LSH verify moved ~51 GB of per-pair float arrays
+# through Arrow (measured 174 s end-to-end) where the id-only gather
+# form ships 16 B/pair against a ~10 MB broadcast matrix.
+GATHER_GATE_ROWS = 500_000
+
+
+def gathered_pair_cosine(
+    pairs,
+    embeddings,
+    id_col: str,
+    emb_col: str,
+    id1: str,
+    id2: str,
+    keep: list[str],
+    dim: int = EMBEDDING_DIM,
+):
+    """Exact pairwise cosine over (id1, id2) candidate pairs, vectors
+    GATHERED from a broadcast of the embedding table instead of joined
+    onto every pair — the verify plan for candidate sets that dwarf
+    the vector table (LSH/blocking output is O(Σ bucket²) pairs over
+    O(N) vectors).
+
+    Bit-parity with :func:`arrow_pair_cosine` by construction: the
+    gathered rows go through the IDENTICAL dimension-ordered float64
+    accumulation, the same fixed-``dim`` validity rule (NULL/ragged
+    embedding → NULL cos_raw for that row, judged against the corpus
+    dim, never batch content), the same zero-norm → NULL division
+    guard, and inner-join id semantics (a pair whose id is absent
+    from the embedding table is dropped, exactly as the join would).
+    Precondition shared with the join form: ``id_col`` is unique —
+    a duplicated id would fan the join out where the gather keeps one
+    row (the gather resolves to the LAST occurrence).
+
+    Caller gates on table size (:data:`GATHER_GATE_ROWS`); this
+    function collects the embedding table to the driver and ships it
+    once per executor via a TorrentBroadcast, so it must only run
+    under the gate.
+    """
+    import numpy as np
+
+    spark = pairs.sparkSession
+    emb_pd = embeddings.select(id_col, emb_col).toPandas()
+    ids = emb_pd[id_col].to_numpy(dtype=np.int64)
+    raw = emb_pd[emb_col].to_numpy()
+    valid = np.fromiter(
+        (v is not None and len(v) == dim for v in raw), dtype=bool, count=len(raw)
+    )
+    mat = np.zeros((len(raw), dim), dtype=np.float64)
+    if valid.any():
+        mat[valid] = np.vstack(raw[valid]).astype(np.float64)
+    order = np.argsort(ids, kind="mergesort")
+    bc = spark.sparkContext.broadcast((ids[order], mat[order], valid[order]))
+
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in pairs.select(*keep).dtypes] + ["cos_raw double"]
+    )
+
+    def _cos(batches):
+        import pandas as pd
+
+        sids, smat, svalid = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            k1 = pdf[id1].to_numpy(dtype=np.int64)
+            k2 = pdf[id2].to_numpy(dtype=np.int64)
+            i1 = np.searchsorted(sids, k1)
+            i2 = np.searchsorted(sids, k2)
+            i1c = np.clip(i1, 0, len(sids) - 1)
+            i2c = np.clip(i2, 0, len(sids) - 1)
+            found = (sids[i1c] == k1) & (sids[i2c] == k2)
+            if not found.all():
+                pdf = pdf[found]
+                i1c, i2c = i1c[found], i2c[found]
+                if not len(pdf):
+                    continue
+            ok = svalid[i1c] & svalid[i2c]
+            v1, v2 = smat[i1c], smat[i2c]
+            n = len(pdf)
+            vals = np.zeros(n)
+            null = ~ok
+            d = np.zeros(n)
+            n1 = np.zeros(n)
+            n2 = np.zeros(n)
+            # same left-associative per-dimension accumulation as
+            # arrow_pair_cosine / dot_sql / DuckDB's list_sum fold
+            for i in range(dim):
+                d += v1[:, i] * v2[:, i]
+                n1 += v1[:, i] * v1[:, i]
+                n2 += v2[:, i] * v2[:, i]
+            denom = np.sqrt(n1) * np.sqrt(n2)
+            zero = denom == 0.0
+            vals = np.where(ok, d / np.where(zero, 1.0, denom), 0.0)
+            null = null | (ok & zero)
+            out = pdf[keep].copy()
+            out["cos_raw"] = pd.arrays.FloatingArray(vals, null)
+            yield out
+
+    return pairs.mapInPandas(_cos, schema=schema)
+
+
 def arrow_pair_cosine(
     paired, e1: str, e2: str, keep: list[str], dim: int = EMBEDDING_DIM
 ):

@@ -80,24 +80,55 @@ def blocked_near_duplicates(embeddings: DataFrame, threshold: float = 0.35) -> D
     # splits (1 for a small parquet file). AQE coalesces by bytes and
     # cannot see per-row cost — parallelism must be explicit here.
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = embeddings.select(
-        F.col("vec_id").alias("id1"), F.col("label").alias("label"), F.col("embedding").alias("e1")
-    ).repartition(par)
-    b = embeddings.select(
-        F.col("vec_id").alias("id2"), F.col("label").alias("label"), F.col("embedding").alias("e2")
+    # Verify cosine with the same two-regime plan as lsh.near_duplicates
+    # (see the comment there): id-only candidate pairs + broadcast
+    # gather under the vector-table gate, payload join + Arrow pass
+    # above it. Both kernels run the identical dimension-ordered
+    # float64 accumulation (the unrolled 3×64-term SQL chain overflows
+    # the 64 KB generated-method limit when fused into join stages).
+    # NULL/ragged embeddings still reach the label join and come back
+    # with NULL cos_raw in both regimes — the threshold filter drops
+    # them identically.
+    from big_data_exercise_spark.functions.arrays import (
+        GATHER_GATE_ROWS,
+        arrow_pair_cosine,
+        gathered_pair_cosine,
     )
-    # Verify cosine in an Arrow pass (same floats as the SQL chain):
-    # fused into the join's doConsume, the 3×64-term chain overflows
-    # the 64 KB generated-method limit at broadcast-join plans and the
-    # stage falls back to interpreted execution.
-    from big_data_exercise_spark.functions.arrays import arrow_pair_cosine
 
-    paired = (
-        a.join(b, "label")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("label", "id1", "id2", "e1", "e2")
-    )
-    scored = arrow_pair_cosine(paired, "e1", "e2", ["label", "id1", "id2"])
+    if embeddings.count() <= GATHER_GATE_ROWS:
+        a = embeddings.select(
+            F.col("vec_id").alias("id1"), F.col("label").alias("label")
+        ).repartition(par)
+        b = embeddings.select(
+            F.col("vec_id").alias("id2"), F.col("label").alias("label")
+        )
+        cand = (
+            a.join(b, "label")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("label", "id1", "id2")
+        )
+        scored = gathered_pair_cosine(
+            cand,
+            embeddings,
+            "vec_id",
+            "embedding",
+            "id1",
+            "id2",
+            ["label", "id1", "id2"],
+        )
+    else:
+        a = embeddings.select(
+            F.col("vec_id").alias("id1"), F.col("label").alias("label"), F.col("embedding").alias("e1")
+        ).repartition(par)
+        b = embeddings.select(
+            F.col("vec_id").alias("id2"), F.col("label").alias("label"), F.col("embedding").alias("e2")
+        )
+        paired = (
+            a.join(b, "label")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("label", "id1", "id2", "e1", "e2")
+        )
+        scored = arrow_pair_cosine(paired, "e1", "e2", ["label", "id1", "id2"])
     return (
         scored.select(
             "label", "id1", "id2", round_det(F.col("cos_raw"), 4).alias("cos_sim")

@@ -124,32 +124,82 @@ def near_duplicates(
     # blocks free on GC instead of living in the CacheManager): the
     # bucket table feeds BOTH sides of the self-join; the unbounded
     # plan recomputes all bits×|N| hyperplane projections twice.
-    buckets = band_keys(embeddings, bits, bands).localCheckpoint(eager=False)
+    # Round-robin the bucket table across the cluster BEFORE the
+    # self-join: band_keys inherits the input's split count (ONE for a
+    # small parquet file), the build side is small enough to
+    # broadcast, and a broadcast join runs in the PROBE side's
+    # partitioning — so without this the entire O(Σ bucket²) join
+    # output funnels through a single task (measured at the generated
+    # sf1: one 122 s task emitting 63M pairs while 31 cores idled).
+    # The repartition itself shuffles only |N|·bands tiny rows.
+    buckets = (
+        band_keys(embeddings, bits, bands)
+        .repartition(par)
+        .localCheckpoint(eager=False)
+    )
     left = buckets.select(F.col("vec_id").alias("id1"), "band", "key")
     right = buckets.select(F.col("vec_id").alias("id2"), "band", "key")
+    # NO pre-verify distinct, and NO post-join repartition: a pair
+    # sharing k bands comes out of the bucket join k times, and
+    # verification is deterministic, so the duplicates produce
+    # IDENTICAL scored rows — dedup runs after the threshold filter
+    # instead, on the (tiny) result set. The previous
+    # `.distinct().repartition(par)` pushed the FULL candidate set
+    # through two extra shuffles (2×46.5M rows at sf1, ~150 s of the
+    # 174 s wall); now the verify fuses into the join stage and the
+    # only full-candidate cost is the O(d)-per-pair cosine itself,
+    # ~25% of it duplicate work (63.4M scored vs 46.5M distinct).
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
-        .repartition(par)
     )
-    a = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
-    b = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
-    paired = cand.join(a, "id1").join(b, "id2")
+    # Exact cosine verify. Two physically different, bit-identical
+    # plans (functions.arrays — both run the same dimension-ordered
+    # float64 accumulation, the left-associative adds of the oracle's
+    # list_sum fold):
+    # * gather (vector table under the broadcast gate): candidates
+    #   stay (long, long) rows and vectors are looked up in a
+    #   broadcast matrix. The candidate set is O(Σ bucket²) — at the
+    #   generated sf1 the payload-join form shipped ~51 GB of per-pair
+    #   float arrays through Arrow; the gather form ships 16 B/pair
+    #   against a ~10 MB broadcast (measured ~18 s for the 63M-pair
+    #   verify stage at sf1; the query end-to-end fell 174 s → 37 s
+    #   together with the shuffle cuts above).
+    # * payload join (above the gate): the original two-sided join +
+    #   arrow_pair_cosine — the correct plan when the vector table
+    #   itself is too big to broadcast; pair traffic then dominates
+    #   either way and the join keeps everything distributed.
+    # The unrolled 3×64-term SQL chain is not an option in either
+    # regime: fused with the verify joins it blew the JVM's 64 KB
+    # generated-method limit and dropped the stage to interpreted
+    # execution. Rounding stays Spark-side.
+    from big_data_exercise_spark.functions.arrays import (
+        GATHER_GATE_ROWS,
+        arrow_pair_cosine,
+        gathered_pair_cosine,
+    )
 
-    # Exact cosine in one Arrow pass (functions.arrays.arrow_pair_cosine:
-    # dimension-ordered accumulation — the same left-associative double
-    # adds as the oracle's list_sum fold, same floats). The unrolled
-    # 3×64-term SQL chain, fused with the two verify joins, blew the
-    # JVM's 64 KB generated-method limit and dropped the stage to
-    # interpreted execution. Rounding stays Spark-side.
-    from big_data_exercise_spark.functions.arrays import arrow_pair_cosine
-
-    scored = arrow_pair_cosine(paired, "e1", "e2", ["id1", "id2"])
+    if embeddings.count() <= GATHER_GATE_ROWS:
+        scored = gathered_pair_cosine(
+            cand, embeddings, "vec_id", "embedding", "id1", "id2", ["id1", "id2"]
+        )
+    else:
+        a = embeddings.select(
+            F.col("vec_id").alias("id1"), F.col("embedding").alias("e1")
+        )
+        b = embeddings.select(
+            F.col("vec_id").alias("id2"), F.col("embedding").alias("e2")
+        )
+        paired = cand.join(a, "id1").join(b, "id2")
+        scored = arrow_pair_cosine(paired, "e1", "e2", ["id1", "id2"])
     return (
         scored.select("id1", "id2", round_det(F.col("cos_raw"), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        # the deferred candidate dedup (see cand above): duplicates of
+        # a multi-band pair are bit-identical rows, so DISTINCT here
+        # shuffles only the verified survivors
+        .distinct()
     )
 
 

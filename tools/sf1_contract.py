@@ -1,0 +1,160 @@
+"""sf1-scale contract slice (round 9, VERDICT item 5).
+
+Runs the N heaviest oracle-carrying queries — ranked by their
+measured sf0.1 bench walls in ``bench_detail_last.json`` — against a
+generated sf1 dir (``tools/gen_sf1.py``), comparing Spark vs DuckDB
+with the exact driver comparator (column-sorted + row-sorted +
+md5 value hash), and records per-query walls for BOTH engines.
+
+The five closure queries are excluded here by design: their
+recursive-CTE oracles are oracle-side quadratic at this scale and
+are covered instead by ``tools/closure_sf01_verify.py /tmp/bdes_sf1``
+(union-find swap of ONLY the closure step). A handful of known-heavy
+text/dedup names that the bench set does not carry are appended
+explicitly so the slice covers the token-volume tier too.
+
+Usage:
+    python tools/sf1_contract.py [--dir /tmp/bdes_sf1] [--top 30] \
+        [--out /tmp/sf1_contract.json] [name ...]
+
+With explicit names, runs exactly those instead of the ranked slice.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CLOSURE_QUERIES = {
+    "dedup_cluster_assignment",
+    "winnowing_cluster_assignment",
+    "dedup_kept_corpus",
+    "curated_corpus",
+    "governed_corpus",
+}
+
+# Heavy names outside the bench set: the giant-token-volume tier the
+# skew campaign exercised; at sf1 these are the largest oracle jobs.
+EXTRA_HEAVY = [
+    "exact_jaccard_pairs",
+    "contamination_report",
+    "document_chunks",
+    "winnowing_fingerprints",
+    "text_quality_stats",
+    "token_counts",
+    "explode_words",
+]
+
+
+def canon(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def value_hash(pdf):
+    return hashlib.md5(
+        pdf.to_csv(index=False, float_format="%.9g").encode()
+    ).hexdigest()
+
+
+def ranked_slice(oracles, top):
+    detail = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "bench_detail_last.json"))
+    )["queries"]
+    ranked = [
+        n
+        for n, _ in sorted(detail.items(), key=lambda kv: -kv[1])
+        if n in oracles and n not in CLOSURE_QUERIES
+    ]
+    names = ranked[:top]
+    for n in EXTRA_HEAVY:
+        if n in oracles and n not in names:
+            names.append(n)
+    return names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/bdes_sf1")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--out", default="/tmp/sf1_contract.json")
+    ap.add_argument("--skip", action="append", default=[])
+    ap.add_argument(
+        "--duck-mem",
+        default="48GB",
+        help="DuckDB memory_limit; the sf1 pair-report oracles exceed "
+        "RAM without a limit (the default 80%%-of-RAM policy OOM-killed "
+        "the first run at 110 GB RSS) — a hard cap makes the row-based "
+        "joins spill to temp_directory instead",
+    )
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = args.dir
+    import __spark_entry__ as e
+    from big_data_exercise_spark.session import get_spark
+    from big_data_exercise_spark.tables import TABLES
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = args.names or ranked_slice(oracles, args.top)
+    names = [n for n in names if n not in set(args.skip)]
+    # cheapest-first (reverse of the heaviness ranking) so a late
+    # failure on a monster oracle doesn't void the accumulated greens
+    names = list(reversed(names))
+
+    spark = get_spark()
+    con = duckdb.connect()
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute(f"SET memory_limit='{args.duck_mem}'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.dir}/{t}.parquet'")
+
+    results, bad = {}, []
+    for name in names:
+        rec = {}
+        try:
+            t0 = time.monotonic()
+            sdf = qs[name](spark, args.dir).toPandas()
+            rec["spark_wall_s"] = round(time.monotonic() - t0, 2)
+            rec["rows"] = len(sdf)
+            t0 = time.monotonic()
+            ddf = con.sql(oracles[name]).df()
+            rec["oracle_wall_s"] = round(time.monotonic() - t0, 2)
+            s, d = canon(sdf), canon(ddf)
+            rec.update(
+                rows_match=len(s) == len(d),
+                schema_match=list(s.columns) == list(d.columns),
+                hash_match=value_hash(s) == value_hash(d),
+            )
+            if not (rec["rows_match"] and rec["schema_match"] and rec["hash_match"]):
+                bad.append(name)
+        except Exception as ex:  # noqa: BLE001 — report and keep sweeping
+            rec["err"] = f"{type(ex).__name__}: {ex}"
+            bad.append(name)
+        results[name] = rec
+        print(f"{name}: {json.dumps(rec)}", flush=True)
+
+    summary = {
+        "dir": args.dir,
+        "n": len(names),
+        "green": len(names) - len(bad),
+        "bad": bad,
+    }
+    with open(args.out, "w") as f:
+        json.dump({"summary": summary, "results": results}, f, indent=1)
+    print("SUMMARY:", json.dumps(summary))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
