@@ -23,7 +23,8 @@ aggregation — in DuckDB SQL verbatim:
 4. value-hash compare against the Spark result, same comparator as
    the driver contract (column-sorted + row-sorted md5).
 
-Usage: python tools/closure_sf01_verify.py [sf_dir]
+Usage: python tools/closure_sf01_verify.py [sf_dir] [query ...]
+(with explicit query names, verifies just those of the five)
 """
 from __future__ import annotations
 
@@ -88,12 +89,22 @@ def main() -> None:
     specs = all_queries()
     spark = get_spark("closure-sf01", cpus=16, shuffle_partitions=16)
     con = duckdb.connect()
+    # At sf1-scale dirs the pair prefix exceeds RAM under DuckDB's
+    # default 80%-of-RAM policy (observed: OOM-killed at 110 GB RSS);
+    # a hard cap + temp dir makes the row-based joins spill instead.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if mem:
+        os.makedirs("/tmp/duck_spill", exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     doc_ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
 
     bad = []
-    for name in CLOSURE_QUERIES:
+    chosen = sys.argv[2:] or CLOSURE_QUERIES
+    assert all(n in CLOSURE_QUERIES for n in chosen), chosen
+    for name in chosen:
         spec = specs[name]
         sql = spec.oracle
         assert _WALK_BLOCK in sql, f"{name}: closure block drifted"
