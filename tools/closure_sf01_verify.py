@@ -104,6 +104,11 @@ def main() -> None:
     bad = []
     chosen = sys.argv[2:] or CLOSURE_QUERIES
     assert all(n in CLOSURE_QUERIES for n in chosen), chosen
+    # The pair prefix dominates at large sf_dirs (the four
+    # winnowing-family oracles share ONE identical fps/pairs
+    # construction — ~27 min of DuckDB at the generated sf1), so pairs
+    # and the union-find walk are cached per distinct prefix text.
+    pair_cache: dict[str, tuple[list, pd.DataFrame]] = {}
     for name in chosen:
         spec = specs[name]
         sql = spec.oracle
@@ -112,19 +117,24 @@ def main() -> None:
 
         # 1. oracle's own pair generation, verbatim prefix
         pairs_sql = sql[:cut].rstrip().rstrip(",") + "\nSELECT id1, id2 FROM pairs"
-        t0 = time.perf_counter()
-        pairs = con.sql(pairs_sql).fetchall()
-        t_pairs = time.perf_counter() - t0
+        if pairs_sql in pair_cache:
+            pairs, walk = pair_cache[pairs_sql]
+            t_pairs = 0.0
+        else:
+            t0 = time.perf_counter()
+            pairs = con.sql(pairs_sql).fetchall()
+            t_pairs = time.perf_counter() - t0
 
-        # 2. driver-side union-find closure (pairs + every singleton)
-        uf = UnionFind()
-        for d in doc_ids:
-            uf.find(d)
-        for a, b in pairs:
-            uf.union(a, b)
-        walk = pd.DataFrame(
-            {"node": doc_ids, "reach": [uf.find(d) for d in doc_ids]}
-        )
+            # 2. driver-side union-find closure (pairs + every singleton)
+            uf = UnionFind()
+            for d in doc_ids:
+                uf.find(d)
+            for a, b in pairs:
+                uf.union(a, b)
+            walk = pd.DataFrame(
+                {"node": doc_ids, "reach": [uf.find(d) for d in doc_ids]}
+            )
+            pair_cache[pairs_sql] = (pairs, walk)
 
         # 3. unchanged oracle tail over the materialized closure
         con.register("uf_walk", walk)
