@@ -17,6 +17,22 @@ DuckDB oracle SQL — so the oracle replays bit-for-bit, making an
 Recall (bits=16, bands=4, rows=4): pair at cos 0.35 → p_bit ≈ 0.614 →
 ~0.46; at cos 0.9 → p_bit ≈ 0.857 → ~0.95. Tune bands/rows per
 threshold in production.
+
+Scale regime (measured on the generated sf1, round 9): bucket count
+per band is 2^rows and does NOT grow with the corpus, so expected
+same-bucket pair volume is O(N²/2^rows) — with the pinned rows=4
+demo parameters the candidate set grew exactly 100× for 10× vectors
+(63.4M pairs at 200k bucket rows). That is inherent to hyperplane
+LSH, not to this implementation: size ``rows`` ≈ log2(N/target
+bucket occupancy) as the corpus grows (every +1 bit halves the
+candidate constant; recall is then recovered by adding bands), and
+for LOW thresholds like the 0.35 this oracle-checkable demo pins —
+where wide buckets are the price of recall — the scale path in this
+engine is IVF (partition-pruned index scan) or PQ-ADC, both
+first-class. The implementation keeps the quadratic constant honest
+either way: no full-candidate shuffles (no pre-verify distinct, no
+post-join repartition) and an O(1)-byte-per-pair gather verify, so
+the only per-candidate cost is the O(d) cosine itself.
 """
 
 from __future__ import annotations

@@ -548,3 +548,31 @@ def test_fire_overlay_is_single_arrow_map_zero_exchange(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" in plan  # the PNG synthesis stage
+
+
+def test_lsh_verify_plan_shape(spark):
+    """embedding_lsh_near_duplicates (round 9, found by the sf1 slice):
+    the bucket self-join must NOT funnel through the input's split
+    count — band_keys is round-robin repartitioned before the join —
+    and the full candidate set must reach the gather verify without a
+    pre-verify DISTINCT or a post-join repartition (its dedup runs
+    above the threshold filter, on survivors). The verify itself is
+    the broadcast-gather MapInPandas (16 B/pair rows), never a
+    per-pair vector payload join."""
+    plan = _plan(spark, "embedding_lsh_near_duplicates")
+    assert "BatchEvalPython" not in plan
+    # the gather verify is the ONE visible Python stage (the band
+    # projection's MapInPandas sits behind the buckets localCheckpoint,
+    # which truncates lineage to `Scan ExistingRDD` — the pre-join
+    # round-robin spread hides there too)
+    assert plan.count("MapInPandas") == 1
+    # exactly one aggregate pair (partial+final) — the post-filter
+    # DISTINCT; a second pair would be the pre-verify candidate dedup
+    # this test exists to keep out
+    assert plan.count("HashAggregate") == 2
+    # ... and that distinct's shuffle is the only row Exchange besides
+    # the bucket-table broadcast: the full candidate stream flows
+    # join → gather verify → filter with ZERO shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" in plan
