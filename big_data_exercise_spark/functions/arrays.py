@@ -217,7 +217,10 @@ def gathered_pair_cosine(
     from the embedding table is dropped, exactly as the join would).
     Precondition shared with the join form: ``id_col`` is unique —
     a duplicated id would fan the join out where the gather keeps one
-    row (the gather resolves to the LAST occurrence).
+    row (the gather resolves to the FIRST occurrence among equal ids:
+    ``np.searchsorted`` with its default ``side='left'`` over the
+    stable mergesort argsort lands on the earliest input row; pinned
+    by ``test_gather_duplicate_id_resolves_first``).
 
     Caller gates on table size (:data:`GATHER_GATE_ROWS`); this
     function collects the embedding table to the driver and ships it
@@ -247,6 +250,12 @@ def gathered_pair_cosine(
         import pandas as pd
 
         sids, smat, svalid = bc.value
+        if not len(sids):
+            # Empty embedding table: the inner join would drop every
+            # pair; without this guard np.clip(i, 0, -1) feeds sids[i]
+            # an out-of-range index and the executor raises instead of
+            # returning the empty result.
+            return
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -3965,6 +3965,89 @@ def _specs() -> list[QuerySpec]:
         "the exact emission rule (min-of-filtered-sides ms watermark)",
     ))
 
+    # Salted twins (round-10: hot-key mitigation for the one measured
+    # scale ceiling — skew soak batch p95 1.8→14.8 s with one user at
+    # 30 % of events). Deterministic event_id%k salt on the click side,
+    # purchase rows replicated across the k salts within the watermark
+    # bound → state partitions on (user_id, salt); semantics identical,
+    # so the oracles are the UNSALTED SQL verbatim — the driver's hash
+    # compare IS the parity pin.
+    def _stream_stream_join_salted(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.click_purchase_attribution(
+                streams.stream_events(sp, d),
+                streams.stream_events(sp, d),
+                watermark="10 minutes",
+                salts=8,
+            ),
+            "append",
+        )
+
+    s.append(QuerySpec(
+        "stream_stream_join_salted",
+        _stream_stream_join_salted,
+        """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               p.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        """,
+        ("streaming", "join", "skew"),
+        "salted (k=8) stream-stream join: hot-key state spread over "
+        "(user_id, salt) partitions, hash-equal to the unsalted plan",
+    ))
+
+    def _stream_stream_outer_salted(sp: SparkSession, d: str) -> DataFrame:
+        tune_session(sp)
+        return streams.run_to_memory(
+            streams.click_purchase_attribution(
+                streams.stream_events(sp, d),
+                streams.stream_events(sp, d),
+                watermark="10 minutes",
+                how="left_outer",
+                salts=8,
+            ),
+            "append",
+        )
+
+    s.append(QuerySpec(
+        "stream_stream_left_outer_salted",
+        _stream_stream_outer_salted,
+        """
+        WITH mx AS (
+          SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS m),
+        wm AS (
+          SELECT make_timestamp((epoch_us(m) // 1000) * 1000)
+                 - INTERVAL 10 MINUTE AS w FROM mx),
+        matched AS (
+          SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                 p.user_id,
+                 epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+          FROM events c JOIN events p
+            ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
+        unmatched AS (
+          SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+                 c.user_id, CAST(NULL AS BIGINT) AS gap_us
+          FROM events c, wm
+          WHERE c.event_type = 'click'
+            AND NOT EXISTS (SELECT 1 FROM matched m
+                            WHERE m.click_id = c.event_id)
+            AND c.ts < wm.w - INTERVAL 1 HOUR)
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        """,
+        ("streaming", "join", "outer", "skew"),
+        "salted (k=8) watermarked LEFT OUTER stream-stream join, "
+        "hash-equal to the unsalted plan incl. the eviction rule",
+    ))
+
     def _stream_wm_dedup(sp: SparkSession, d: str) -> DataFrame:
         tune_session(sp)
         return streams.run_to_memory(

@@ -95,6 +95,11 @@ def blocked_near_duplicates(embeddings: DataFrame, threshold: float = 0.35) -> D
         gathered_pair_cosine,
     )
 
+    # Checkpoint before the gate count: the count job then materializes
+    # a lineage cut that every downstream consumer (the label join, the
+    # gather's toPandas) reads back, instead of recomputing the full
+    # upstream embedding lineage per consumer (round-9 advice item).
+    embeddings = embeddings.localCheckpoint(eager=False)
     if embeddings.count() <= GATHER_GATE_ROWS:
         a = embeddings.select(
             F.col("vec_id").alias("id1"), F.col("label").alias("label")

@@ -136,6 +136,13 @@ def near_duplicates(
     knn.blocked_near_duplicates: pair verification is CPU-bound on a
     bytes-tiny table."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # The regime gate below needs a row count at construction time, so
+    # building this DataFrame necessarily runs one Spark job — cut the
+    # embedding lineage FIRST so that job materializes a checkpoint the
+    # rest of the plan (band_keys scan, gather toPandas / payload join)
+    # reads back, instead of recomputing the full upstream lineage once
+    # per consumer (round-9 advice item).
+    embeddings = embeddings.localCheckpoint(eager=False)
     # Materialization boundary (lazy RDD checkpoint, not persist —
     # blocks free on GC instead of living in the CacheManager): the
     # bucket table feeds BOTH sides of the self-join; the unbounded

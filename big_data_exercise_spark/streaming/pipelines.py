@@ -250,6 +250,7 @@ def click_purchase_attribution(
     within: str = "1 hour",
     watermark: str | None = None,
     how: str = "inner",
+    salts: int = 1,
 ) -> DataFrame:
     """Stream-stream join: each purchase matched to the same
     user's clicks in the preceding ``within`` interval — the
@@ -282,7 +283,28 @@ def click_purchase_attribution(
     unbounded — that's the failure mode, not the shuffle. Batch twin:
     pass the same DataFrame twice with ``watermark=None``; the oracle
     checks that semantics.
+
+    ``salts > 1`` is the hot-key mitigation (round-9 skew soak: one
+    user owning 30 % of events drove batch p95 1.8 s → 14.8 s — the
+    whole hot key lands in ONE state partition, and Structured
+    Streaming has no AQE skew split to rescue it). The salted plan
+    hash-partitions on (user_id, salt) instead: the high-rate click
+    side gets a DETERMINISTIC salt (``event_id % salts`` — replayable
+    across micro-batch boundaries and engine restarts, unlike
+    ``rand()``), and every purchase row is replicated across all
+    ``salts`` values, so a matching pair still meets EXACTLY ONCE (in
+    the click's salt partition) and an unmatched click is unmatched
+    globally iff unmatched in its one partition — inner and left_outer
+    semantics are bit-identical to the unsalted plan (pinned by the
+    `stream_stream_*_salted` contract oracles, which are the UNSALTED
+    SQL). Costs: purchase-side state grows ``salts``×(bounded, the
+    low-rate side by construction) and the watermark trajectory is
+    unchanged (replication copies ts values; max event time per side
+    is invariant). The hot user's clicks now spread over ``salts``
+    state partitions — the per-partition ceiling drops ~``salts``×.
     """
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
     c = (
         _with_watermark(clicks_src, watermark)
         .filter(F.col("event_type") == "click")
@@ -306,6 +328,15 @@ def click_purchase_attribution(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
     )
+    if salts > 1:
+        c = c.withColumn(
+            "c_salt", F.pmod(F.col("click_id"), F.lit(salts)).cast("int")
+        )
+        p = p.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salts)]).cast("array<int>")),
+        )
+        cond = cond & (F.col("c_salt") == F.col("salt"))
     return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",

@@ -75,8 +75,11 @@ def test_gather_vs_join_bit_identical(spark, build, monkeypatch):
 
 
 def test_gather_drops_unknown_ids_like_inner_join(spark):
+    import numpy as np
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    known = [r.vec_id for r in emb.select("vec_id").limit(2).collect()]
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(2).collect()
+    known = [r.vec_id for r in rows]
     pairs = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -91,4 +94,42 @@ def test_gather_drops_unknown_ids_like_inner_join(spark):
     # only the fully-known pair survives, exactly as the inner join would
     assert len(out) == 1
     assert out.iloc[0]["id1"] == known[0] and out.iloc[0]["id2"] == known[1]
-    assert out.iloc[0]["cos_raw"] == pytest.approx(out.iloc[0]["cos_raw"])
+    v1 = np.asarray(rows[0].embedding, dtype=np.float64)
+    v2 = np.asarray(rows[1].embedding, dtype=np.float64)
+    expected = float(v1 @ v2) / (float(np.linalg.norm(v1)) * float(np.linalg.norm(v2)))
+    assert out.iloc[0]["cos_raw"] == pytest.approx(expected, rel=1e-12)
+
+
+def test_gather_empty_embedding_table_returns_empty(spark):
+    """Empty broadcast side: inner-join semantics demand an EMPTY result,
+    not an executor IndexError from sids[np.clip(i, 0, -1)] (round-9
+    advice item)."""
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 0)
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id1": [1, 2], "id2": [3, 4]}))
+    out = arrays.gathered_pair_cosine(
+        pairs, emb, "vec_id", "embedding", "id1", "id2", ["id1", "id2"]
+    ).toPandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["id1", "id2", "cos_raw"]
+
+
+def test_gather_duplicate_id_resolves_first(spark):
+    """Precondition-violation degradation pinned: a duplicated id in the
+    embedding table resolves to the FIRST occurrence (searchsorted
+    side='left' over a stable mergesort argsort), per the docstring."""
+    dim = arrays.EMBEDDING_DIM
+    e1 = [1.0] + [0.0] * (dim - 1)          # duplicate id 7, first row
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)     # duplicate id 7, second row
+    q = [1.0] + [0.0] * (dim - 1)           # id 8: cos(q,e1)=1, cos(q,e2)=0
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [7, 7, 8], "embedding": [e1, e2, q]})
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    pairs = spark.createDataFrame(pd.DataFrame({"id1": [7], "id2": [8]}))
+    out = arrays.gathered_pair_cosine(
+        pairs, emb, "vec_id", "embedding", "id1", "id2", ["id1", "id2"]
+    ).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["cos_raw"] == pytest.approx(1.0, abs=1e-12)

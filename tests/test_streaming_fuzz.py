@@ -144,6 +144,31 @@ def _ss_left_outer(spark, sf_dir):
     )
 
 
+def _ss_inner_salted(spark, sf_dir):
+    return (
+        streams.click_purchase_attribution(
+            streams.stream_events(spark, sf_dir),
+            streams.stream_events(spark, sf_dir),
+            watermark="10 minutes",
+            salts=8,
+        ),
+        "append",
+    )
+
+
+def _ss_left_outer_salted(spark, sf_dir):
+    return (
+        streams.click_purchase_attribution(
+            streams.stream_events(spark, sf_dir),
+            streams.stream_events(spark, sf_dir),
+            watermark="10 minutes",
+            how="left_outer",
+            salts=8,
+        ),
+        "append",
+    )
+
+
 def _fire(spark, sf_dir):
     from big_data_exercise_spark.multimodal import codecs
 
@@ -154,6 +179,9 @@ PIPELINES = {
     "tumbling_complete": _tumbling,
     "stream_stream_inner": _ss_inner,
     "stream_stream_left_outer": _ss_left_outer,
+    # hot-key mitigation twins (round 10): same fuzz surface, salted plan
+    "stream_stream_inner_salted": _ss_inner_salted,
+    "stream_stream_left_outer_salted": _ss_left_outer_salted,
     "fire_stateless": _fire,
 }
 
@@ -182,6 +210,46 @@ def test_latency_pipeline_feed_width_invariance_random_logs(spark, name):
         multi = _run_at_width(spark, build, sf_dir, N_FEED)
         assert multi == single, (
             f"{name}: N={N_FEED} feed diverged from single batch on a "
+            f"{len(rows)}-row random log"
+        )
+
+    run()
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_salted_join_equals_unsalted_on_random_logs(spark, how):
+    """Salted-vs-unsalted plan parity under MULTI-batch execution on
+    random logs — the eviction rule (left_outer) and the exactly-once
+    pair meeting (inner) must survive the (user_id, salt) re-keying
+    across watermark advancement, empty batches, and one-sided streams.
+    The contract oracles pin this at sf0.01; this lane pins it on the
+    adversarial generator."""
+
+    def build(salts):
+        def b(sp, sf_dir):
+            return (
+                streams.click_purchase_attribution(
+                    streams.stream_events(sp, sf_dir),
+                    streams.stream_events(sp, sf_dir),
+                    watermark="10 minutes",
+                    how=how,
+                    salts=salts,
+                ),
+                "append",
+            )
+
+        return b
+
+    @_fuzz_settings(3)
+    @given(
+        rows=st.lists(_EVENT, min_size=1, max_size=40, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_events(rows)
+        unsalted = _run_at_width(spark, build(1), sf_dir, N_FEED)
+        salted = _run_at_width(spark, build(8), sf_dir, N_FEED)
+        assert salted == unsalted, (
+            f"salted k=8 {how} join diverged from unsalted on a "
             f"{len(rows)}-row random log"
         )
 

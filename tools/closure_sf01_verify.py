@@ -39,6 +39,14 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+if not os.path.isdir(SF_DIR):
+    # A query name passed without the sf_dir would otherwise bind as
+    # SF_DIR and the tool would "verify" all five queries against a
+    # nonexistent directory (round-9 advice item) — fail fast instead.
+    sys.exit(
+        f"closure_sf01_verify: first argument must be an existing sf_dir "
+        f"(got {SF_DIR!r}); usage: closure_sf01_verify.py [sf_dir] [query ...]"
+    )
 
 CLOSURE_QUERIES = [
     "dedup_cluster_assignment",

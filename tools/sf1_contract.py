@@ -16,6 +16,12 @@ explicitly so the slice covers the token-volume tier too.
 Usage:
     python tools/sf1_contract.py [--dir /tmp/bdes_sf1] [--top 30] \
         [--out /tmp/sf1_contract.json] [name ...]
+    python tools/sf1_contract.py --all      # round 10: the FULL
+        oracle-feasible set — every oracle-carrying registry query
+        except the named INFEASIBLE_AT_SF1 map (each entry carries the
+        reason and the alternate verification route), with a per-query
+        oracle watchdog (--oracle-timeout, default 1200 s) so one
+        monster oracle can't wedge the sweep.
 
 With explicit names, runs exactly those instead of the ranked slice.
 """
@@ -26,6 +32,7 @@ import hashlib
 import json
 import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -38,6 +45,42 @@ CLOSURE_QUERIES = {
     "dedup_kept_corpus",
     "curated_corpus",
     "governed_corpus",
+}
+
+# Queries whose ORACLE (not the engine) is machine-infeasible at sf1,
+# each with the reason and the independent route that covers it there.
+# The engine side of every one of these completes at sf1.
+INFEASIBLE_AT_SF1 = {
+    "dedup_cluster_assignment": (
+        "recursive-CTE closure over a 25.7M-pair table (oracle-side "
+        "quadratic) — covered by tools/closure_sf01_verify.py at sf1 "
+        "(union-find swap of ONLY the closure step, oracle prefix + "
+        "tail verbatim) and by 10/10 replica decomposition"
+    ),
+    "winnowing_cluster_assignment": (
+        "recursive-CTE closure over a 105M-pair winnowing table — "
+        "covered by tools/closure_sf01_verify.py at sf1"
+    ),
+    "dedup_kept_corpus": (
+        "inherits the dedup closure — closure_sf01_verify at sf1"
+    ),
+    "curated_corpus": (
+        "inherits the dedup closure — closure_sf01_verify at sf1"
+    ),
+    "governed_corpus": (
+        "inherits the dedup closure — closure_sf01_verify at sf1"
+    ),
+    "minhash_near_duplicates": (
+        "pair-report oracle needs the full 25.7M-pair vocabulary join: "
+        "DuckDB OOM-killed at 110 GB RSS uncapped, filled the ~93 GB "
+        "disk when capped — covered by tools/sf1_replica_verify.py "
+        "(10/10 stride-shifted replica decomposition + sf0.1 oracle "
+        "re-anchor, zero cross-replica pairs)"
+    ),
+    "minhash_near_duplicates_prod": (
+        "same pair-report oracle shape (xxhash64 prod mode is rows-only "
+        "by design everywhere) — sf1_replica_verify route"
+    ),
 }
 
 # Heavy names outside the bench set: the giant-token-volume tier the
@@ -96,6 +139,20 @@ def main():
         "the first run at 110 GB RSS) — a hard cap makes the row-based "
         "joins spill to temp_directory instead",
     )
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="run EVERY oracle-carrying registry query except the "
+        "INFEASIBLE_AT_SF1 names (whose reasons are printed and "
+        "recorded in the artifact)",
+    )
+    ap.add_argument(
+        "--oracle-timeout",
+        type=float,
+        default=1200.0,
+        help="per-query DuckDB watchdog in seconds: the connection is "
+        "interrupted and the query recorded as oracle_timeout",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -105,7 +162,12 @@ def main():
     from big_data_exercise_spark.tables import TABLES
 
     qs, oracles = e.queries(), e.oracle_sql()
-    names = args.names or ranked_slice(oracles, args.top)
+    if args.all:
+        names = [n for n in qs if n in oracles and n not in INFEASIBLE_AT_SF1]
+        for n, why in INFEASIBLE_AT_SF1.items():
+            print(f"SKIP {n}: {why}", flush=True)
+    else:
+        names = args.names or ranked_slice(oracles, args.top)
     names = [n for n in names if n not in set(args.skip)]
     # cheapest-first (reverse of the heaviness ranking) so a late
     # failure on a monster oracle doesn't void the accumulated greens
@@ -128,7 +190,14 @@ def main():
             rec["spark_wall_s"] = round(time.monotonic() - t0, 2)
             rec["rows"] = len(sdf)
             t0 = time.monotonic()
-            ddf = con.sql(oracles[name]).df()
+            # watchdog: one runaway oracle must not wedge the sweep —
+            # interrupt() raises duckdb.InterruptException in con.sql
+            timer = threading.Timer(args.oracle_timeout, con.interrupt)
+            timer.start()
+            try:
+                ddf = con.sql(oracles[name]).df()
+            finally:
+                timer.cancel()
             rec["oracle_wall_s"] = round(time.monotonic() - t0, 2)
             s, d = canon(sdf), canon(ddf)
             rec.update(
@@ -150,8 +219,11 @@ def main():
         "green": len(names) - len(bad),
         "bad": bad,
     }
+    payload = {"summary": summary, "results": results}
+    if args.all:
+        payload["infeasible_at_sf1"] = INFEASIBLE_AT_SF1
     with open(args.out, "w") as f:
-        json.dump({"summary": summary, "results": results}, f, indent=1)
+        json.dump(payload, f, indent=1)
     print("SUMMARY:", json.dumps(summary))
     sys.exit(1 if bad else 0)
 

@@ -20,7 +20,7 @@ memory-hostile plan (e.g. an ungated broadcast or a driver-side
 collect) and fails the probe.
 
 Usage:
-    python tools/spill_probe.py [sf_dir]     # default /root/testdata/sf0.1
+    python tools/spill_probe.py [sf_dir] [query ...]   # default sf0.1, all HEAVY
 Env:
     SPILL_PROBE_MEM  — driver heap (default 3g)
     SPILL_PROBE_CPUS — cores (default 8: a 3 GiB heap shared by 32
@@ -39,6 +39,8 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+if not os.path.isdir(SF_DIR):
+    sys.exit(f"spill_probe: first argument must be an existing sf_dir (got {SF_DIR!r})")
 MEM = os.environ.get("SPILL_PROBE_MEM", "3g")
 CPUS = int(os.environ.get("SPILL_PROBE_CPUS", "8"))
 
@@ -80,7 +82,9 @@ def main() -> None:
     ui = spark.sparkContext.uiWebUrl
     results = {}
     prev = (0, 0)
-    for name in HEAVY:
+    chosen = sys.argv[2:] or HEAVY
+    assert all(n in specs for n in chosen), chosen
+    for name in chosen:
         t0 = time.perf_counter()
         try:
             specs[name].build(spark, SF_DIR).write.format("noop").mode(
