@@ -89,6 +89,75 @@ def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> 
     return spark
 
 
+READER_BATCH_KEY = "spark.sql.parquet.columnarReaderBatchSize"
+READER_BATCH_DEFAULT = 4096
+# Per-batch byte budget for the vectorized reader on giant-row tables:
+# 32 MB × concurrent tasks stays far below any sane executor heap
+# (round-9 spill probe: at a 1.5 GiB heap / 8 tasks the reader's
+# full-size 4096-row batches over 10 MB documents were the first
+# allocation to die — before any operator could spill).
+READER_BATCH_TARGET_BYTES = 32 << 20
+
+
+def bound_reader_batch(spark: SparkSession, sf_dir: str) -> int:
+    """Bound the vectorized parquet reader's batch ROW COUNT for
+    giant-row document corpora (round-9 verdict item: the reader
+    allocates whole batches before operators can spill, so a 10 MB-row
+    table × 4096-row batches × N concurrent tasks OOMs a small heap
+    that every downstream operator would have survived via spill).
+
+    Keyed off the documents table's own footer, driver-side and
+    Spark-job-free: the ``n_chars`` column's parquet max statistic is
+    the corpus's largest row (bytes ≈ chars for this corpus; a 2×
+    safety factor covers multibyte text), falling back to the text
+    column's per-row-group mean when stats are absent. Uniform corpora
+    (max row ~KB) keep the 4096 default — the bound only engages when
+    a batch of 4096 maximal rows could not fit the byte budget, so
+    contract hashes and bench plans on normal dirs are untouched.
+
+    Session-global by Spark's design (the conf is read per query
+    execution): on a giant-doc dir other tables in the same session
+    read with the same smaller batch — survival margin over scan
+    micro-efficiency, which is the right trade exactly where this
+    engages. ``SPARK_GRAFT_READER_BATCH`` overrides (0 = leave alone).
+    """
+    env = os.environ.get("SPARK_GRAFT_READER_BATCH")
+    if env is not None:
+        rows = int(env)
+        if rows > 0:
+            spark.conf.set(READER_BATCH_KEY, str(rows))
+        return rows or READER_BATCH_DEFAULT
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.isfile(path):
+        return READER_BATCH_DEFAULT
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        max_row_bytes = 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == "n_chars" and c.statistics is not None \
+                        and c.statistics.has_min_max:
+                    max_row_bytes = max(max_row_bytes, 2 * int(c.statistics.max))
+                elif c.path_in_schema == "text" and max_row_bytes == 0:
+                    max_row_bytes = max(
+                        max_row_bytes,
+                        c.total_uncompressed_size // max(1, rg.num_rows),
+                    )
+    except Exception:
+        return READER_BATCH_DEFAULT
+    if max_row_bytes * READER_BATCH_DEFAULT <= READER_BATCH_TARGET_BYTES:
+        return READER_BATCH_DEFAULT
+    rows = max(4, min(READER_BATCH_DEFAULT,
+                      READER_BATCH_TARGET_BYTES // max(1, max_row_bytes)))
+    spark.conf.set(READER_BATCH_KEY, str(rows))
+    return rows
+
+
 def get_spark(
     app_name: str = "big-data-exercise-spark",
     cpus: int | None = None,

@@ -50,15 +50,52 @@ DIM = 64
 def hyperplane(j: int, dim: int = DIM) -> list[float]:
     """LCG-derived pseudo-random hyperplane in [-0.5, 0.5)^dim. Every
     value is k/2^31 − 0.5 — exactly representable, so any engine
-    parsing the literal gets identical bits."""
+    parsing the literal gets identical bits.
+
+    NOTE: (a·m + c) mod 2^31 is LINEAR in the flat index m, so these
+    directions are highly structured — good enough for the pinned
+    oracle-checked demo (the oracle replays the identical construction,
+    so correctness is exact either way) but the bit-agreement
+    independence the banded recall formula assumes does not fully hold.
+    The auto-sized production path uses :func:`hyperplane_mixed`."""
     return [
         (((1103515245 * (j * dim + i) + 12345) % 2**31) / 2**31) - 0.5
         for i in range(dim)
     ]
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix(m: int) -> int:
+    """SplitMix64 finalizer — public-domain integer mixer (Steele et
+    al., 'Fast splittable pseudorandom number generators', OOPSLA'14);
+    pure-int, so any engine replays it exactly."""
+    z = (m + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def hyperplane_mixed(j: int, dim: int = DIM) -> list[float]:
+    """Well-mixed deterministic hyperplane in [-0.5, 0.5)^dim: top 31
+    bits of SplitMix64 over the flat index, scaled by 2^-31 (dyadic →
+    exactly representable). Unlike :func:`hyperplane`, consecutive
+    components are statistically independent, so the Charikar recall
+    model (which auto-sizing solves against) actually holds — measured
+    planted-dup recall matches the analytic curve in
+    tests/test_lsh_auto.py where the LCG construction fell short."""
+    return [
+        ((_splitmix(j * dim + i) >> 33) / 2**31) - 0.5 for i in range(dim)
+    ]
+
+
 def band_keys(
-    embeddings: DataFrame, bits: int = BITS, bands: int = BANDS, dim: int = DIM
+    embeddings: DataFrame,
+    bits: int = BITS,
+    bands: int = BANDS,
+    dim: int = DIM,
+    hp_fn=hyperplane,
 ) -> DataFrame:
     """(vec_id, band, key): one bucket row per band, key = the band's
     sign-bit pattern as an int.
@@ -77,7 +114,7 @@ def band_keys(
     import numpy as np
 
     rows = bits // bands
-    hp = [hyperplane(j, dim) for j in range(bits)]
+    hp = [hp_fn(j, dim) for j in range(bits)]
 
     def project(batches):
         import pandas as pd
@@ -128,7 +165,11 @@ def band_keys(
 
 
 def near_duplicates(
-    embeddings: DataFrame, threshold: float = 0.35, bits: int = BITS, bands: int = BANDS
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bits: int = BITS,
+    bands: int = BANDS,
+    hp_fn=hyperplane,
 ) -> DataFrame:
     """Hyperplane-LSH candidate pairs verified with exact cosine ≥
     threshold. Approximate by design (bucket recall < 1); the oracle
@@ -156,7 +197,7 @@ def near_duplicates(
     # sf1: one 122 s task emitting 63M pairs while 31 cores idled).
     # The repartition itself shuffles only |N|·bands tiny rows.
     buckets = (
-        band_keys(embeddings, bits, bands)
+        band_keys(embeddings, bits, bands, hp_fn=hp_fn)
         .repartition(par)
         .localCheckpoint(eager=False)
     )
@@ -223,6 +264,67 @@ def near_duplicates(
         # a multi-band pair are bit-identical rows, so DISTINCT here
         # shuffles only the verified survivors
         .distinct()
+    )
+
+
+def auto_params(
+    n: int,
+    threshold: float,
+    recall_target: float = 0.90,
+    occupancy: int = 16,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Size (rows, bands) from the corpus count — the in-code scaling
+    rule of the module docstring, executable (round-10 verdict item 5).
+
+    rows ≈ log2(n / occupancy): buckets per band = 2^rows grows WITH
+    the corpus so expected same-bucket candidate volume stays
+    O(n · occupancy · bands) instead of the fixed-rows O(n²/2^rows).
+    Recall is then recovered by bands: p_bit = 1 − arccos(t)/π
+    (Charikar), banded recall = 1 − (1 − p_bit^rows)^bands, and bands
+    is the smallest count reaching ``recall_target`` at the threshold.
+
+    High-threshold near-dup hunting (t ≥ ~0.8) is the intended regime:
+    there p_bit^rows decays slowly and a handful of bands suffice. At
+    LOW thresholds the band count explodes (at t = 0.35, rows = 11
+    would need ~500 bands) — exactly the documented boundary where the
+    scale path is IVF/PQ, so bands is capped at ``max_bands`` and the
+    CALLER owns the recall shortfall if it ignores the regime note.
+
+    rows is clamped to [ROWS, 30]: never below the pinned demo's 4
+    (tiny corpora), never past int64 band-key width.
+    """
+    import math
+
+    rows = max(ROWS, min(30, math.ceil(math.log2(max(2.0, n / occupancy)))))
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    pr = p ** rows
+    if pr >= 1.0:
+        return rows, 1
+    bands = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - pr)) if pr > 0 else max_bands
+    return rows, max(1, min(max_bands, bands))
+
+
+def near_duplicates_auto(
+    embeddings: DataFrame,
+    threshold: float = 0.90,
+    recall_target: float = 0.90,
+    occupancy: int = 16,
+) -> DataFrame:
+    """`near_duplicates` with corpus-sized parameters: candidate volume
+    grows ~O(n) as the corpus grows (property-tested: 10× vectors →
+    ~10× candidates, not 100×), recall at the threshold held at
+    ``recall_target`` by adding bands. The pinned-literal demo above
+    stays the oracle-checked entry; this is the production sizing."""
+    embeddings = embeddings.localCheckpoint(eager=False)
+    n = embeddings.count()
+    rows, bands = auto_params(n, threshold, recall_target, occupancy)
+    return near_duplicates(
+        embeddings,
+        threshold,
+        bits=rows * bands,
+        bands=bands,
+        hp_fn=hyperplane_mixed,
     )
 
 

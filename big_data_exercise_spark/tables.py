@@ -91,6 +91,14 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "documents":
+        # Giant-row corpora: bound the vectorized reader's batch rows
+        # from the footer's n_chars stats so reader allocations can't
+        # outrun the heap before operators get a chance to spill
+        # (no-op on normal corpora — see session.bound_reader_batch).
+        from big_data_exercise_spark.session import bound_reader_batch
+
+        bound_reader_batch(spark, sf_dir)
     return normalize_table(name, spark.read.parquet(table_path(sf_dir, name)))
 
 
