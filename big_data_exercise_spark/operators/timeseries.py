@@ -63,14 +63,25 @@ def resample_interpolate(
     w_prev = W.partitionBy("user_id").orderBy("h").rowsBetween(
         W.unboundedPreceding, -1
     )
-    w_next = W.partitionBy("user_id").orderBy("h").rowsBetween(
-        1, W.unboundedFollowing
+    # "next observed" is expressed as last-over-UNBOUNDED-PRECEDING on
+    # the DESCENDING hour ordering, NOT first-over-(1, UNBOUNDED
+    # FOLLOWING): a trailing frame grows incrementally (O(n) per
+    # partition) while Spark's UnboundedFollowingWindowFunctionFrame
+    # re-aggregates the remainder of the partition for EVERY row —
+    # O(n²) per key. Found by the round-10 sf1 sweep: the interpolation
+    # pass over a 10.5M-row grid sat >15 min in that frame (one task
+    # pinned, stage-5 stack in UnboundedFollowingWindowFunctionFrame.
+    # write); the descending twin is semantically identical (the last
+    # non-null at smaller descending rank IS the first non-null
+    # following hour) and costs one extra partition-local sort.
+    w_next = W.partitionBy("user_id").orderBy(F.desc("h")).rowsBetween(
+        W.unboundedPreceding, -1
     )
     obs_h = F.when(F.col("val").isNotNull(), F.col("h"))
     prev_val = F.last("val", ignorenulls=True).over(w_prev)
     prev_h = F.last(obs_h, ignorenulls=True).over(w_prev)
-    next_val = F.first("val", ignorenulls=True).over(w_next)
-    next_h = F.first(obs_h, ignorenulls=True).over(w_next)
+    next_val = F.last("val", ignorenulls=True).over(w_next)
+    next_h = F.last(obs_h, ignorenulls=True).over(w_next)
 
     interp = prev_val + (next_val - prev_val) * (
         (F.col("h") - prev_h) / (next_h - prev_h)
