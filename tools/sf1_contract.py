@@ -81,6 +81,17 @@ INFEASIBLE_AT_SF1 = {
         "same pair-report oracle shape (xxhash64 prod mode is rows-only "
         "by design everywhere) — sf1_replica_verify route"
     ),
+    "supplier_triangles": (
+        "TPC-H's uniform order-supplier mixing makes the co-supplier "
+        "graph COMPLETE (coefficient 1.0), so the oracle's wedge join "
+        "is ~2.4B rows at sf1: DuckDB spilled 49 GB of the ~90 GB disk "
+        "before being killed (round 10). Verified at sf1 by closed-form "
+        "replica decomposition instead: the stride-replicated sf1 graph "
+        "is 10 disjoint copies of the sf0.1 graph, and the Spark sf1 "
+        "result (4995000, 4985010000, 1661670000, 1.0) in 135 s is "
+        "EXACTLY 10x the oracle-checked sf0.1 row = (10*C(1000,2), "
+        "10*W, 10*C(1000,3), 1.0)"
+    ),
 }
 
 # Heavy names outside the bench set: the giant-token-volume tier the
@@ -178,6 +189,13 @@ def main():
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute(f"SET memory_limit='{args.duck_mem}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    # A runaway oracle must error out, not fill the disk: the
+    # supplier_triangles oracle at sf1 spilled 49 GB (of ~90 GB free)
+    # before this cap existed. The error is caught per-query.
+    try:
+        con.execute("SET max_temp_directory_size='40GB'")
+    except Exception:
+        pass  # older duckdb without the knob
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.dir}/{t}.parquet'")
 
