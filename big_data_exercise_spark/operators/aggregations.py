@@ -833,15 +833,43 @@ def winsorized_value_stats(events: DataFrame) -> DataFrame:
     counts and the exact sums before/after. This is the standard
     outlier-taming preprocessing for training features, reported
     instead of silently applied (every governance gate in this repo
-    follows that rule). Exact percentiles define the band (mergeable
-    percentile_approx at 100 TB); the clip itself is two comparisons;
+    follows that rule). The band is the exact ORDER STATISTIC at rank
+    ceil(p·n) (type-1 inverse-ECDF quantile), not the interpolated
+    percentile: interpolation arithmetic is not cross-engine
+    bit-stable (Spark evaluates lower + (hi−lo)·f, DuckDB
+    lo·(1−f) + hi·f — a last-ulp difference that flips the boundary
+    rows' `value <> w_value` test; found by the round-10 sf1 sweep as
+    a 10-row n_clipped drift), while the element AT a rank is a value
+    both engines read off the identical double ordering (mergeable
+    percentile_approx at 100 TB). The clip itself is two comparisons;
     both sums accumulate in decimal so the before/after delta is
     order-independent."""
+    from pyspark.sql import Window as W
+
     from big_data_exercise_spark.functions.numeric import exact_sum, round_det
 
-    bands = events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("lo"),
-        F.expr("percentile(value, 0.99)").alias("hi"),
+    wv = W.partitionBy("event_type").orderBy("value")
+    wn = W.partitionBy("event_type")
+    ranked = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("__rn"),
+        F.count("*").over(wn).alias("__n"),
+    )
+    bands = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(F.col("__n") * 0.01), F.col("value")
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(F.col("__n") * 0.99), F.col("value")
+                )
+            ).alias("hi"),
+        )
     )
     clipped = events.join(F.broadcast(bands), "event_type").select(
         "event_type",

@@ -2738,11 +2738,21 @@ def _specs() -> list[QuerySpec]:
         "winsorized_value_stats",
         lambda sp, d: agg.winsorized_value_stats(_t(sp, d, "events")),
         f"""
-        WITH bands AS (
+        WITH ranked AS (
+          -- exact order statistic at rank ceil(p*n) (type-1 quantile):
+          -- interpolated quantile_cont arithmetic differs from Spark's
+          -- in the last ulp and flips boundary rows at scale (sf1)
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL),
+        bands AS (
           SELECT event_type,
-                 quantile_cont(value, 0.01) AS lo,
-                 quantile_cont(value, 0.99) AS hi
-          FROM events GROUP BY event_type),
+                 MAX(CASE WHEN rn = CAST(CEIL(n * 0.01) AS BIGINT)
+                          THEN value END) AS lo,
+                 MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT)
+                          THEN value END) AS hi
+          FROM ranked GROUP BY event_type),
         c AS (
           SELECT e.event_type, value, lo, hi,
                  LEAST(GREATEST(value, lo), hi) AS w_value
