@@ -18,7 +18,12 @@ BOTH the uniform dir and its skewed twin (tools/gen_skewed.py):
 * PARITY: per (how, dir), the salted final row set must equal the
   unsalted one — checked with a Spark-side order-independent digest
   (count + sum of crc32 over null-marked stringified rows), no
-  driver collect of the (large) join output;
+  driver collect of the (large) join output. The sink is a PARQUET
+  directory, not a memory sink: on an undiluted hot-key feed the
+  matched-pair volume is inherently quadratic in hot density and a
+  memory sink's driver collect dies on maxResultSize (measured:
+  1 GB+ at hot-frac 0.4) — the parquet sink keeps the harness valid
+  at exactly the volumes the mitigation targets;
 * CEILING GONE: salted-on-skew batch p95 <= 3x unsalted-on-uniform
   batch p95 (the judge's "within ~3x of uniform at the same rate");
 * STATE BOUNDED: salted-on-skew state rows plateau (last-quartile
@@ -62,11 +67,13 @@ def run_one(spark, build, n_files: int):
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     name = f"skewsoak_{uuid.uuid4().hex[:12]}"
+    out_dir = tempfile.mkdtemp(prefix="bdes_soak_out_")
     try:
         q = (
-            build().writeStream.format("memory")
+            build().writeStream.format("parquet")
             .queryName(name)
             .outputMode("append")
+            .option("path", out_dir)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="bdes_soak_"))
             .start()
         )
@@ -83,7 +90,7 @@ def run_one(spark, build, n_files: int):
         finally:
             q.stop()
             q.awaitTermination()
-        tbl = spark.table(name)
+        tbl = spark.read.parquet(out_dir)
         row_str = F.concat_ws(
             "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅"))
                    for c in tbl.columns]
@@ -95,6 +102,9 @@ def run_one(spark, build, n_files: int):
     finally:
         os.environ.pop("SPARK_GRAFT_STREAM_FEED_FILES", None)
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def main() -> None:
