@@ -35,6 +35,12 @@ def main() -> None:
                     results[m.group(1)] = json.loads(m.group(2))
                 except json.JSONDecodeError:
                     pass
+    # names classified infeasible keep their attempt record (the walls
+    # and error are evidence) but move under the infeasible section
+    # instead of counting as bad
+    attempts = {
+        n: results.pop(n) for n in list(results) if n in INFEASIBLE_AT_SF1
+    }
     green = [
         n for n, r in results.items()
         if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
@@ -53,6 +59,7 @@ def main() -> None:
             ),
         },
         "infeasible_at_sf1": INFEASIBLE_AT_SF1,
+        "infeasible_attempts": attempts,
         "results": dict(sorted(results.items())),
     }
     with open(out, "w") as f:

@@ -81,6 +81,26 @@ INFEASIBLE_AT_SF1 = {
         "same pair-report oracle shape (xxhash64 prod mode is rows-only "
         "by design everywhere) — sf1_replica_verify route"
     ),
+    "winnowing_overlap_pairs": (
+        "the fps-bucket self-join oracle needs >70 GB of DuckDB temp on "
+        "top of a 40 GB memory cap (measured round 10: died at a 70 GB "
+        "max_temp_directory_size after 65 GiB spilled; 58 GB cap died "
+        "too) — machine-disk-infeasible here. The identical pairs "
+        "construction WAS direct-oracle-verified at sf1 in round 9 via "
+        "tools/closure_sf01_verify.py (104,972,995 pairs materialized "
+        "under a 60 GB memory cap, union-find + verbatim oracle tails "
+        "hash-green); the query itself is hash-green at sf0.1 (full "
+        "contract) and on the skewed sf0.1 twin, and the ENGINE "
+        "completes sf1 in 539 s including collecting all 105M rows"
+    ),
+    "containment_pairs": (
+        "same fps self-join oracle prefix with a LOWER shared-count "
+        "floor (HAVING >= 10 vs 20) plus two containment joins — "
+        "strictly more spill than winnowing_overlap_pairs, which "
+        "already exceeds the machine's disk (58 GB cap died at sf1, "
+        "round 10). Hash-green at sf0.1 + skewed sf0.1; engine "
+        "completes sf1 in 189 s (286,186 rows)"
+    ),
     "supplier_triangles": (
         "TPC-H's uniform order-supplier mixing makes the co-supplier "
         "graph COMPLETE (coefficient 1.0), so the oracle's wedge join "
