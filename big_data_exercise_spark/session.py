@@ -121,16 +121,26 @@ def bound_reader_batch(spark: SparkSession, sf_dir: str) -> int:
     micro-efficiency, which is the right trade exactly where this
     engages. ``SPARK_GRAFT_READER_BATCH`` overrides (0 = leave alone).
     """
+    def _restore_default() -> int:
+        # Reset the session-global conf on every path that decides the
+        # DEFAULT is right: after one giant-doc dir lowers the batch
+        # size, later loads of normal dirs in the same session must get
+        # their full-size reader batches back (round-10 advice — the
+        # no-op path previously left the reduced batch in place, a
+        # silent scan-throughput tax on every mixed-dir session).
+        spark.conf.set(READER_BATCH_KEY, str(READER_BATCH_DEFAULT))
+        return READER_BATCH_DEFAULT
+
     env = os.environ.get("SPARK_GRAFT_READER_BATCH")
     if env is not None:
         rows = int(env)
         if rows > 0:
             spark.conf.set(READER_BATCH_KEY, str(rows))
-        return rows or READER_BATCH_DEFAULT
-
+            return rows
+        return READER_BATCH_DEFAULT  # 0 = explicit leave-alone
     path = os.path.join(sf_dir, "documents.parquet")
     if not os.path.isfile(path):
-        return READER_BATCH_DEFAULT
+        return _restore_default()
     try:
         import pyarrow.parquet as pq
 
@@ -149,9 +159,9 @@ def bound_reader_batch(spark: SparkSession, sf_dir: str) -> int:
                         c.total_uncompressed_size // max(1, rg.num_rows),
                     )
     except Exception:
-        return READER_BATCH_DEFAULT
+        return _restore_default()
     if max_row_bytes * READER_BATCH_DEFAULT <= READER_BATCH_TARGET_BYTES:
-        return READER_BATCH_DEFAULT
+        return _restore_default()
     rows = max(4, min(READER_BATCH_DEFAULT,
                       READER_BATCH_TARGET_BYTES // max(1, max_row_bytes)))
     spark.conf.set(READER_BATCH_KEY, str(rows))

@@ -83,3 +83,22 @@ def test_env_override(spark, monkeypatch):
     assert bound_reader_batch(spark, d) == 512
     assert spark.conf.get(READER_BATCH_KEY) == "512"
     spark.conf.set(READER_BATCH_KEY, str(READER_BATCH_DEFAULT))
+
+
+def test_mixed_dir_session_resets_default(spark):
+    """Round-11 (round-10 advice): after a giant-doc dir lowers the
+    session-global batch size, a later load of a NORMAL dir must put
+    the full-size default back — otherwise every subsequent scan in a
+    mixed-dir session silently reads with the reduced batch."""
+    spark.conf.set(READER_BATCH_KEY, str(READER_BATCH_DEFAULT))
+    d = _giant_dir(10_000_000)
+    assert bound_reader_batch(spark, d) < READER_BATCH_DEFAULT
+    assert int(spark.conf.get(READER_BATCH_KEY)) < READER_BATCH_DEFAULT
+    # normal dir in the same session: conf restored, not just returned
+    assert bound_reader_batch(spark, SF_DIR) == READER_BATCH_DEFAULT
+    assert spark.conf.get(READER_BATCH_KEY) == str(READER_BATCH_DEFAULT)
+    # a dir with no documents table restores too
+    import tempfile
+
+    assert bound_reader_batch(spark, tempfile.mkdtemp()) == READER_BATCH_DEFAULT
+    assert spark.conf.get(READER_BATCH_KEY) == str(READER_BATCH_DEFAULT)
