@@ -46,6 +46,53 @@ _BROADCAST_LABEL_ROWS = int(
     os.environ.get("SPARK_GRAFT_BROADCAST_LABEL_ROWS", "5000000")
 )
 
+# Max CONTRACTED edge rows solved with a driver-side union-find instead
+# of the iterative frontier loop (round 11). Rationale: after star
+# contraction a dup graph's edge list is orders of magnitude smaller
+# than the corpus (2.7 k edges from 654 k pairs at sf0.1), yet every
+# frontier round costs a fixed ~3 Spark jobs — measured 2.3 s of pure
+# job overhead for 4 rounds on a 1,872-node contracted graph. Below
+# the gate the edges are already-materialized checkpoint blocks, so
+# the collect is the same driver transfer a broadcast build would do;
+# the union-find is O(E α(E)) on ≤ ~16 B/row metadata. Past the gate
+# the Pregel loop runs unchanged — correct at any scale.
+_DRIVER_UF_EDGES = int(os.environ.get("SPARK_GRAFT_DRIVER_UF_EDGES", "1000000"))
+
+
+def _collect_edge_pairs(df: DataFrame):
+    """Driver transfer for the union-find input: Arrow ``toPandas``
+    plus a plain-int zip — measured 0.7 s vs 3.0 s for ``collect()``'s
+    pickled Rows at 654 k edges (guide §6: Arrow for driver
+    transfers)."""
+    pdf = df.toPandas()
+    return zip(
+        pdf[df.columns[0]].to_numpy().tolist(),
+        pdf[df.columns[1]].to_numpy().tolist(),
+    )
+
+
+def _driver_union_find(rows) -> dict:
+    """Min-root union-find over (src, dst) rows: returns {node: root}
+    with root = min node id of the component — the same label the
+    frontier loop converges to. Path-halving keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.get(x, x)
+        while r != parent.get(r, r):
+            parent[r] = parent.get(parent[r], parent[r])
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 20
@@ -66,11 +113,16 @@ def connected_components(
        (quasi-cliques) this collapses each dense cluster to ~1
        representative, shrinking a multi-million-edge input to a few
        hundred contracted edges BEFORE any iteration.
-    2. **Frontier (delta) propagation** on the contracted graph: only
-       nodes whose label just DECREASED send messages — the classic
-       Pregel "vote to halt" refinement; per-round cost is O(edges
-       incident to the frontier). Convergence = empty frontier. The
-       final label is pulled back through the contraction map.
+    2. **Components of the contracted graph**: below a row-count gate
+       the contracted edge list (orders of magnitude smaller than the
+       corpus on dup graphs) is solved with a driver union-find — one
+       collect of already-materialized metadata plus one broadcast
+       pull-back join. Past the gate, frontier (delta) propagation:
+       only nodes whose label just DECREASED send messages — the
+       classic Pregel "vote to halt" refinement; per-round cost is
+       O(edges incident to the frontier). Convergence = empty
+       frontier. The final label is pulled back through the
+       contraction map.
 
     The pair list — the dominant intermediate at 100 TB — is
     materialized exactly ONCE (localCheckpoint; on a real cluster,
@@ -82,8 +134,29 @@ def connected_components(
     full list is scanned three times (two min-aggregations + the
     contraction rewrite) and never shuffled at 2× size.
     """
-    # --- phase 1: star contraction --------------------------------
+    # --- phase 0: small graphs solve locally ----------------------
+    # The edge list is checkpointed either way (see docstring); its
+    # count is one cheap scan of cached blocks. Below the gate the
+    # whole graph is ≤ ~16 MB of (long, long) metadata — the same
+    # bytes a broadcast build would pull to the driver — so components
+    # come from one union-find pass instead of the contraction's three
+    # edge-list aggregations plus the frontier loop's per-round jobs.
+    # Above the gate, star contraction shrinks the graph by orders of
+    # magnitude (quasi-clique dup graphs), and the CONTRACTED edge
+    # list re-enters the same decision; only a pathological contracted
+    # graph (> gate reps in long chains) pays the Pregel loop.
     e = edges.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    if e.count() <= _DRIVER_UF_EDGES:
+        roots = _driver_union_find(_collect_edge_pairs(e))
+        spark = nodes.sparkSession
+        comp = spark.createDataFrame(
+            list(roots.items()), schema="node long, cluster_id long"
+        )
+        return nodes.join(F.broadcast(comp), "node", "left").select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+        )
+
+    # --- phase 1: star contraction --------------------------------
     m1 = e.groupBy("src").agg(F.min("dst").alias("mn")).withColumnRenamed("src", "node")
     m2 = e.groupBy("dst").agg(F.min("src").alias("mn")).withColumnRenamed("dst", "node")
     minn = m1.union(m2).groupBy("node").agg(F.min("mn").alias("mn"))
@@ -121,6 +194,29 @@ def connected_components(
         .distinct()
         .localCheckpoint()  # tiny; avoids re-running the rewrite per union branch
     )
+    # --- phase 2: components of the contracted graph --------------
+    # Fast path (round 11): below the gate, solve the contracted graph
+    # with a driver union-find — the edges are already-materialized
+    # checkpoint blocks (the collect moves the same bytes a broadcast
+    # build would), and it replaces the per-round job overhead of the
+    # frontier loop (~3 jobs/round) with ONE collect + one broadcast
+    # pull-back join. Reps untouched by any contracted edge keep their
+    # own label via the left join's coalesce — exactly the frontier
+    # loop's fixpoint for message-less nodes.
+    if ce_dir.count() <= _DRIVER_UF_EDGES:
+        roots = _driver_union_find(_collect_edge_pairs(ce_dir))
+        spark = lab.sparkSession
+        comp = spark.createDataFrame(
+            list(roots.items()), schema="rep long, cluster_id long"
+        )
+        return (
+            lab.join(F.broadcast(comp), "rep", "left")
+            .select(
+                "node",
+                F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
+            )
+        )
+
     ce = (
         ce_dir.union(
             ce_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -130,7 +226,7 @@ def connected_components(
     )
     cnodes = lab.select(F.col("rep").alias("node")).distinct()
 
-    # --- phase 2: frontier propagation on the contracted graph ----
+    # --- phase 2 (fallback): frontier propagation -----------------
     state = cnodes.select(
         "node", F.col("node").alias("label"), F.lit(True).alias("chg")
     ).localCheckpoint()

@@ -14,19 +14,26 @@ Pipeline (all relational, no UDFs):
      — no single-partition window — but the mode still materializes
      the vocabulary, so production stays xxhash.
 3. k universal-hash functions h_j(x) = (a_j·x + b_j) mod P; MinHash
-   signature = per-doc min of each h_j (one groupBy, k mins);
+   signature = per-doc min of each h_j, computed as ARRAY expressions
+   over the per-doc token-id array (array_min ∘ transform) — no
+   explode, no groupBy: in xxhash mode the pipeline reaches banding
+   with zero shuffles (round 11, guide §2.4);
 4. LSH banding: split the k mins into b bands of r rows; docs sharing
-   any (band, band-signature) bucket are candidates. Shuffle cost is
-   |docs|·b rows of (bucket → doc_id) — sub-quadratic by design;
+   any (band, band-signature) bucket are candidates, emitted from the
+   FIRST matching band only (unique by construction — no distinct
+   exchange over the pair set). Shuffle cost is |docs|·b rows of
+   (bucket → doc_id) — sub-quadratic by design;
 5. verify candidates with exact token-set Jaccard computed on sorted
    INT token-id arrays: |A∩B| via array_intersect, |A∪B| derived as
    sz1 + sz2 − |A∩B| (never build the union). Int arrays make the
    per-pair intersect ~an order of magnitude cheaper than the naive
    string-array form, which matters because verification is the CPU
-   bottleneck on a duplicative corpus (candidates ≫ docs).
+   bottleneck on a duplicative corpus (candidates ≫ docs). The set
+   tables broadcast below a row-count gate, so the candidate table —
+   the big side — is never exchanged for verify.
 
-The (doc_id, tok_id) long form is persisted and reused by both the
-signature and the verify branches — without it Spark recomputes the
+The (doc_id, ids) array form is checkpointed and reused by the
+signature and both verify branches — without it Spark recomputes the
 tokenize+hash subtree once per consumer (no common-subexpression
 elimination across a DAG).
 
@@ -41,7 +48,17 @@ from pyspark.sql import DataFrame, functions as F
 from big_data_exercise_spark.functions.numeric import round_det_nn
 from big_data_exercise_spark.functions.text import tokens
 
+import os
+
 P = 8191
+# Max distinct-token-set rows the verify stage will force-broadcast
+# (one sorted int array per rep, ~200 B at the typical token budget →
+# a few hundred MB resident at the cap, same sizing rationale as the
+# closure's SPARK_GRAFT_BROADCAST_LABEL_ROWS). Past it, the verify
+# joins run as the stats-blind shuffle plan — correct at any scale.
+_BROADCAST_SET_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_SET_ROWS", "1000000")
+)
 # Fixed universal-hash parameters (k=12). Public textbook construction:
 # h_j(x) = (A[j]*x + B[j]) mod P with odd A.
 A = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41)
@@ -105,27 +122,82 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 12, bands: int = 3
+    signatures: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 3,
+    broadcast_build: bool = False,
 ) -> DataFrame:
-    """Distinct candidate (id1 < id2) pairs sharing ≥1 LSH band bucket."""
+    """Distinct candidate (id1 < id2) pairs sharing ≥1 LSH band bucket.
+
+    **First-matching-band emission** (round 11, guide §2.4 — remove
+    shuffles outright): a pair sharing several band buckets used to be
+    emitted once per band and deduplicated with a ``.distinct()`` — a
+    full exchange of the candidate-pair set, the #1 intermediate of
+    LSH banding (3.4 M rows at sf0.1; candidates ≫ docs at 100 TB on
+    a duplicative corpus). Instead each stacked row now carries ALL
+    band signatures, and the bucket join emits a pair only from the
+    FIRST band the two docs agree on (``∀ b' < band: sig_b' differs``
+    as a join filter). Every co-bucketed pair is emitted exactly once
+    by construction — same SET as the old distinct, zero exchanges
+    after the bucket join. The stacked side widens by the ``bands``
+    signature strings (bounded: band count × ~r short ints), which is
+    what the removed exchange's |pairs| rows buy.
+
+    ``broadcast_build=True`` (callers gate it on corpus size) builds
+    the bucket hash table as a broadcast and round-robin-repartitions
+    the probe side to the session's shuffle-partition count first.
+    Rationale (round-11 measurement): with every pair-set exchange
+    gone, the bucket join's INPUT is |docs|·b tiny rows — AQE's
+    coalescing sizes stages by input bytes and is blind to the join's
+    quadratic fan-out, so it collapsed the entire banding+verify
+    chain to ONE task (6.3 s serial verify at sf0.1). The explicit
+    probe-side repartition pins the fan-out stage at the configured
+    parallelism (scale-parameterised conf, not a core-count literal),
+    and round-robin spreads hot buckets' probe rows evenly — the
+    per-task emission is balanced even when one bucket dominates.
+    Past the gate the plain key join runs: its exchanges carry
+    corpus-scale bytes, which is exactly the regime AQE's coalescing
+    and skew-split size correctly."""
     rows = num_hashes // bands
-    pairs = []
-    for b in range(bands):
-        cols = [f"h{j}" for j in range(b * rows, (b + 1) * rows)]
-        pairs.append(f"{b}, concat_ws('_', {', '.join(cols)})")
-    stacked = signatures.selectExpr(
+    sig_cols = [
+        F.concat_ws(
+            "_", *[f"h{j}" for j in range(b * rows, (b + 1) * rows)]
+        ).alias(f"s{b}")
+        for b in range(bands)
+    ]
+    wide = signatures.select("doc_id", *sig_cols)
+    stacked = wide.selectExpr(
         "doc_id",
-        f"stack({bands}, {', '.join(pairs)}) AS (band, sig)",
+        *[f"s{b}" for b in range(bands)],
+        f"stack({bands}, {', '.join(f'{b}, s{b}' for b in range(bands))})"
+        " AS (band, sig)",
     )
     left = stacked.select(
-        F.col("doc_id").alias("id1"), "band", "sig"
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"s{b}").alias(f"l{b}") for b in range(bands - 1)],
+        "band",
+        "sig",
     )
-    right = stacked.select(F.col("doc_id").alias("id2"), "band", "sig")
+    right = stacked.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"s{b}").alias(f"r{b}") for b in range(bands - 1)],
+        "band",
+        "sig",
+    )
+    first_band_only = F.lit(True)
+    for b in range(bands - 1):
+        first_band_only = first_band_only & (
+            (F.col("band") <= b) | (F.col(f"l{b}") != F.col(f"r{b}"))
+        )
+    if broadcast_build:
+        spark = signatures.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        left = left.repartition(n_parts)
+        right = F.broadcast(right)
     return (
         left.join(right, ["band", "sig"])
-        .filter(F.col("id1") < F.col("id2"))
+        .filter((F.col("id1") < F.col("id2")) & first_band_only)
         .select("id1", "id2")
-        .distinct()
     )
 
 
@@ -182,14 +254,27 @@ def _verified_rep_pairs(
         (keyed["fp"] == reps_r["rep_fp"]) & (keyed["doc_id"] == reps_r["rep_id"]),
     ).select("rep_id", "toks")
 
-    # --- signatures + banding on representatives ------------------------
-    exploded = rep_sets.select(
-        F.col("rep_id").alias("doc_id"), F.explode("toks").alias("tok")
-    )
+    # --- per-row token-id arrays on representatives ---------------------
+    # Round 11 (guide §2.4 — remove shuffles outright): signatures and
+    # verify sets are both per-doc reductions of the token-id SET, so
+    # they are computed as array expressions over one (doc_id, ids)
+    # row per rep — the old (doc_id, tok_id) long form cost an explode
+    # plus TWO corpus-scale groupBy exchanges (one ObjectHashAggregate
+    # for the signature mins, one collect_set per verify side — the
+    # plan duplicated the aggregation subtree under both join
+    # branches). xxhash mode now reaches banding with ZERO shuffles;
+    # vocab mode keeps its single explode→join pass (the global rank
+    # needs the vocabulary) but collapses back through ONE collect_set
+    # instead of three aggregations.
     if not use_vocab_ranks:
-        tt = exploded.select(
-            "doc_id",
-            F.xxhash64("tok").bitwiseAND(F.lit((1 << 63) - 1)).alias("tok_id"),
+        rep_ids = rep_sets.select(
+            F.col("rep_id").alias("doc_id"),
+            F.array_distinct(
+                F.transform(
+                    "toks",
+                    lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 63) - 1)),
+                )
+            ).alias("ids"),
         )
     else:
         # Vocabulary over rep sets == vocabulary over all docs (every
@@ -200,34 +285,69 @@ def _verified_rep_pairs(
         # `WindowExec: No Partition Defined` plan node.
         from big_data_exercise_spark.operators.windows import global_row_number
 
+        exploded = rep_sets.select(
+            F.col("rep_id").alias("doc_id"), F.explode("toks").alias("tok")
+        )
         vocab = global_row_number(
             exploded.select("tok").distinct(), ["tok"], "__rn"
         ).select("tok", (F.col("__rn") - 1).alias("tok_id"))
-        tt = exploded.join(F.broadcast(vocab), "tok").select("doc_id", "tok_id")
-    tt = tt.localCheckpoint(eager=False)
-    sigs = _signatures_from_ids(tt, num_hashes)
-    # The materialization boundary is load-bearing: it pins the
-    # deduplicated candidate set so the verify stage probes 1 row per
-    # pair. Without it the fused plan re-evaluates the band-join
-    # subtree inside the verify joins (measured 4-8x slower at sf0.1).
-    # Storage is one (long, long) row per candidate. Lazy RDD
-    # checkpoint, not persist: blocks free on GC instead of living in
-    # the CacheManager for the session.
-    # Keep this checkpoint LAZY: materialized inside the consuming job,
-    # the post-distinct exchange is coalesced by AQE's parallelismFirst
-    # rule (~cores partitions), so the per-row-expensive verify stage
-    # stays parallel. Forcing materialization first (eager=True, or an
-    # `.rdd` partition probe) switches the read to the 64 MB advisory
-    # coalescing — ONE partition at this size — and serializes the
-    # verify (measured 5.8 s vs 8.5-9.7 s end-to-end at sf0.1).
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands).localCheckpoint(
-        eager=False
+        rep_ids = (
+            exploded.join(F.broadcast(vocab), "tok")
+            .groupBy("doc_id")
+            .agg(F.collect_set("tok_id").alias("ids"))
+        )
+    # Docs with an EMPTY token set never reached the long form (explode
+    # of [] emits no rows), so they had no signature row and could not
+    # candidate-pair; keep that contract explicit in the array form.
+    # One (doc_id, ids) row per rep, checkpointed LAZY (same rationale
+    # as the cand checkpoint below) and read by the signature AND both
+    # verify sides — replacing the old tt checkpoint.
+    rep_ids = rep_ids.filter(F.size("ids") > 0).localCheckpoint(eager=False)
+    sigs = rep_ids.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    "ids",
+                    lambda c: (F.lit(A[j]) * (c % F.lit(P)) + F.lit(B[j]))
+                    % F.lit(P),
+                )
+            ).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
     )
+    # The materialization boundary is load-bearing: it pins the
+    # candidate set (unique by first-band construction) so the verify
+    # stage probes 1 row per pair. Without it the fused plan
+    # re-evaluates the band-join subtree inside the verify joins
+    # (measured 4-8x slower at sf0.1). Storage is one (long, long) row
+    # per candidate. Lazy RDD checkpoint, not persist: blocks free on
+    # GC instead of living in the CacheManager for the session.
+    # Keep this checkpoint LAZY: materialized inside the consuming job
+    # (round-9 measurement: eager materialization re-read at ONE
+    # partition under the 64 MB advisory coalescing and serialized the
+    # verify — 5.8 s vs 8.5-9.7 s end-to-end at sf0.1).
+    # Gate on the materialized rep count (reps is already checkpointed;
+    # one cheap scan). Under the gate the bucket join broadcasts its
+    # build side and the verify set tables broadcast too, so the
+    # candidate pairs never hit an exchange; past it every join runs
+    # the stats-blind shuffle plan — correct at any scale.
+    _small = reps.count() <= _BROADCAST_SET_ROWS
+    cand = lsh_candidate_pairs(
+        sigs, num_hashes, bands, broadcast_build=_small
+    ).localCheckpoint(eager=False)
 
     # --- verify rep pairs ----------------------------------------------
-    sets_int = tt.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("tok_id")).alias("toks")
-    )
+    # The set tables are per-row projections of the rep_ids checkpoint
+    # (sort_array for the merge-style intersect; no aggregation). They
+    # are one compact row per DISTINCT token set, so up to the gate
+    # below they ship as broadcasts and the candidate table — the big
+    # side — is never exchanged or sorted for verify. (Round 11: the
+    # checkpointed lineage carries no stats, so Catalyst alone planned
+    # these joins as SortMergeJoin — two full Exchange+Sort passes
+    # over the candidate pairs, measured at sf0.1. The explicit gated
+    # hint is the same pattern as the closure's label broadcast.)
+    sets_int = rep_ids.select("doc_id", F.sort_array("ids").alias("toks"))
     a = sets_int.select(
         F.col("doc_id").alias("id1"),
         F.col("toks").alias("toks1"),
@@ -238,6 +358,13 @@ def _verified_rep_pairs(
         F.col("toks").alias("toks2"),
         F.size("toks").alias("sz2"),
     )
+    # Same gate as the bucket join: broadcasting a corpus of 10⁹ rep
+    # token sets would OOM executors at the 100 TB regime. ~200 B/row
+    # at the typical token budget → the default cap is a few hundred
+    # MB resident, matching the closure's sizing.
+    if _small:
+        a = F.broadcast(a)
+        b = F.broadcast(b)
     # J >= t implies min(sz)/max(sz) >= t: kill size-skewed pairs with
     # two int compares before the O(sz) intersect.
     ratio_ok = (F.col("sz1") >= F.col("sz2") * threshold) & (

@@ -1854,3 +1854,60 @@ def test_corrupt_record_accounting_null_and_empty_payloads(spark):
         for r in corrupt_record_accounting(df).collect()
     }
     assert got == {"a": (5, 3), "b": (2, 1)}
+
+
+def test_connected_components_uf_gate_equivalence(spark, monkeypatch):
+    """Round-11: the driver union-find fast path (edge count under the
+    gate) and the contraction + frontier fallback must assign identical
+    labels on a mixed graph — cliques, a long chain, and singletons."""
+    import random
+
+    from big_data_exercise_spark.dedup import cluster
+
+    rng = random.Random(1107)
+    edges_py, base = [], 0
+    for size in (2, 3, 7, 19):  # quasi-cliques
+        ids = list(range(base, base + size))
+        edges_py += [(ids[i], ids[rng.randrange(size)]) for i in range(size)]
+        base += size
+    chain = list(range(base, base + 50))  # diameter-50 chain
+    edges_py += list(zip(chain, chain[1:]))
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(base + 60)], "node long"  # +10 singletons
+    )
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    fast = {
+        r["node"]: r["cluster_id"]
+        for r in cluster.connected_components(nodes, edges).collect()
+    }
+    # Force the Pregel fallback; max_iter=64 because the frontier loop
+    # converges in O(contracted diameter) rounds and this chain's is
+    # ~25 (the union-find path has no such bound — it is exact at any
+    # diameter, one more reason it is the under-gate default).
+    monkeypatch.setattr(cluster, "_DRIVER_UF_EDGES", -1)
+    slow = {
+        r["node"]: r["cluster_id"]
+        for r in cluster.connected_components(nodes, edges, max_iter=64).collect()
+    }
+    assert fast == slow
+    # min-label contract: every cluster id is the min node of its class
+    for node, cid in fast.items():
+        assert cid <= node
+
+
+def test_lsh_candidate_pairs_first_band_unique(spark):
+    """Round-11: pairs are emitted from the FIRST matching band only —
+    a pair sharing every band appears exactly once, with no distinct
+    pass in the plan."""
+    from big_data_exercise_spark.dedup import minhash
+
+    rows = [
+        tuple([1] + [7] * 12),
+        tuple([2] + [7] * 12),           # shares ALL 3 bands with doc 1
+        tuple([3] + [7] * 6 + [9] * 6),  # shares band 0 only
+    ]
+    cols = "doc_id long, " + ", ".join(f"h{j} long" for j in range(12))
+    sigs = spark.createDataFrame(rows, cols)
+    got = minhash.lsh_candidate_pairs(sigs, 12, 3).collect()
+    pairs = sorted((r["id1"], r["id2"]) for r in got)
+    assert pairs == [(1, 2), (1, 3), (2, 3)]  # no duplicates, full set
