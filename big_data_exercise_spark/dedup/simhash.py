@@ -24,21 +24,40 @@ BAND_BITS = BITS // BANDS
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """(doc_id, simhash long) — one shuffle."""
+    """(doc_id, simhash long) — ZERO shuffles (round 11, guide §2.4).
+
+    The per-doc bit sums are reductions of the doc's own distinct
+    token-hash SET, so they are computed as array expressions over one
+    (doc_id, hashes) row — no explode, no corpus-scale groupBy
+    exchange. Each ±1 bit sum is ``2·(bits-set count) − n``: one
+    ``filter`` size per bit instead of a 64-way conditional aggregate.
+    Docs whose token set is empty never reached the old long form
+    (explode of [] emits no rows) and so had no signature row; the
+    size filter keeps that contract."""
     from big_data_exercise_spark.tables import ensure_parallelism
 
     documents = ensure_parallelism(documents)  # tokenize+64 sums are CPU-bound
-    toks = documents.select(
+    hs = documents.select(
         "doc_id",
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+        F.transform(
+            F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    n = F.size("hs")
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        (
+            2
+            * F.size(
+                F.filter(
+                    "hs",
+                    lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            - n
         ).alias(f"s{i}")
         for i in range(BITS)
     ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sums = hs.select("doc_id", *bit_sums)
     return sums.select("doc_id", _pack_bits().alias("simhash"))
 
 

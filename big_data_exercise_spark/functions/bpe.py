@@ -42,8 +42,6 @@ pair_count) — k rows, the artifact a tokenizer trainer ships.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from big_data_exercise_spark.functions.text import tokens
@@ -90,10 +88,17 @@ def _best_pair(pc: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(lf: DataFrame, best: DataFrame) -> DataFrame:
+def _apply_merge(lf: DataFrame, l_sym: str, r_sym: str) -> DataFrame:
+    """Apply one merge rule given as driver-side LITERALS. The rule is
+    already on the driver (the convergence probe collects the 1-row
+    best-pair frame each round), so folding it in as literals replaces
+    the old crossJoin(broadcast(best)) — one fewer eager checkpoint +
+    broadcast job per round (guide §1.3: fixed per-job overhead is
+    what an iterative loop at this scale actually pays)."""
     wd = W.partitionBy("w").orderBy("pos")
     t = (
-        lf.crossJoin(F.broadcast(best.select("l", "r")))
+        lf.withColumn("l", F.lit(l_sym))
+        .withColumn("r", F.lit(r_sym))
         .withColumn("nxt", F.lead("sym").over(wd))
         .withColumn(
             "m",
@@ -127,28 +132,24 @@ def learn_merges(documents: DataFrame, k: int = K_MERGES) -> DataFrame:
     learning order."""
     wc = word_counts(documents).localCheckpoint(eager=False)
     lf = _init_symbols(wc).localCheckpoint()
-    merges = []
+    merges: list[tuple] = []
     for i in range(1, k + 1):
-        best = _best_pair(_pair_counts(lf, wc)).localCheckpoint(eager=True)
         # 1-row convergence probe (the iterative-loop exception to the
         # no-collect rule): a corpus can run out of adjacent pairs
-        # before k rounds — stop instead of emitting a NULL rule.
-        row = best.first()
+        # before k rounds — stop instead of emitting a NULL rule. The
+        # collected row IS the round's result (rank, l, r, c), so the
+        # output assembles driver-side — no per-round eager checkpoint,
+        # no k-way union of 1-row frames (round 11: one job per round
+        # instead of two).
+        row = _best_pair(_pair_counts(lf, wc)).first()
         if row is None or row["l"] is None:
             break
-        merges.append(best.withColumn("rank", F.lit(i)))
+        merges.append((i, row["l"], row["r"], row["c"]))
         if i < k:
-            lf = _apply_merge(lf, best).localCheckpoint()
-    if not merges:
-        schema = "rank int, left_sym string, right_sym string, pair_count long"
-        return documents.sparkSession.createDataFrame([], schema)
-    out = reduce(lambda a, b: a.unionByName(b), merges)
-    return out.select(
-        F.col("rank").cast("int").alias("rank"),
-        F.col("l").alias("left_sym"),
-        F.col("r").alias("right_sym"),
-        F.col("c").cast("long").alias("pair_count"),
-    ).orderBy("rank")
+            lf = _apply_merge(lf, row["l"], row["r"]).localCheckpoint()
+    schema = "rank int, left_sym string, right_sym string, pair_count long"
+    out = documents.sparkSession.createDataFrame(merges, schema)
+    return out.orderBy("rank")
 
 
 def bpe_sql(k: int = K_MERGES) -> str:

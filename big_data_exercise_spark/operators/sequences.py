@@ -201,6 +201,12 @@ def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> Data
         broadcast_prefix_offsets,
     )
 
+    # Materialization boundary (lazy checkpoint, GC-released): the
+    # session table feeds the union (×2), the hour/day totals, both
+    # prefix-offset builders, and the final sweep join — without it
+    # Spark re-evaluates the session_window aggregation subtree once
+    # per consumer (no cross-DAG CSE; the round-11 plan capture showed
+    # 10 MergingSessions / 18 Exchanges for what is ONE session scan).
     sessions = (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n"))
@@ -208,6 +214,7 @@ def session_peak_concurrency(events: DataFrame, gap: str = "30 minutes") -> Data
             F.col("w.start").alias("st"),
             F.col("w.end").alias("en"),
         )
+        .localCheckpoint(eager=False)
     )
     pts = sessions.select(
         F.col("st").alias("t"), F.lit(1).alias("delta")

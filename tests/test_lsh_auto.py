@@ -77,8 +77,8 @@ def test_auto_params_shapes():
 def test_auto_candidate_volume_grows_linearly(spark):
     small = _unit_vectors(2_000, seed=7)
     big = _unit_vectors(20_000, seed=11)
-    n_small = _candidates(spark, small, *reversed(lsh.auto_params(2_000, 0.9)))
-    n_big = _candidates(spark, big, *reversed(lsh.auto_params(20_000, 0.9)))
+    n_small = _candidates(spark, small, *lsh.auto_params(2_000, 0.9))
+    n_big = _candidates(spark, big, *lsh.auto_params(20_000, 0.9))
     ratio = n_big / max(1, n_small)
     # O(N): 10x vectors -> ~10x candidates (bands growth adds a small
     # factor); the fixed-rows demo measured ~100x here (round 9, sf1)

@@ -17,7 +17,8 @@ BOTH the uniform dir and its skewed twin (tools/gen_skewed.py):
   tools/stream_soak.py) and record batch-wall p50/p95 + state rows;
 * PARITY: per (how, dir), the salted final row set must equal the
   unsalted one — checked with a Spark-side order-independent digest
-  (count + sum of crc32 over null-marked stringified rows), no
+  (count + sum + bit-xor of xxhash64 over null-marked stringified
+  rows — sum alone is cancellation-prone, round-10 advice), no
   driver collect of the (large) join output. The sink is a PARQUET
   directory, not a memory sink: on an undiluted hot-key feed the
   matched-pair volume is inherently quadratic in hot density and a
@@ -59,7 +60,8 @@ FAILS: list[str] = []
 
 def run_one(spark, build, n_files: int):
     """Run a streaming plan over an n_files feed; return
-    (series [(state_rows, batch_ms) per data batch], digest (n, crc_sum))."""
+    (series [(state_rows, batch_ms) per data batch], digest
+    (n, hash_sum, hash_xor))."""
     from pyspark.sql import functions as F
 
     os.environ["SPARK_GRAFT_STREAM_FEED_FILES"] = str(n_files)
@@ -95,10 +97,16 @@ def run_one(spark, build, n_files: int):
             "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅"))
                    for c in tbl.columns]
         )
-        n, crc = tbl.agg(
-            F.count("*"), F.sum(F.crc32(row_str))
+        # Order-independent digest hardened per round-10 advice: an
+        # additive crc32 sum alone is collision-prone (compensating row
+        # differences can cancel), so combine a 64-bit hash with BOTH
+        # sum and bit-xor — cancellation would have to defeat the two
+        # aggregations simultaneously.
+        h = F.xxhash64(row_str)
+        n, hsum, hxor = tbl.agg(
+            F.count("*"), F.sum(h), F.bit_xor(h)
         ).collect()[0]
-        return series, (int(n), int(crc or 0))
+        return series, (int(n), int(hsum or 0), int(hxor or 0))
     finally:
         os.environ.pop("SPARK_GRAFT_STREAM_FEED_FILES", None)
         spark.conf.set("spark.sql.shuffle.partitions", saved)
@@ -141,7 +149,8 @@ def main() -> None:
                         sum(s for s, _ in q4) / max(1, len(q4)), 1
                     ),
                     "rows": digest[0],
-                    "crc_sum": digest[1],
+                    "hash_sum": digest[1],
+                    "hash_xor": digest[2],
                 }
                 results[(how, dname, salts)] = rec
                 print(f"{how}/{dname}/salts={salts}: {json.dumps(rec)}",
@@ -151,7 +160,9 @@ def main() -> None:
         for dname in ("uniform", "skew"):
             a = results[(how, dname, 1)]
             b = results[(how, dname, 8)]
-            if (a["rows"], a["crc_sum"]) != (b["rows"], b["crc_sum"]):
+            if (a["rows"], a["hash_sum"], a["hash_xor"]) != (
+                b["rows"], b["hash_sum"], b["hash_xor"]
+            ):
                 FAILS.append(f"parity:{how}/{dname}")
         base = results[(how, "uniform", 1)]["batch_p95_ms"]
         salted_skew = results[(how, "skew", 8)]["batch_p95_ms"]
