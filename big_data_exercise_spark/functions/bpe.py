@@ -131,7 +131,10 @@ def learn_merges(documents: DataFrame, k: int = K_MERGES) -> DataFrame:
     Output: (rank, left_sym, right_sym, pair_count), rank 1-based in
     learning order."""
     wc = word_counts(documents).localCheckpoint(eager=False)
-    lf = _init_symbols(wc).localCheckpoint()
+    # Lazy: the symbol state materializes inside the round's
+    # convergence-probe job (first()) and its blocks serve that
+    # round's merge application — one job per round instead of two.
+    lf = _init_symbols(wc).localCheckpoint(eager=False)
     merges: list[tuple] = []
     for i in range(1, k + 1):
         # 1-row convergence probe (the iterative-loop exception to the
@@ -146,7 +149,9 @@ def learn_merges(documents: DataFrame, k: int = K_MERGES) -> DataFrame:
             break
         merges.append((i, row["l"], row["r"], row["c"]))
         if i < k:
-            lf = _apply_merge(lf, row["l"], row["r"]).localCheckpoint()
+            lf = _apply_merge(lf, row["l"], row["r"]).localCheckpoint(
+                eager=False
+            )
     schema = "rank int, left_sym string, right_sym string, pair_count long"
     out = documents.sparkSession.createDataFrame(merges, schema)
     return out.orderBy("rank")

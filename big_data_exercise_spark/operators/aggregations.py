@@ -584,17 +584,26 @@ def rfm_segments(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
     aggregated per three-digit segment.
 
     Scale shape: NO global ntile windows — each quartile score is an
-    exact distributed rank (range partition + partitioned local
-    window + broadcast partition-prefix offsets,
-    :func:`windows.global_row_number`) fed through the SQL-standard
-    NTILE bucket formula (:func:`windows.ntile_from_rank`) against
-    the broadcast customer count.  Identical buckets to NTILE(4) over
-    the same total order — the oracle keeps plain NTILE — but every
-    window in the plan is partitioned; 10⁹ customers never funnel
-    through one task."""
+    exact distributed rank fed through the SQL-standard NTILE bucket
+    formula (:func:`windows.ntile_from_rank`) against the broadcast
+    customer count.  Identical buckets to NTILE(4) over the same total
+    order — the oracle keeps plain NTILE — but every window in the
+    plan is partitioned; 10⁹ customers never funnel through one task.
+
+    The three metric ranks ride ONE :func:`windows.grouped_row_number`
+    pass over a ``stack``-projected (metric, order-key) long form
+    (round 11) instead of three chained ``global_row_number`` calls:
+    descending metrics negate their order key (exact for int counts
+    and the 2-dp-rounded double), so every metric ranks ascending
+    under the same column, and one range partition + one pivot-back
+    aggregation replaces three sequential range exchanges, sample
+    passes, and checkpoint materializations.  NULL order keys keep
+    their engine placement per metric (asc → nulls first for recency,
+    desc → nulls last for monetary — the round-8 fuzz pin) via an
+    explicit null-rank prefix column."""
     from big_data_exercise_spark.functions.numeric import exact_sum, round_det
     from big_data_exercise_spark.operators.windows import (
-        global_row_number,
+        grouped_row_number,
         ntile_from_rank,
     )
 
@@ -607,21 +616,41 @@ def rfm_segments(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
     )
     n = cust.agg(F.count("*").cast("long").alias("_n"))
     base = cust.crossJoin(F.broadcast(n))
-    ranked = global_row_number(
-        base, [F.asc("recency_days"), F.asc("o_custkey")], "_r_rank"
-    )
-    ranked = global_row_number(
-        ranked, [F.desc("frequency"), F.asc("o_custkey")], "_f_rank"
-    )
-    ranked = global_row_number(
-        ranked, [F.desc("monetary"), F.asc("o_custkey")], "_m_rank"
-    )
-    scored = ranked.select(
+    # metric 0: recency ASC; 1: frequency DESC == -frequency ASC;
+    # 2: monetary DESC == -monetary ASC (negation exact: counts are
+    # integers, monetary is a 2-dp-rounded double ≪ 2^53).
+    long = base.selectExpr(
         "o_custkey",
         "monetary",
-        ntile_from_rank(F.col("_r_rank"), F.col("_n"), 4).alias("r"),
-        ntile_from_rank(F.col("_f_rank"), F.col("_n"), 4).alias("f"),
-        ntile_from_rank(F.col("_m_rank"), F.col("_n"), 4).alias("m"),
+        "_n",
+        "stack(3, 0, CAST(recency_days AS DOUBLE),"
+        " 1, CAST(-frequency AS DOUBLE),"
+        " 2, -monetary) AS (tag, ord)",
+    )
+    # Engine NULL placement by direction: ASC ranks NULLs FIRST
+    # (recency, tag 0), DESC ranks them LAST (monetary, tag 2;
+    # frequency is a count — never NULL). ord is otherwise non-NULL,
+    # so a 0/1/2 prefix column reproduces both placements under one
+    # ascending order.
+    null_rank = F.when(
+        F.col("ord").isNull(), F.when(F.col("tag") == 0, 0).otherwise(2)
+    ).otherwise(1)
+    ranked = grouped_row_number(
+        long.withColumn("_nr", null_rank),
+        ["tag"],
+        [F.asc("_nr"), F.asc("ord"), F.asc("o_custkey")],
+        "_rank",
+    )
+    bucket = ntile_from_rank(F.col("_rank"), F.col("_n"), 4)
+    scored = (
+        ranked.select("o_custkey", "monetary", "tag", bucket.alias("_b"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("monetary").alias("monetary"),
+            F.max(F.when(F.col("tag") == 0, F.col("_b"))).alias("r"),
+            F.max(F.when(F.col("tag") == 1, F.col("_b"))).alias("f"),
+            F.max(F.when(F.col("tag") == 2, F.col("_b"))).alias("m"),
+        )
     )
     return (
         scored.groupBy(

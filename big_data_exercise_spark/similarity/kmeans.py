@@ -83,7 +83,11 @@ def kmeans_assignments(
     final assignment. Init: the vectors with the ``k`` smallest ids
     are the seed centroids (cluster = rank order) — deterministic, no
     RNG to reconcile across engines."""
-    long_df = quantized_long(embeddings).localCheckpoint()
+    # Lazy checkpoints throughout (round 11): every table is still
+    # materialized once and shared by all consumers, but inside the
+    # consuming job instead of as per-round driver barriers (job-count
+    # probe: 22 jobs at sf0.01 with eager rounds).
+    long_df = quantized_long(embeddings).localCheckpoint(eager=False)
     seeds = (
         long_df.select("vid")
         .distinct()
@@ -105,11 +109,11 @@ def kmeans_assignments(
     cents = (
         long_df.join(seeds, "vid")
         .select("cid", "dim", F.col("q").alias("qc"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         assigned = _assign(long_df, cents)
-        cents = _update(long_df, assigned).localCheckpoint()
+        cents = _update(long_df, assigned).localCheckpoint(eager=False)
     final = _assign(long_df, cents)
     return final.select(
         F.col("vid").alias("vec_id"),

@@ -118,10 +118,19 @@ def pq_codebooks(
     seeds = broadcast_prefix_offsets(seeds, "vid", "_one", "cid").select(
         "vid", F.col("cid").cast("int").alias("cid")
     )
+    # Lazy checkpoints (round 11): each round's centroid table is still
+    # materialized exactly once and every consumer (next round's assign
+    # broadcast + the update join) reads its blocks, but materialization
+    # happens inside the consuming job instead of as a synchronous
+    # driver barrier — at ITERS Lloyd rounds the eager form paid one
+    # full job launch per round for a k·m·dsub-row table (job-count
+    # probe: pq_topk 36 jobs at sf0.01, the top of the fleet). The
+    # unrolled lineage stays O(iters) deep, bounded by the fixed round
+    # count.
     cents = (
         lf.join(F.broadcast(seeds), "vid")
         .select("sub", "cid", "dim", F.col("q").alias("qc"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         assigned = assign_fn(cents) if assign_fn is not None else _assign(lf, cents)
@@ -129,7 +138,7 @@ def pq_codebooks(
             lf.join(assigned.select("vid", "sub", "cid"), ["vid", "sub"])
             .groupBy("sub", "cid", "dim")
             .agg(F.expr("CAST(sum(q) DIV count(1) AS BIGINT)").alias("qc"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -243,7 +252,7 @@ def pq_topk(
     wall while the capped path stays flat — training is the ONLY
     superlinear stage, so the cap is what makes the operator scale
     (PLANS.md round-6)."""
-    lf = _long_with_sub(embeddings, m, n_dims).localCheckpoint()
+    lf = _long_with_sub(embeddings, m, n_dims).localCheckpoint(eager=False)
     if train_cap is not None and train_mod == 1:
         n = embeddings.count()
         train_mod = -(-n // train_cap)  # ceil: sample ≈ n/train_mod ≤ cap
