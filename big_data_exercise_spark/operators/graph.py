@@ -24,15 +24,34 @@ Scale shape (100 TB): the symmetric edge list is materialized once
 (localCheckpoint; DISK_ONLY persist on a cluster) and each iteration
 is one join + one aggregation keyed on node id — the same exchange
 every round, reusable under a pre-repartition. State is one row per
-node. No driver-side collect: the node count enters the plan as a
-broadcast 1-row aggregate, not a Python scalar.
+node. In the distributed regime there is no driver-side collect: the
+node count enters the plan as a broadcast 1-row aggregate, not a
+Python scalar. Below a row-count gate (``SPARK_GRAFT_DRIVER_PR_EDGES``,
+default 1 M — the same knob shape as the closure's union-find gate)
+the power iteration runs on the driver over one Arrow ``toPandas`` of
+the already-materialized symmetric edge list: at toy scale each
+distributed round costs ~3 scheduler jobs of pure overhead for a
+graph whose whole edge list moves in well under a second, and the
+integer arithmetic makes the numpy replay EXACT (sums of non-negative
+int64 are order-independent; ``//`` == ``DIV`` on non-negatives), so
+the gate changes the wall, never the output — pinned by
+``test_pagerank_driver_gate_equivalence``.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 SCALE = 10**12  # fixed-point: rank 1.0 ≙ SCALE
+
+# Driver-solve gate for the power iteration (row count of the
+# SYMMETRIC edge list). Same pattern as dedup/cluster.py's
+# _DRIVER_UF_EDGES: below it, iterating on the driver replaces
+# ~3 scheduler jobs per round; past it, the relational loop runs
+# unchanged (correct at any scale).
+_DRIVER_PR_EDGES = int(os.environ.get("SPARK_GRAFT_DRIVER_PR_EDGES", "1000000"))
 
 
 def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -47,10 +66,60 @@ def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 3, top: int = 20) -> DataFrame:
+def _driver_pagerank(sym: DataFrame, iters: int, top: int) -> DataFrame:
+    """Numpy replay of the power iteration over one Arrow transfer of
+    the symmetric edge list — bit-identical to the relational loop:
+    every quantity is non-negative int64 (``//`` == truncating ``DIV``;
+    integer sums are order-independent) and the worst intermediate,
+    ``85 · Σcontrib ≤ 85 · SCALE = 8.5e13``, is far inside int64."""
+    import numpy as np
+
+    pdf = sym.toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    # Every node occurs as a source in the symmetric closure, so the
+    # sorted unique sources ARE the node set and v maps by bisection.
+    nodes, u_idx = np.unique(u, return_inverse=True)
+    v_idx = np.searchsorted(nodes, v)
+    deg = np.bincount(u_idx, minlength=len(nodes)).astype(np.int64)
+    n = len(nodes)
+    if n == 0:  # empty graph: same empty relation the loop produces
+        return sym.sparkSession.createDataFrame(
+            [], schema="kind string, entity_id bigint, rank bigint"
+        )
+    r = np.full(n, SCALE // n, dtype=np.int64)
+    base = np.int64((15 * (SCALE // n)) // 100)
+    for _ in range(iters):
+        c = r // deg
+        sm = np.zeros(n, dtype=np.int64)
+        np.add.at(sm, v_idx, c[u_idx])
+        r = base + (85 * sm) // 100
+    order = np.lexsort((nodes, -r))[:top]
+    rows = [
+        (
+            "customer" if int(nodes[i]) % 2 == 0 else "supplier",
+            int(nodes[i]) // 2,
+            int(r[i]),
+        )
+        for i in order
+    ]
+    return sym.sparkSession.createDataFrame(
+        rows, schema="kind string, entity_id bigint, rank bigint"
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    top: int = 20,
+    driver_gate: int | None = None,
+) -> DataFrame:
     """Top-``top`` nodes by damped PageRank after ``iters`` power
     iterations. Output: (kind, entity_id, rank) ordered by rank desc
-    with a total deterministic tie-break on the interleaved node id."""
+    with a total deterministic tie-break on the interleaved node id.
+    ``driver_gate`` overrides ``SPARK_GRAFT_DRIVER_PR_EDGES`` (edge
+    rows at or below it are solved on the driver; pass 0 to force the
+    distributed loop — the test hook)."""
     flip = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     # bipartite + distinct input ⇒ the flipped set is disjoint (id
     # parity differs), so a plain union IS the symmetric closure.
@@ -60,6 +129,12 @@ def pagerank(edges: DataFrame, iters: int = 3, top: int = 20) -> DataFrame:
     # (job-count probe: 32 jobs at sf0.01 with eager rounds; the
     # unrolled lineage is bounded by the fixed iteration count).
     sym = edges.union(flip).localCheckpoint(eager=False)
+    gate = _DRIVER_PR_EDGES if driver_gate is None else driver_gate
+    # The count's job materializes the checkpoint blocks the driver
+    # transfer (or the distributed loop) then reads — paid once either
+    # way, and the count itself is the gate evidence.
+    if gate > 0 and sym.count() <= gate:
+        return _driver_pagerank(sym, iters, top)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     nn = F.broadcast(deg.agg(F.count("*").alias("n")))
     state = (

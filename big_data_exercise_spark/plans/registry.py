@@ -3281,7 +3281,15 @@ def _specs() -> list[QuerySpec]:
     ))
     s.append(QuerySpec(
         "pq_topk",
-        lambda sp, d: pq.pq_topk(_t(sp, d, "embeddings")),
+        # arrow_encode: the (vid, sub) -> cid assignments ride the
+        # broadcast-codebook Arrow kernel instead of the kcent x
+        # join-fan-out relational form (round 11: 5.9 -> 3.8 s at
+        # sf0.1, same host). Bit-identical by construction AND by
+        # test (test_pq_arrow_encode_bit_identical_and_cap_wiring);
+        # the oracle SQL below still unrolls the relational
+        # definition, so the hash check is a true cross-engine,
+        # cross-algorithm comparison.
+        lambda sp, d: pq.pq_topk(_t(sp, d, "embeddings"), arrow_encode=True),
         pq.pq_sql(),
         ("similarity", "pq", "ann"),
         "product-quantization ANN: per-sub-space integer Lloyd codebooks, "
@@ -3311,7 +3319,15 @@ def _specs() -> list[QuerySpec]:
     ))
     s.append(QuerySpec(
         "kmeans_clusters",
-        lambda sp, d: kmeans.kmeans_assignments(_t(sp, d, "embeddings")),
+        # arrow_assign (round 11): assignments ride the bit-identical
+        # broadcast-codebook numpy kernel instead of the k x join
+        # fan-out (same move as pq_topk's arrow_encode; equivalence
+        # pinned by test_kmeans_arrow_assign_bit_identical, hash
+        # pinned by the DuckDB oracle, which unrolls the relational
+        # definition).
+        lambda sp, d: kmeans.kmeans_assignments(
+            _t(sp, d, "embeddings"), arrow_assign=True
+        ),
         kmeans.kmeans_sql(),
         ("similarity", "iterative", "clustering"),
         "Lloyd's k-means (2 updates + final assign) in fixed-point integer "

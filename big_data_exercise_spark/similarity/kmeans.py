@@ -76,13 +76,84 @@ def _update(long_df: DataFrame, assign_df: DataFrame) -> DataFrame:
     )
 
 
+def _assign_arrow(
+    embeddings: DataFrame, cents: DataFrame, n_dims: int = 64
+) -> DataFrame:
+    """(vid, cid, dist) nearest-centroid assignment via a
+    broadcast-codebook numpy kernel — the same construction as
+    ``pq._codes_arrow`` and bit-identical to :func:`_assign`: the
+    fixed-point quantization is the same exact IEEE ops, every
+    distance intermediate is an integer < 2⁵³ (coords ≤ 2·QSCALE, so
+    diff² ≤ 4e12 and a 64-dim sum ≤ 2.6e14), so the float64 matmul is
+    exact, and ``np.argmin``'s first-hit over cid-ascending rows IS
+    struct-min's lowest-cid tie-break. The centroid collect is
+    bounded: ≤ k·n_dims rows (512 at the registry config). NULL or
+    wrong-width embeddings drop per-row, as in ``pq._codes_arrow``."""
+    import numpy as np
+
+    crows = cents.select("cid", "dim", "qc").collect()
+    by_cid: dict = {}
+    for r in crows:
+        by_cid.setdefault(r["cid"], {})[r["dim"]] = r["qc"]
+    order = sorted(by_cid)
+    mat = np.zeros((len(order), n_dims), dtype=np.float64)
+    for i, cid in enumerate(order):
+        for dim, qc in by_cid[cid].items():
+            mat[i, dim] = qc
+    cid_arr = np.asarray(order, dtype=np.int32)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            emb = pdf["embedding"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            ok = np.fromiter(
+                (v is not None and len(v) == n_dims for v in emb),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not ok.all():
+                emb, vids = emb[ok], vids[ok]
+            if not len(vids):
+                continue
+            v = np.vstack(emb).astype(np.float64)
+            q = np.floor((v + 1.0) * QSCALE)
+            dist = (
+                (q * q).sum(axis=1)[:, None]
+                + (mat * mat).sum(axis=1)[None, :]
+                - 2.0 * (q @ mat.T)
+            )
+            idx = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": vids,
+                    "cid": cid_arr[idx],
+                    "dist": dist[np.arange(len(idx)), idx].astype(np.int64),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vid long, cid int, dist long"
+    )
+
+
 def kmeans_assignments(
-    embeddings: DataFrame, k: int = 8, iters: int = 2
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    arrow_assign: bool = False,
+    n_dims: int = 64,
 ) -> DataFrame:
     """(vec_id, cluster, dist) after ``iters`` Lloyd updates and a
     final assignment. Init: the vectors with the ``k`` smallest ids
     are the seed centroids (cluster = rank order) — deterministic, no
-    RNG to reconcile across engines."""
+    RNG to reconcile across engines. ``arrow_assign`` swaps every
+    assignment step's k×-fan-out broadcast join + two shuffle
+    aggregations for the bit-identical numpy kernel
+    (:func:`_assign_arrow`) over a bounded centroid collect — the
+    round-11 path the registry query uses; the relational form remains
+    the oracle's definition and the equivalence-test anchor."""
     # Lazy checkpoints throughout (round 11): every table is still
     # materialized once and shared by all consumers, but inside the
     # consuming job instead of as per-round driver barriers (job-count
@@ -111,10 +182,15 @@ def kmeans_assignments(
         .select("cid", "dim", F.col("q").alias("qc"))
         .localCheckpoint(eager=False)
     )
+    step = (
+        (lambda c: _assign_arrow(embeddings, c, n_dims))
+        if arrow_assign
+        else (lambda c: _assign(long_df, c))
+    )
     for _ in range(iters):
-        assigned = _assign(long_df, cents)
+        assigned = step(cents)
         cents = _update(long_df, assigned).localCheckpoint(eager=False)
-    final = _assign(long_df, cents)
+    final = step(cents)
     return final.select(
         F.col("vid").alias("vec_id"),
         F.col("cid").cast("int").alias("cluster"),

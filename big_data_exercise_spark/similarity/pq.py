@@ -277,8 +277,11 @@ def pq_topk(
     # Encode: the one stage that touches every corpus vector at full
     # codebook width. arrow_encode swaps the kcent×-fan-out relational
     # join for the broadcast-codebook numpy kernel (bit-identical,
-    # property-tested) — the production path; the relational form
-    # stays for the toy config, where it unrolls into the oracle.
+    # property-tested). Both registry queries pass arrow_encode=True
+    # since round 11 (toy config: 5.9 → 3.8 s at sf0.1); the
+    # relational form remains as the oracle's definition — pq_sql()
+    # unrolls IT, so the hash check compares two independent
+    # algorithms — and as the property-test anchor.
     if arrow_encode:
         codes = _codes_arrow(embeddings, cents, m, n_dims)
     else:

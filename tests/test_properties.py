@@ -1012,6 +1012,26 @@ def test_chunking_covers_every_token_with_overlap(spark):
     assert rows[0]["chunk_fp"] != rows[1]["chunk_fp"]
 
 
+def test_kmeans_arrow_assign_bit_identical(spark):
+    """Round-11: the numpy assignment kernel (registry path) and the
+    relational broadcast-join form must emit identical (vec_id,
+    cluster, dist) triples — integer-exact, not approximately equal —
+    across the full Lloyd loop, so drift cannot compound through the
+    centroid updates."""
+    from big_data_exercise_spark.similarity.kmeans import kmeans_assignments
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rel = {
+        tuple(r)
+        for r in kmeans_assignments(emb, k=8, iters=2, arrow_assign=False).collect()
+    }
+    arr = {
+        tuple(r)
+        for r in kmeans_assignments(emb, k=8, iters=2, arrow_assign=True).collect()
+    }
+    assert rel == arr and len(rel) > 0
+
+
 def test_kmeans_partitions_all_vectors_and_improves(spark):
     from big_data_exercise_spark.similarity.kmeans import (
         _assign,
@@ -1893,6 +1913,27 @@ def test_connected_components_uf_gate_equivalence(spark, monkeypatch):
     # min-label contract: every cluster id is the min node of its class
     for node, cid in fast.items():
         assert cid <= node
+
+
+def test_pagerank_driver_gate_equivalence(spark):
+    """Round-11: the driver numpy power iteration (edge count under
+    ``SPARK_GRAFT_DRIVER_PR_EDGES``) and the relational loop must emit
+    identical rows — the arithmetic is all non-negative int64, so the
+    replay is exact, not approximately equal. Graph mixes a hub, a
+    ring, and leaf nodes so degrees and inflows differ per node."""
+    from big_data_exercise_spark.operators import graph
+
+    edges_py = [(2 * c, 2 * (c % 3) + 1) for c in range(1, 40)]  # 3 hubs
+    edges_py += [(2 * c, 2 * 5 + 1) for c in range(1, 6)]  # extra fan-in
+    edges = spark.createDataFrame(edges_py, "u long, v long").distinct()
+    fast = [tuple(r) for r in graph.pagerank(edges, iters=3, top=25).collect()]
+    slow = [
+        tuple(r)
+        for r in graph.pagerank(edges, iters=3, top=25, driver_gate=0).collect()
+    ]
+    assert fast == slow
+    ranks = [r[2] for r in fast]
+    assert ranks == sorted(ranks, reverse=True)
 
 
 def test_lsh_candidate_pairs_first_band_unique(spark):
