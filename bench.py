@@ -2,19 +2,24 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE compact JSON line (final stdout line, guaranteed well
-under the driver's 2000-char tail capture — round 6's artifact lost
-its headline totals when the full per-query dict outgrew it):
+Prints ONE compact JSON line (final stdout line, kept under the
+driver's 2000-char tail capture — round 6's artifact lost its
+headline totals when an uncompacted per-query dict outgrew it):
 
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., totals,
-   host probes, pooled stream-latency percentiles, "detail_file": ...}
+   host probes, pooled stream-latency percentiles,
+   "queries": {name: best-of-reps wall, ...}}
 
 value = total wall-clock seconds across headline queries (lower is
 better); "shared50_total" = the same sum restricted to the 50 queries
-benched since round 4 (the cross-round ratchet). Per-query timings,
-per-query micro-batch latency blocks and error strings go to stderr
-AND to the sidecar named by "detail_file" (bench_detail_last.json in
-the repo root).
+benched since round 4 (the cross-round ratchet). "queries" (round 12,
+verdict item 1a) carries each query's best-of-reps wall at 2 decimals
+with compact separators so the driver can grade per query straight
+from the line. Full-precision per-query timings, per-rep walls,
+micro-batch latency blocks and error strings go to stderr AND to two
+sidecars: a per-run path bench_detail_sf<sf>_c<cpus>.json (so a
+scaling run at another core count cannot clobber the headline run's
+evidence) plus the fixed bench_detail_last.json for existing tooling.
 
 Each query is fully executed through a noop sink (every column
 materialized — count() would let Catalyst prune computed columns) so
@@ -503,9 +508,13 @@ def main() -> None:
         sf = float(sf_txt)
     except ValueError:
         sf = None
-    # Full detail → sidecar file (repo root, overwritten per run) +
-    # stderr above; the FINAL stdout line stays compact so the
-    # driver's 2000-char tail capture always parses it.
+    # Full detail → sidecar files + stderr above; the FINAL stdout line
+    # stays compact so the driver's 2000-char tail capture always
+    # parses it. Round 12: the detail ALSO lands at a per-run path
+    # (suffixed with sf + core count) so a scaling run at a different
+    # $SPARK_GRAFT_CPUS can no longer clobber the headline run's
+    # per-query evidence (round-11 verdict item 1a); the fixed
+    # bench_detail_last.json path is kept for existing tooling.
     detail = {
         "queries": timings,
         "rep_walls": rep_walls,
@@ -514,15 +523,19 @@ def main() -> None:
         "stream_batch_ms": stream_batch_ms,
         "errors": errors,
     }
-    detail_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail_last.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_file = os.path.join(repo_dir, f"bench_detail_sf{sf_txt}_c{cpus}.json")
     try:
         with open(detail_file, "w", encoding="utf-8") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        with open(
+            os.path.join(repo_dir, "bench_detail_last.json"), "w", encoding="utf-8"
+        ) as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
         detail_file = None
+    print(f"# detail_file: {detail_file}", file=sys.stderr)
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     out = {
         "metric": "headline_queries_total_wall",
@@ -548,7 +561,13 @@ def main() -> None:
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "disk_write_mbps_start": disk_mbps,
         "disk_write_mbps_end": disk_end,
-        "detail_file": detail_file,
+        # round 12 (verdict item 1a): per-query best-of-reps walls ON
+        # the line so the driver's comparator can grade per query —
+        # additions only (every prior field kept, nothing renamed).
+        # 2-decimal rounding + compact separators keep the line inside
+        # the driver's 2000-char tail capture (detail_file moved to
+        # stderr + sidecar for the same reason).
+        "queries": {n: round(w, 2) for n, w in timings.items()},
     }
     if stream_batch_raw:
         # pooled percentiles over ALL data-carrying micro-batches of
@@ -562,8 +581,22 @@ def main() -> None:
         out["stream_batch_n_min"] = min(
             v["n_batches"] for v in stream_batch_ms.values()
         )
-    line = json.dumps(out)
-    if len(line) >= 1500:  # never break the one-line contract; warn loudly
+    # One-line contract guard: the driver captures only the LAST 2000
+    # chars of output, so a final line longer than that is truncated at
+    # the FRONT and becomes unparseable (round 6 lost its headline
+    # totals exactly this way). Emit compactly; if a pathological run
+    # (many 3-digit walls, long error strings) still pushes past the
+    # budget, shed precision first and host-probe context second —
+    # the queries map is the gradability payload and is kept.
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1900:
+        out["queries"] = {n: round(w, 1) for n, w in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1900:
+        for k in ("load_avg_start", "disk_write_mbps_start"):
+            out.pop(k, None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1999:
         print(f"# WARNING: final bench line {len(line)} chars — the "
               "driver's tail capture may truncate it", file=sys.stderr)
     print(line)

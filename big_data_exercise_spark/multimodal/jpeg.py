@@ -314,6 +314,81 @@ def _words16(seg: np.ndarray):
     return words.tolist(), 8 * len(seg)
 
 
+_LUT_NP_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _lut16_np(bits, huffval):
+    """int32 numpy view of :func:`_lut16` for the native decoder,
+    memoized under the same bounded-FIFO policy."""
+    key = (tuple(bits), tuple(huffval))
+    hit = _LUT_NP_CACHE.get(key)
+    if hit is None:
+        hit = np.asarray(_lut16(bits, huffval), dtype=np.int32)
+        if len(_LUT_NP_CACHE) >= 16:
+            _LUT_NP_CACHE.pop(next(iter(_LUT_NP_CACHE)))
+        _LUT_NP_CACHE[key] = hit
+    return hit
+
+
+def _baseline_order_arrays(
+    comps, scan, by_id, slot, mcus_x, mcus_y, huff_dc, huff_ac
+):
+    """Flat decode-order arrays for the native baseline loop: one
+    coefficient ARENA holding every component's MCU-padded store
+    back-to-back (per-component views returned as ``flats``), plus
+    per-block (dc-LUT index, ac-LUT index, component slot, arena base
+    offset) in raster MCU order — byte-for-byte the order the Python
+    reference loop visits. Built with numpy broadcasting, not a
+    per-block Python loop."""
+    offs = {}
+    total = 0
+    for cid, ch, cv, _tq in comps:
+        offs[cid] = total
+        total += mcus_y * cv * mcus_x * ch * 64
+    arena = np.zeros(total, dtype=np.int64)
+    flats = {
+        cid: arena[offs[cid] : offs[cid] + mcus_y * cv * mcus_x * ch * 64]
+        for cid, ch, cv, _tq in comps
+    }
+    lut_keys: list[tuple] = []
+    lut_arrs: list[np.ndarray] = []
+
+    def lut_idx(spec):
+        key = (tuple(spec[0]), tuple(spec[1]))
+        if key not in lut_keys:
+            lut_keys.append(key)
+            lut_arrs.append(_lut16_np(*spec))
+        return lut_keys.index(key)
+
+    grids, dc_pat, ac_pat, comp_pat = [], [], [], []
+    for cs, td, ta in scan:
+        _cid, ch, cv, _tq = by_id[cs]
+        ccols = mcus_x * ch
+        rows = (
+            np.arange(mcus_y, dtype=np.int64)[:, None, None, None] * cv
+            + np.arange(cv, dtype=np.int64)[None, None, :, None]
+        )
+        cols = (
+            np.arange(mcus_x, dtype=np.int64)[None, :, None, None] * ch
+            + np.arange(ch, dtype=np.int64)[None, None, None, :]
+        )
+        grids.append(
+            (((rows * ccols + cols) << 6) + offs[cs]).reshape(
+                mcus_y, mcus_x, cv * ch
+            )
+        )
+        dc_pat.append(np.full(cv * ch, lut_idx(huff_dc[td]), np.uint8))
+        ac_pat.append(np.full(cv * ch, lut_idx(huff_ac[ta]), np.uint8))
+        comp_pat.append(np.full(cv * ch, slot[cs], np.uint8))
+    base = np.ascontiguousarray(np.concatenate(grids, axis=2).reshape(-1))
+    n_mcus = mcus_x * mcus_y
+    dc_id = np.tile(np.concatenate(dc_pat), n_mcus)
+    ac_id = np.tile(np.concatenate(ac_pat), n_mcus)
+    comp_id = np.tile(np.concatenate(comp_pat), n_mcus)
+    luts_arr = np.ascontiguousarray(np.concatenate(lut_arrs))
+    return arena, flats, base, dc_id, ac_id, comp_id, luts_arr
+
+
 # --- decoder ------------------------------------------------------------
 
 
@@ -469,6 +544,61 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     dluts = {td: _lut16(*huff_dc[td]) for td in {s[1] for s in scan}}
     aluts = {ta: _lut16(*huff_ac[ta]) for ta in {s[2] for s in scan}}
 
+    bpm = sum(by_id[cs][1] * by_id[cs][2] for cs, _, _ in scan)
+    total_mcus = mcus_x * mcus_y
+    per_seg = dri if dri else total_mcus
+
+    segments, _end = _entropy_segments(data, pos)
+    if len(segments) != -(-total_mcus // per_seg):
+        raise JpegFormatError(
+            f"restart segmentation mismatch: {len(segments)} segments "
+            f"for {total_mcus} MCUs at interval {dri}"
+        )
+
+    # ---- compiled fast path (round 12) --------------------------------
+    # Identical table-driven loop, identical error semantics, run in C
+    # over one flat coefficient arena — the Python loop below stays as
+    # the reference implementation and automatic fallback (equivalence
+    # pinned by test_native_entropy_decoder_matches_python).
+    from big_data_exercise_spark.multimodal import _native
+
+    lib = _native.get_lib()
+    if lib is not None:
+        arena, flats, base, dc_id, ac_id, comp_id, luts_arr = (
+            _baseline_order_arrays(
+                comps, scan, by_id, slot, mcus_x, mcus_y, huff_dc, huff_ac
+            )
+        )
+        import ctypes
+
+        pred = np.zeros(ncomp, dtype=np.int64)
+        oi = 0
+        for si, seg in enumerate(segments):
+            n_mcus = min(per_seg, total_mcus - si * per_seg)
+            nblocks = n_mcus * bpm
+            padded = np.concatenate([seg, np.zeros(5, np.uint8)])
+            pred[:] = 0  # predictor resets at every restart marker
+            rc = lib.decode_baseline(
+                _native.as_ptr(padded, ctypes.c_uint8),
+                8 * len(seg),
+                _native.as_ptr(luts_arr, ctypes.c_int32),
+                _native.as_ptr(dc_id[oi : oi + nblocks], ctypes.c_uint8),
+                _native.as_ptr(ac_id[oi : oi + nblocks], ctypes.c_uint8),
+                _native.as_ptr(comp_id[oi : oi + nblocks], ctypes.c_uint8),
+                _native.as_ptr(base[oi : oi + nblocks], ctypes.c_int64),
+                nblocks,
+                _native.as_ptr(arena, ctypes.c_int64),
+                _native.as_ptr(pred, ctypes.c_int64),
+            )
+            if rc:
+                raise JpegFormatError(_native.ERRORS[rc])
+            oi += nblocks
+        coefs = {
+            cid: flats[cid].reshape(mcus_y * cv, mcus_x * ch, 64)
+            for cid, ch, cv, _tq in comps
+        }
+        return _reconstruct(h, w, comps, coefs, qt)
+
     # per-component quantized coefficient store (flat, MCU-padded dims)
     flats = {
         cid: np.zeros(mcus_y * cv * mcus_x * ch * 64, dtype=np.int64)
@@ -490,16 +620,6 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                         order.append(
                             (dl, al, ci, flat, (row * ccols + mx * ch + h_) << 6)
                         )
-    bpm = sum(by_id[cs][1] * by_id[cs][2] for cs, _, _ in scan)
-    total_mcus = mcus_x * mcus_y
-    per_seg = dri if dri else total_mcus
-
-    segments, _end = _entropy_segments(data, pos)
-    if len(segments) != -(-total_mcus // per_seg):
-        raise JpegFormatError(
-            f"restart segmentation mismatch: {len(segments)} segments "
-            f"for {total_mcus} MCUs at interval {dri}"
-        )
 
     oi = 0
     for si, seg in enumerate(segments):
@@ -587,22 +707,34 @@ def _reconstruct(h, w, comps, coefs, qt):
         # matmul hits the BLAS kernel (einsum's generic contraction
         # was the profile's top cost at camera frame sizes)
         px = _C.T @ c.astype(np.float64) @ _C
-        px = np.rint(px) + 128
+        np.rint(px, out=px)  # in-place: same values, no extra pass
+        px += 128
         plane = px.transpose(0, 2, 1, 3).reshape(c.shape[0] * 8, c.shape[1] * 8)
-        # upsample to full resolution (sample replication), then crop
-        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        # upsample to full resolution (sample replication), then crop;
+        # a factor-1 repeat is a full-plane copy — skip it
+        fv, fh = vmax // cv, hmax // ch
+        if fv > 1 or fh > 1:
+            plane = np.repeat(np.repeat(plane, fv, axis=0), fh, axis=1)
         planes[cid] = plane[:h, :w]
 
     if len(comps) == 1:
         return np.clip(planes[comps[0][0]], 0, 255).astype(np.uint8)
     if len(comps) != 3:
         raise JpegFormatError(f"unsupported component count {len(comps)}")
+    # fused per-channel color transform: identical float64 expressions
+    # and the same rint→clip→uint8 rounding as the stacked form, minus
+    # the (h, w, 3) float64 stack and its two extra full passes
     y, cb, cr = (planes[c[0]] for c in comps)
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    b = y + 1.772 * (cb - 128)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    cb = cb - 128
+    cr = cr - 128
+    out = np.empty((*y.shape, 3), dtype=np.uint8)
+    for i, chan in enumerate(
+        (y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb)
+    ):
+        np.rint(chan, out=chan)
+        np.clip(chan, 0, 255, out=chan)
+        out[..., i] = chan
+    return out
 
 
 def _decode_progressive_scan(
@@ -644,7 +776,14 @@ def _decode_progressive_scan(
     # visit order: (ci, flat, base) per block.  Interleaved scans walk
     # the MCU grid; single-component scans walk the component's REAL
     # block grid (T.81 A.2.2 — smaller than the MCU-padded store).
+    # Single-component AC scans additionally get their base offsets as
+    # a numpy array — the native fast path (round 12) consumes those
+    # directly and skips the tuple list.
+    from big_data_exercise_spark.multimodal import _native
+
+    lib = _native.get_lib()
     order = []
+    base_np = None
     if len(scan) > 1:
         for my in range(mcus_y):
             for mx in range(mcus_x):
@@ -668,10 +807,16 @@ def _decode_progressive_scan(
         nbx, nby = -(-cw // 8), -(-chh // 8)
         ccols = mcus_x * ch
         flat, ci = flats[cs], slot[cs]
-        for r_ in range(nby):
-            rb = r_ * ccols
-            for c_ in range(nbx):
-                order.append((ci, flat, (rb + c_) << 6))
+        base_np = (
+            (
+                np.arange(nby, dtype=np.int64)[:, None] * ccols
+                + np.arange(nbx, dtype=np.int64)[None, :]
+            )
+            << 6
+        ).ravel()
+        if lib is None or dc_scan:
+            for b in base_np.tolist():
+                order.append((ci, flat, b))
         bpm = 1
         units_total = nbx * nby
 
@@ -694,6 +839,39 @@ def _decode_progressive_scan(
             f"restart segmentation mismatch: {len(segments)} segments "
             f"for {units_total} units at interval {dri}"
         )
+
+    # ---- compiled fast path (round 12): single-component AC scans ----
+    # (the symbol-dense progressive scans; DC scans are one probe or
+    # one raw bit per block and stay in Python). Same loop, same error
+    # semantics, C instead of Python — the loops below remain the
+    # reference implementation and automatic fallback.
+    if lib is not None and not dc_scan:
+        import ctypes
+
+        alut_np = _lut16_np(*huff_ac[ta])
+        fn = lib.decode_prog_ac_first if first else lib.decode_prog_ac_refine
+        eob = np.zeros(1, dtype=np.int64)
+        oi = 0
+        for si, seg in enumerate(segments):
+            n_units = min(per_seg, units_total - si * per_seg)
+            padded = np.concatenate([seg, np.zeros(5, np.uint8)])
+            eob[0] = 0  # EOB runs cannot cross a restart
+            rc = fn(
+                _native.as_ptr(padded, ctypes.c_uint8),
+                8 * len(seg),
+                _native.as_ptr(alut_np, ctypes.c_int32),
+                _native.as_ptr(base_np[oi : oi + n_units], ctypes.c_int64),
+                n_units,
+                ss,
+                se,
+                al,
+                _native.as_ptr(flat, ctypes.c_int64),
+                _native.as_ptr(eob, ctypes.c_int64),
+            )
+            if rc:
+                raise JpegFormatError(_native.ERRORS[rc])
+            oi += n_units
+        return end_pos
 
     p1, m1 = 1 << al, -(1 << al)
     trunc = "truncated entropy data"

@@ -66,12 +66,21 @@ def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-def _driver_pagerank(sym: DataFrame, iters: int, top: int) -> DataFrame:
+def _driver_pagerank(sym: DataFrame, iters: int, top: int) -> DataFrame | None:
     """Numpy replay of the power iteration over one Arrow transfer of
     the symmetric edge list — bit-identical to the relational loop:
     every quantity is non-negative int64 (``//`` == truncating ``DIV``;
     integer sums are order-independent) and the worst intermediate,
-    ``85 · Σcontrib ≤ 85 · SCALE = 8.5e13``, is far inside int64."""
+    ``85 · Σcontrib ≤ 85 · SCALE = 8.5e13``, is far inside int64.
+
+    Precondition (round-12 advice item): NODE IDS must be
+    non-negative — the kind/entity_id projection uses Python ``%``/
+    ``//`` where the relational loop uses Spark's sign-preserving
+    ``%`` and truncating ``DIV``, which disagree on negatives.
+    ``trade_edges`` ids are non-negative by construction
+    (2·custkey / 2·suppkey+1); a caller feeding the public
+    ``pagerank(edges)`` negative ids gets the relational loop instead
+    (returns None → the caller falls back), never a divergent replay."""
     import numpy as np
 
     pdf = sym.toPandas()
@@ -80,6 +89,8 @@ def _driver_pagerank(sym: DataFrame, iters: int, top: int) -> DataFrame:
     # Every node occurs as a source in the symmetric closure, so the
     # sorted unique sources ARE the node set and v maps by bisection.
     nodes, u_idx = np.unique(u, return_inverse=True)
+    if len(nodes) and int(nodes[0]) < 0:
+        return None  # negative ids: Python // and % diverge from DIV/%
     v_idx = np.searchsorted(nodes, v)
     deg = np.bincount(u_idx, minlength=len(nodes)).astype(np.int64)
     n = len(nodes)
@@ -130,11 +141,19 @@ def pagerank(
     # unrolled lineage is bounded by the fixed iteration count).
     sym = edges.union(flip).localCheckpoint(eager=False)
     gate = _DRIVER_PR_EDGES if driver_gate is None else driver_gate
-    # The count's job materializes the checkpoint blocks the driver
-    # transfer (or the distributed loop) then reads — paid once either
-    # way, and the count itself is the gate evidence.
+    # Gate probe: a FULL count, deliberately (round-12 advice item
+    # considered and measured): the count's job is what materializes
+    # the lazy checkpoint blocks that the driver transfer — or the
+    # distributed loop's degree aggregation — then reads, so it is
+    # shared work, not extra. The suggested limit(gate+1).count()
+    # short-circuit was measured SLOWER at sf0.1 (a GlobalLimit
+    # gathers the first million rows into one task) and, worse, it
+    # materializes only the partitions the limit touched — the
+    # toPandas then re-runs the orders⋈lineitem lineage for the rest.
     if gate > 0 and sym.count() <= gate:
-        return _driver_pagerank(sym, iters, top)
+        res = _driver_pagerank(sym, iters, top)
+        if res is not None:
+            return res  # None → negative node ids → relational loop
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     nn = F.broadcast(deg.agg(F.count("*").alias("n")))
     state = (

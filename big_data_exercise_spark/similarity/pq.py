@@ -153,70 +153,78 @@ def _codes_arrow(embeddings: DataFrame, cents: DataFrame, m: int, n_dims: int) -
     toy config oracle-unrollable, which the rows-only production mode
     does not need.
 
-    Bit-identical to ``_assign`` (property-tested): the same
-    fixed-point quantization (floor((v+1)·QSCALE), every op exact
-    IEEE), integer-exact distances (|x|² − 2x·c + |c|² in float64 —
-    every intermediate is an integer < 2⁵³, so the BLAS matmul is
-    exact), and ties broken to the lowest cid (argmin first-hit over
-    cid-ascending codebooks == struct-min(dist, cid)). NULL or
-    wrong-width embeddings drop per-row, matching the relational
-    path, where posexplode of a NULL array yields nothing."""
+    Bit-identical to ``_assign`` on ANY corpus, ragged rows included
+    (round-12, advice item): per sub-space the distance is summed over
+    the INTERSECTION of the vector's dims and the centroid's dims —
+    exactly what the relational join on ``dim`` computes — via the
+    same presence-mask form as ``kmeans._assign_arrow``
+    (dist = (X·X)@P.T − 2·X@C.T + M@(C·C).T, every intermediate an
+    exact integer < 2⁵³ in float64), with ties broken to the lowest
+    cid (argmin first-hit over cid-ascending codebooks ==
+    struct-min(dist, cid)). A (vid, sub) whose dims overlap no
+    centroid of that sub-space yields no code row, and a NULL
+    embedding yields nothing at all — matching posexplode + join.
+    Sub-spaces are taken from the collected centroids themselves, so
+    dims beyond ``n_dims`` (training vectors that ran long) keep their
+    relational semantics too."""
     import numpy as np
 
-    from big_data_exercise_spark.similarity.kmeans import QSCALE
+    from big_data_exercise_spark.similarity.kmeans import _quantize_batch
 
     dsub = n_dims // m
     # Bounded collect: ≤ m·kcent·dsub rows (16384 at the PQ64 shape) —
     # the same broadcast-the-small-side pattern as the ADC LUT.
     crows = cents.select("sub", "cid", "dim", "qc").collect()
+    width = max(n_dims, max((r["dim"] for r in crows), default=-1) + 1)
     by_sub: dict = {}
     for r in crows:
         by_sub.setdefault(r["sub"], {}).setdefault(r["cid"], {})[r["dim"]] = r["qc"]
     books = {}
-    for sub, cids in by_sub.items():
+    for sub, cids in sorted(by_sub.items()):
         order = sorted(cids)  # cid-ascending → argmin ties = lowest cid
-        mat = np.zeros((len(order), dsub), dtype=np.float64)
+        lo = sub * dsub
+        hi = min(max(d for c in cids.values() for d in c) + 1, width)
+        mat = np.zeros((len(order), hi - lo), dtype=np.float64)
+        pres = np.zeros_like(mat)
         for row_i, cid in enumerate(order):
             for dim, qc in cids[cid].items():
-                mat[row_i, dim - sub * dsub] = qc
-        books[int(sub)] = (np.asarray(order, dtype=np.int32), mat)
+                mat[row_i, dim - lo] = qc
+                pres[row_i, dim - lo] = 1.0
+        books[int(sub)] = (
+            np.asarray(order, dtype=np.int32), mat, pres, mat * mat,
+            lo, hi, bool(pres.all()),
+        )
 
     def encode(batches):
         import pandas as pd
 
+        if not books:
+            return
         for pdf in batches:
-            emb = pdf["embedding"].to_numpy()
-            vids = pdf["vec_id"].to_numpy()
-            ok = np.fromiter(
-                (v is not None and len(v) == n_dims for v in emb),
-                dtype=bool,
-                count=len(pdf),
-            )
-            if not ok.all():
-                emb, vids = emb[ok], vids[ok]
-            n = len(vids)
-            if not n:
+            if not len(pdf):
                 continue
-            v = np.vstack(emb).astype(np.float64)
-            q = np.floor((v + 1.0) * QSCALE)  # == quantized_long, exact
+            Q, M = _quantize_batch(pdf["embedding"].to_numpy(), width)
+            vids = pdf["vec_id"].to_numpy()
             out = {"vid": [], "sub": [], "cid": []}
-            for sub in range(m):
-                if sub not in books:
+            for sub, (cid_arr, mat, pres, mat2, lo, hi, dense) in books.items():
+                x, mx = Q[:, lo:hi], M[:, lo:hi]
+                dist = (x * x) @ pres.T - 2.0 * (x @ mat.T) + mx @ mat2.T
+                if dense:
+                    valid = mx.any(axis=1)
+                else:
+                    overlap = mx @ pres.T
+                    np.copyto(dist, np.inf, where=overlap == 0.0)
+                    valid = (overlap > 0.0).any(axis=1)
+                if not valid.any():
                     continue
-                cid_arr, mat = books[sub]
-                x = q[:, sub * dsub : (sub + 1) * dsub]
-                dist = (
-                    (x * x).sum(axis=1)[:, None]
-                    + (mat * mat).sum(axis=1)[None, :]
-                    - 2.0 * (x @ mat.T)
-                )
-                idx = np.argmin(dist, axis=1)
-                out["vid"].append(vids)
-                out["sub"].append(np.full(n, sub, dtype=np.int32))
+                idx = np.argmin(dist[valid], axis=1)
+                out["vid"].append(vids[valid])
+                out["sub"].append(np.full(int(valid.sum()), sub, dtype=np.int32))
                 out["cid"].append(cid_arr[idx])
-            yield pd.DataFrame(
-                {k: np.concatenate(a) for k, a in out.items()}
-            )
+            if out["vid"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(a) for k, a in out.items()}
+                )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         encode, schema="vid long, sub int, cid int"

@@ -386,3 +386,59 @@ def test_fill_bytes_before_markers_decode_identically():
     assert prog.endswith(b"\xff\xd9")
     padded_p = prog[:-2] + b"\xff\xff" + b"\xff\xd9"
     assert np.array_equal(decode_jpeg(padded_p), decode_jpeg(prog))
+
+
+def test_native_entropy_decoder_matches_python():
+    """Round-12: the compiled entropy-decode fast path must produce
+    BYTE-IDENTICAL pixels to the pure-Python reference loops across
+    baseline/progressive × subsampling × restart framing × grayscale,
+    over randomized frames — and fail with the same JpegFormatError
+    message on truncated entropy data. Skips nothing: when no compiler
+    is available get_lib() returns None and both decodes run the
+    Python path (the assertion is then trivially true and the fast
+    path is simply absent on that host)."""
+    import os
+
+    from big_data_exercise_spark.multimodal import _native
+    from big_data_exercise_spark.multimodal.jpeg import JpegFormatError
+
+    def decode_both(enc):
+        fast = decode_jpeg(enc)
+        os.environ["SPARK_GRAFT_NATIVE"] = "0"
+        _native._tried, _native._lib = False, None
+        try:
+            slow = decode_jpeg(enc)
+        finally:
+            os.environ.pop("SPARK_GRAFT_NATIVE", None)
+            _native._tried, _native._lib = False, None
+        return fast, slow
+
+    rng = np.random.default_rng(42)
+    for shape, sub in [((56, 72, 3), "4:2:0"), ((41, 33, 3), "4:4:4"),
+                       ((48, 64), "4:4:4")]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for prog in (False, True):
+            for dri in (0, 3):
+                enc = encode_jpeg(
+                    img, quality=80, subsampling=sub,
+                    restart_interval=dri, progressive=prog,
+                )
+                fast, slow = decode_both(enc)
+                assert np.array_equal(fast, slow), (shape, sub, prog, dri)
+
+    # truncation raises identically through both paths
+    enc = encode_jpeg(
+        rng.integers(0, 256, (40, 40, 3), dtype=np.uint8), quality=80
+    )
+    cut = enc[: enc.index(b"\xff\xda") + 40]
+    with pytest.raises(JpegFormatError) as fast_exc:
+        decode_jpeg(cut)  # native path (when available)
+    os.environ["SPARK_GRAFT_NATIVE"] = "0"
+    _native._tried, _native._lib = False, None
+    try:
+        with pytest.raises(JpegFormatError) as slow_exc:
+            decode_jpeg(cut)  # reference path
+    finally:
+        os.environ.pop("SPARK_GRAFT_NATIVE", None)
+        _native._tried, _native._lib = False, None
+    assert str(fast_exc.value) == str(slow_exc.value)

@@ -31,6 +31,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # One query per multi-executor risk surface (see module docstring).
@@ -45,6 +47,7 @@ LANE = [
 ]
 
 
+@pytest.mark.slow
 def test_contract_green_under_local_cluster():
     env = dict(
         os.environ,

@@ -30,6 +30,12 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+
+# round-12 suite budget: this whole module is a randomized
+# exploration lane — default-skipped (see conftest), run in the
+# exit gates with SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings, strategies as st
 
 from big_data_exercise_spark.plans.registry import all_queries
@@ -726,6 +732,54 @@ def test_embeddings_oracle_pair_random_corpus(spark, name):
     @_fuzz_settings(4)
     @given(
         rows=st.lists(_EMB, min_size=0, max_size=10, unique_by=lambda r: r[0])
+    )
+    def run(rows):
+        sf_dir = _write_table("embeddings", _EMB_COLS, rows)
+        _compare(
+            spark, name, sf_dir, "embeddings",
+            os.path.join(sf_dir, "embeddings.parquet"), rows,
+        )
+
+    run()
+
+
+# The iterative similarity pairs (kmeans / PQ) join the fuzz program
+# with a RESTRICTED component universe: v ∈ [-1, 1] keeps every
+# fixed-point coordinate q = floor((v+1)·1e6) non-negative, which is
+# the documented precondition under which Spark's truncating DIV and
+# DuckDB's flooring // agree in the centroid update (components in
+# [-2, 2] would fuzz THAT engine asymmetry, not the kernels). Ragged
+# 63-dim rows, the zero vector and whole-NULL embeddings stay in the
+# pool — the round-12 point of this lane: the registry paths run the
+# broadcast-codebook Arrow kernels (arrow_assign / arrow_encode), so
+# every example is a kernel-vs-relational-oracle comparison over
+# corpora where partial-dim assignment actually happens.
+ITERATIVE_EMB_FUZZED = ["kmeans_clusters", "pq_topk"]
+
+_COMPONENT_UNIT = st.integers(min_value=-256, max_value=256).map(
+    lambda n: n / 256
+)
+_VEC_UNIT = st.one_of(
+    st.lists(_COMPONENT_UNIT, min_size=64, max_size=64),
+    st.lists(_COMPONENT_UNIT, min_size=63, max_size=63),  # ragged
+    st.just([0.0] * 64),
+    st.none(),
+)
+_EMB_UNIT = st.tuples(
+    # small id pool so the PQ query set (vid < 8) is usually inhabited
+    st.integers(min_value=0, max_value=40),
+    _VEC_UNIT,
+    st.integers(min_value=0, max_value=9),
+)
+
+
+@pytest.mark.parametrize("name", ITERATIVE_EMB_FUZZED)
+def test_iterative_embeddings_oracle_pair_random_corpus(spark, name):
+    @_fuzz_settings(3)
+    @given(
+        rows=st.lists(
+            _EMB_UNIT, min_size=0, max_size=10, unique_by=lambda r: r[0]
+        )
     )
     def run(rows):
         sf_dir = _write_table("embeddings", _EMB_COLS, rows)

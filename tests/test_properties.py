@@ -5,6 +5,7 @@ oracle can't."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_exercise_spark.dedup import simhash
@@ -408,6 +409,7 @@ def test_hll_reach_contracts_hold_in_dense_mode(spark):
         assert r["mergeable"] and r["ok_5pct"]
 
 
+@pytest.mark.slow
 def test_edge_report_equivalence_fuzz(spark):
     """Hypothesis drive of the clique→star substitution claim: on
     random corpora (tiny shared vocabulary → organic near-dups, random
@@ -477,6 +479,7 @@ def test_edge_report_equivalence_fuzz(spark):
     run()
 
 
+@pytest.mark.slow
 def test_winnow_edges_same_components_capped(spark):
     """The max_bucket branch of the edge path: rep-level hotness is
     cluster-size-weighted (Σ member counts per fingerprint), so the
@@ -600,15 +603,27 @@ def test_pq_arrow_encode_bit_identical_and_cap_wiring(spark):
     }
     assert rel == arw and len(rel) > 0
 
-    # dirty rows (NULL / ragged embedding) drop per-row — the same
-    # fate posexplode gives them on the relational side
+    # dirty rows: a whole-NULL embedding drops (posexplode of NULL
+    # yields nothing); a RAGGED embedding assigns via the partial-dim
+    # distance over its own dims — the kernel must equal the
+    # relational join on the same dirty corpus, row for row
+    # (round-12 advice item: the old kernel dropped ragged rows the
+    # relational path and the oracle assign)
     dirty = emb.limit(10).unionByName(
         spark.createDataFrame(
             [(90001, None, 0), (90002, [0.5, 0.5], 0)], emb.schema
         )
     )
+    dirty_lf = pq._long_with_sub(dirty, pq.M_SUBS_PROD, pq.N_DIMS)
+    rel_dirty = {
+        (r["vid"], r["sub"]): r["cid"]
+        for r in pq._assign(dirty_lf, cents).select("vid", "sub", "cid").collect()
+    }
     got = pq._codes_arrow(dirty, cents, pq.M_SUBS_PROD, pq.N_DIMS).collect()
-    assert {r["vid"] for r in got}.isdisjoint({90001, 90002}) and got
+    assert {(r["vid"], r["sub"]): r["cid"] for r in got} == rel_dirty
+    assert 90001 not in {r["vid"] for r in got}  # NULL row still drops
+    # the ragged row codes exactly its one populated sub-space
+    assert [r["sub"] for r in got if r["vid"] == 90002] == [0]
 
     # train_cap derives the stride: capping at ceil(n/4) vectors must
     # equal the explicit train_mod=4 call, end-to-end
@@ -700,6 +715,7 @@ def test_observation_metrics_piggyback_on_action(spark):
     assert obs.get["users"] > 0 and n_purchases > 0
 
 
+@pytest.mark.slow
 def test_star_cc_matches_simple_cc(spark):
     """Large-star/small-star must compute the same components as
     min-label propagation on every graph shape — and beat it on round
@@ -1030,6 +1046,27 @@ def test_kmeans_arrow_assign_bit_identical(spark):
         for r in kmeans_assignments(emb, k=8, iters=2, arrow_assign=True).collect()
     }
     assert rel == arr and len(rel) > 0
+
+    # round-12 (advice item): RAGGED and NULL rows too — the kernel
+    # assigns a short vector via the partial-dim distance exactly like
+    # the relational join (the old kernel silently dropped it)
+    dirty = emb.limit(12).unionByName(
+        spark.createDataFrame(
+            [(90001, None, 0), (90002, [0.25] * 63, 0), (90003, [0.5] * 7, 0)],
+            emb.schema,
+        )
+    )
+    rel_d = {
+        tuple(r)
+        for r in kmeans_assignments(dirty, k=4, iters=2, arrow_assign=False).collect()
+    }
+    arr_d = {
+        tuple(r)
+        for r in kmeans_assignments(dirty, k=4, iters=2, arrow_assign=True).collect()
+    }
+    assert rel_d == arr_d and len(rel_d) > 0
+    ids = {t[0] for t in arr_d}
+    assert 90002 in ids and 90003 in ids and 90001 not in ids
 
 
 def test_kmeans_partitions_all_vectors_and_improves(spark):
@@ -1578,6 +1615,7 @@ def test_observe_metrics_match_ground_truth(spark):
     assert got["value_total"] == truth["value_total"]
 
 
+@pytest.mark.slow
 def test_bpe_matches_sequential_reference(spark):
     """The relational BPE (gaps-and-islands greedy-overlap windows) must
     reproduce the classical sequential algorithm exactly — pair counts,
@@ -1934,6 +1972,28 @@ def test_pagerank_driver_gate_equivalence(spark):
     assert fast == slow
     ranks = [r[2] for r in fast]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_pagerank_negative_ids_fall_back_to_relational(spark):
+    """Round-12 (advice item): the driver numpy replay uses Python
+    ``//``/``%`` where the relational loop uses Spark's truncating DIV
+    and sign-preserving ``%`` — they diverge on NEGATIVE node ids, so
+    the gate must refuse the driver path for such graphs and the
+    public pagerank(edges) API must still answer through the
+    relational loop, identically at both gate settings."""
+    from big_data_exercise_spark.operators import graph
+
+    edges_py = [(-2, 3), (-4, 3), (-2, 5), (6, 5)]
+    edges = spark.createDataFrame(edges_py, "u long, v long")
+    gated = [tuple(r) for r in graph.pagerank(edges, iters=2, top=10).collect()]
+    forced = [
+        tuple(r)
+        for r in graph.pagerank(edges, iters=2, top=10, driver_gate=0).collect()
+    ]
+    assert gated == forced and len(gated) > 0
+    # the divergent projection really is exercised: negative ids map
+    # through Spark semantics (-2 % 2 == 0 → customer, -2 DIV 2 == -1)
+    assert ("customer", -1) in {(r[0], r[1]) for r in gated}
 
 
 def test_lsh_candidate_pairs_first_band_unique(spark):

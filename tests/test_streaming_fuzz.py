@@ -42,6 +42,12 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+
+# round-12 suite budget: this whole module is a randomized
+# exploration lane — default-skipped (see conftest), run in the
+# exit gates with SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings, strategies as st
 
 from big_data_exercise_spark.streaming import pipelines as streams

@@ -636,6 +636,7 @@ def test_file_log_shrunken_partition_never_plans_backwards(tmp_path):
     ), end3
 
 
+@pytest.mark.slow
 def test_state_store_bounded_over_long_feed(spark):
     """Compact CI lane of tools/stream_soak.py (round 9): over a
     60-micro-batch ts-ordered feed, the watermarked dedup's state
