@@ -98,15 +98,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = raw_schema(spark, sf_dir, "events")
     n_feed = int(os.environ.get("SPARK_GRAFT_STREAM_FEED_FILES", "1"))
     if n_feed > 1:
+        feed = _multi_file_feed(spark, sf_dir, n_feed)
+        _note_source_bytes(feed)  # state-partition autotune hint
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(_multi_file_feed(spark, sf_dir, n_feed))
+            .parquet(feed)
         )
         return normalize_table("events", stream)
     # FileStreamSource requires a *directory*; the test data is a single
     # parquet file inside a read-only dir, so stream the parent directory
     # and glob down to just the events file.
+    _note_source_bytes(os.path.join(sf_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # micro-batch rate limiting (S2 analog)
@@ -128,6 +131,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based stream over the documents corpus — the ABSA review
     stream stand-in (S1 over text instead of events)."""
     schema = raw_schema(spark, sf_dir, "documents")
+    _note_source_bytes(os.path.join(sf_dir, "documents.parquet"))
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -504,8 +508,65 @@ class _state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
 
 
+# Source-volume hint for the state-partition autotune: the file-based
+# stream builders record their source's total bytes here at plan-build
+# time (a driver-side os.stat sum — no Spark job), and the next query
+# start derives its state-store instance count from it. Overwritten by
+# every builder call, so consecutive queries never see a stale value;
+# custom sources that never set it fall back to the fixed default.
+_LAST_SOURCE_BYTES: dict = {"bytes": None}
+
+# ~bytes of source input per state-store instance. Round-12 interleaved
+# measurement at sf0.1 (24-file feed, best-of-3 + per-rep p50s,
+# /tmp/state_exp2 in OPTIMIZATION_r12.md): 2 instances beat 8 on every
+# rep — stream_tumbling_counts wall 14.0 → 7.8 s, stream_stream_join
+# batch p50 1109 → 671 ms — because per-batch store open/commit
+# dominates tiny keyspaces. The divisor makes the count grow with the
+# corpus (sf0.1 events = 2 MB → 2 instances; ~200 MB → 7; at 100 TB
+# the clamp to the batch shuffle width takes over), so the setting is
+# scale-adaptive rather than tuned to either local mode or the bench.
+_STATE_BYTES_PER_INSTANCE = 32 << 20
+
+
+def _note_source_bytes(path: str) -> None:
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(path, p))
+                for p in os.listdir(path)
+                if not p.startswith((".", "_"))
+            )
+        else:
+            total = os.path.getsize(path)
+        _LAST_SOURCE_BYTES["bytes"] = total
+    except OSError:
+        _LAST_SOURCE_BYTES["bytes"] = None
+
+
+def _resolve_state_partitions(spark: SparkSession, requested: int | None) -> int:
+    """State-store instance count for one streaming query start:
+    explicit caller value > ``SPARK_GRAFT_STATE_PARTITIONS`` env >
+    source-volume derivation (min 2, max the batch shuffle width) >
+    the historical fixed 8."""
+    if requested is not None:
+        return requested
+    env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — conf may be 'auto' on some builds
+        width = 8
+    nbytes = _LAST_SOURCE_BYTES["bytes"]
+    if nbytes is None:
+        return min(8, max(1, width))
+    return max(2, min(width, -(-nbytes // _STATE_BYTES_PER_INSTANCE)))
+
+
 def run_to_memory(
-    result: DataFrame, output_mode: str = "complete", state_partitions: int = 8
+    result: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan to completion (availableNow semantics
     via processAllAvailable) into a memory sink; return the final
@@ -527,7 +588,7 @@ def run_to_memory(
     prog_key = "spark.sql.streaming.numRecentProgressUpdates"
     saved_prog = spark.conf.get(prog_key, None)
     spark.conf.set(prog_key, "100000")
-    with _state_partitions(spark, state_partitions):
+    with _state_partitions(spark, _resolve_state_partitions(spark, state_partitions)):
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -574,7 +635,10 @@ def run_foreach_batch_to_jdbc(
             batch_df, url, table, driver=driver or jdbcio.DERBY_DRIVER
         )
 
-    with _state_partitions(result.sparkSession, 8):
+    with _state_partitions(
+        result.sparkSession,
+        _resolve_state_partitions(result.sparkSession, None),
+    ):
         q = (
             result.writeStream.foreachBatch(write_batch)
             .outputMode("append")
@@ -670,7 +734,10 @@ def run_foreach_batch_to_parquet(
             "append"
         ).parquet(out)
 
-    with _state_partitions(result.sparkSession, 8):
+    with _state_partitions(
+        result.sparkSession,
+        _resolve_state_partitions(result.sparkSession, None),
+    ):
         q = (
             result.writeStream.foreachBatch(write_batch)
             .outputMode("append")
